@@ -9,14 +9,23 @@ testing without a cluster).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The environment's sitecustomize registers the 'axon' TPU backend and
+# forces jax_platforms to "axon,cpu"; pin tests to CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices for mesh tests"
 
 
 @pytest.fixture
