@@ -1,0 +1,67 @@
+"""Decode pipeline: features → acoustic scores → beam search → WER.
+
+Parity target: steps/decode.sh → gmm-latgen-faster (SURVEY.md §3.3).
+Utterances decode as device batches (the fork's
+BatchedThreadedNnet3CudaPipeline role); WER via pipelines/score.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from kaldi_tpu.core.logging import get_logger
+from kaldi_tpu.am.gmm import AmDiagGmm
+from kaldi_tpu.am.transitions import TransitionModel
+from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+from kaldi_tpu.fst.csr import pack_fst
+from kaldi_tpu.fst.fst import VectorFst
+from kaldi_tpu.fst.lang import Lang
+from kaldi_tpu.pipelines.score import WerStats, compute_wer
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    hyps: Dict[str, List[str]]
+    alignments: Dict[str, List[int]]
+    costs: Dict[str, float]
+    wer: Optional[WerStats] = None
+
+
+def decode_gmm(feats: Dict[str, np.ndarray], am: AmDiagGmm,
+               tm: TransitionModel, HCLG: VectorFst, lang: Lang,
+               config: BeamDecoderConfig = None,
+               refs: Optional[Dict[str, List[str]]] = None,
+               batch_size: int = 8) -> DecodeResult:
+    cfg = config or BeamDecoderConfig(beam=16.0, max_active=2000,
+                                      acoustic_scale=0.1)
+    csr = pack_fst(HCLG)
+    dec = BeamDecoder(csr, tm.tid_to_pdf_array, cfg)
+    utts = sorted(feats)
+    hyps: Dict[str, List[str]] = {}
+    alignments: Dict[str, List[int]] = {}
+    costs: Dict[str, float] = {}
+    P = am.num_pdfs
+    for i in range(0, len(utts), batch_size):
+        chunk = utts[i:i + batch_size]
+        lls = [np.asarray(am.loglikes(feats[u])) for u in chunk]
+        T_pad = ((max(l.shape[0] for l in lls) + 15) // 16) * 16
+        batch = np.zeros((len(chunk), T_pad, P), np.float32)
+        lens = np.zeros(len(chunk), np.int32)
+        for b, l in enumerate(lls):
+            batch[b, :l.shape[0]] = l
+            lens[b] = l.shape[0]
+        for u, (tids, ols, cost) in zip(
+                chunk, dec.decode_batch(batch, lens)):
+            hyps[u] = [lang.words.find(o) for o in ols]
+            alignments[u] = tids
+            costs[u] = cost
+    result = DecodeResult(hyps, alignments, costs)
+    if refs is not None:
+        result.wer = compute_wer(refs, hyps)
+        log.info("decode: %s", result.wer)
+    return result
