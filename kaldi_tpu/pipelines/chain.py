@@ -1,0 +1,199 @@
+"""Chain (LF-MMI) model training pipeline.
+
+Parity target: steps/nnet3/chain/train.py + nnet3-chain-train
+(SURVEY.md §3.4): egs preparation from GMM alignments, denominator
+phone-LM graph, minibatch training.
+
+TPU-first: one pjit-compiled train step over a (data, model) mesh —
+batch sharded on 'data', TDNN kernels optionally sharded on 'model';
+gradient psum is inserted by XLA.  This replaces the reference's
+N-jobs-with-model-averaging outer loop with true synchronous
+data-parallel SGD (SURVEY.md §2.4 row 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kaldi_tpu.core.logging import get_logger
+from kaldi_tpu.am.chain import (
+    ChainTrainingOptions,
+    DenominatorGraph,
+    chain_objf,
+    make_denominator_graph,
+)
+from kaldi_tpu.am.tdnn import TdnnChain, TdnnConfig, semi_orthogonal_penalty
+from kaldi_tpu.am.topology import HmmTopology
+from kaldi_tpu.am.transitions import TransitionModel
+from kaldi_tpu.am.tree import MonophoneContextDependency
+from kaldi_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ChainEgs:
+    """Fixed-size training chunks (nnet3-chain-egs equivalent)."""
+    feats: np.ndarray       # (N, chunk_T, D)
+    pdf_ali: np.ndarray     # (N, chunk_T // sub) int32
+    mask: np.ndarray        # (N, chunk_T // sub) bool
+
+
+def make_chain_egs(feats: Dict[str, np.ndarray],
+                   phone_alignments: Dict[str, List[Tuple[int, int]]],
+                   tree, topo: HmmTopology,
+                   chunk_size: int = 96, subsample: int = 3) -> ChainEgs:
+    """Cut utterances into fixed chunks; numerator pdfs from phone
+    alignments ((phone, duration) runs) through the chain topology:
+    first subsampled frame of a phone = forward pdf, rest = self pdf."""
+    X, A, M = [], [], []
+    out_T = chunk_size // subsample
+    for u, f in sorted(feats.items()):
+        # full-rate pdf sequence
+        pdfs = []
+        for phone, dur in phone_alignments[u]:
+            window = [0] * tree.context_width
+            window[tree.central_position] = phone
+            st = topo.topology_for_phone(phone)[0]
+            fwd = tree.compute(window, st.forward_pdf_class)
+            slf = tree.compute(window, st.self_loop_pdf_class)
+            pdfs.extend([fwd] + [slf] * (dur - 1))
+        T = min(len(pdfs), f.shape[0])
+        for start in range(0, T - chunk_size + 1, chunk_size):
+            chunk_f = f[start:start + chunk_size]
+            sub_pdfs = pdfs[start:start + chunk_size:subsample][:out_T]
+            X.append(chunk_f)
+            A.append(np.asarray(sub_pdfs, np.int32))
+            M.append(np.ones(out_T, bool))
+        # tail chunk (padded)
+        rem = T % chunk_size
+        if rem >= subsample * 4:
+            start = T - rem
+            chunk_f = np.zeros((chunk_size, f.shape[1]), f.dtype)
+            chunk_f[:rem] = f[start:T]
+            sub_pdfs = np.zeros(out_T, np.int32)
+            sp = pdfs[start:T:subsample][:out_T]
+            sub_pdfs[:len(sp)] = sp
+            m = np.zeros(out_T, bool)
+            m[:len(sp)] = True
+            X.append(chunk_f)
+            A.append(sub_pdfs)
+            M.append(m)
+    return ChainEgs(np.stack(X).astype(np.float32), np.stack(A),
+                    np.stack(M))
+
+
+@dataclasses.dataclass
+class ChainTrainConfig:
+    num_epochs: int = 10
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    final_learning_rate: float = 1e-4
+    orthonormal_weight: float = 1e-2
+    opts: ChainTrainingOptions = dataclasses.field(
+        default_factory=ChainTrainingOptions)
+
+
+class ChainTrainer:
+    """Owns model/optimizer state and the compiled sharded train step."""
+
+    def __init__(self, model_cfg: TdnnConfig, den: DenominatorGraph,
+                 cfg: ChainTrainConfig = None, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        self.cfg = cfg or ChainTrainConfig()
+        self.model = TdnnChain(model_cfg)
+        self.den = den
+        self.mesh = mesh
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((2, 32, model_cfg.feat_dim))
+        variables = self.model.init(rng, dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", FrozenDict())
+        self.tx = optax.adamw(self.cfg.learning_rate)
+        self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            self.params = shard_params(self.params, mesh)
+            self.opt_state = self.tx.init(self.params)
+        self._step = jax.jit(self._train_step)
+
+    def _loss_fn(self, params, batch_stats, feats, pdf_ali, mask):
+        scores, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats, train=True, mutable=["batch_stats"])
+        loss, diag = chain_objf(self.den, scores, pdf_ali, mask,
+                                self.cfg.opts)
+        loss = loss + self.cfg.orthonormal_weight * \
+            semi_orthogonal_penalty(params)
+        return loss, (diag, updates["batch_stats"])
+
+    def _train_step(self, params, batch_stats, opt_state, feats, pdf_ali,
+                    mask):
+        if self.mesh is not None:
+            feats = jax.lax.with_sharding_constraint(
+                feats, batch_sharding(self.mesh))
+        (loss, (diag, new_bs)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(params, batch_stats, feats,
+                                         pdf_ali, mask)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, diag
+
+    def train(self, egs: ChainEgs, log_every: int = 20) -> Dict[str, float]:
+        N = egs.feats.shape[0]
+        B = min(self.cfg.batch_size, N)
+        rng = np.random.default_rng(0)
+        step = 0
+        last: Dict[str, float] = {}
+        for epoch in range(self.cfg.num_epochs):
+            order = rng.permutation(N)
+            for i in range(0, N - B + 1, B):
+                idx = order[i:i + B]
+                (self.params, self.batch_stats, self.opt_state, loss,
+                 diag) = self._step(self.params, self.batch_stats,
+                                    self.opt_state,
+                                    jnp.asarray(egs.feats[idx]),
+                                    jnp.asarray(egs.pdf_ali[idx]),
+                                    jnp.asarray(egs.mask[idx]))
+                step += 1
+                if step % log_every == 0:
+                    log.info("chain step %d: loss %.4f objf %.4f "
+                             "(num %.3f den %.3f)", step, float(loss),
+                             float(diag["objf"]), float(diag["num"]),
+                             float(diag["den"]))
+            last = {"loss": float(loss), "objf": float(diag["objf"])}
+        return last
+
+    # -- inference ---------------------------------------------------------
+    def scores_fn(self):
+        """Jitted (B, T, D) → (B, T/sub, P) scorer for decoding."""
+        @jax.jit
+        def f(params, batch_stats, feats):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feats, train=False)
+        return partial(f, self.params, self.batch_stats)
+
+
+def phone_alignment_runs(tm: TransitionModel, tids: Sequence[int]
+                         ) -> List[Tuple[int, int]]:
+    """tid alignment → [(phone, duration in frames)] runs
+    (ali-to-phones --write-lengths equivalent)."""
+    runs: List[Tuple[int, int]] = []
+    for tid in tids:
+        phone = tm.transition_id_to_phone(tid)
+        is_initial = (tm.transition_id_to_hmm_state(tid) == 0
+                      and not tm.is_self_loop(tid))
+        if is_initial or not runs:
+            runs.append((phone, 1))
+        else:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+    return runs

