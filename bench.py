@@ -54,34 +54,31 @@ def build_task(num_words=100, num_phones=20, seed=0):
 
 def main():
     from kaldi_tpu.core.logging import get_logger
-    from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
-    from kaldi_tpu.features import FrameExtractionOptions, Mfcc, MfccOptions, \
-        add_deltas
-    from kaldi_tpu.fst.csr import pack_fst
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig, \
+        pack_reverse
+    from kaldi_tpu.features import DeltaFeaturesOptions, \
+        FrameExtractionOptions, MfccOptions
+    from kaldi_tpu.features.batch import BatchedFrontend, GmmDecodableProvider
     import jax
 
     log = get_logger("bench")
     lang, tm, am, HCLG = build_task()
-    csr = pack_fst(HCLG)
-    dec = BeamDecoder(csr, tm.tid_to_pdf_array,
-                      BeamDecoderConfig(beam=13.0, max_active=7000,
-                                        acoustic_scale=0.1))
-    mfcc = Mfcc(MfccOptions(frame_opts=FrameExtractionOptions(dither=0.0)))
+    dec = DenseDecoder(pack_reverse(HCLG), tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=13.0, acoustic_scale=0.1))
+    frontend = BatchedFrontend(
+        MfccOptions(frame_opts=FrameExtractionOptions(dither=0.0)),
+        deltas=DeltaFeaturesOptions())
+    provider = GmmDecodableProvider(frontend, am)
 
     B, dur_s, sr = 16, 10.0, 16000
     rng = np.random.default_rng(1)
     waves = rng.standard_normal((B, int(dur_s * sr))).astype(np.float32) * 1000
-    T = 998  # frames for 10 s @ 10 ms shift (snip-edges)
-    P = am.num_pdfs
+    T = frontend.num_frames(waves.shape[1])
+    lens = np.full(B, T, np.int32)
 
     def run_once():
-        batch = np.zeros((B, ((T + 15) // 16) * 16, P), np.float32)
-        lens = np.full(B, T, np.int32)
-        for b in range(B):
-            feats = mfcc.compute(waves[b])
-            feats = np.asarray(add_deltas(feats))
-            batch[b, :T] = np.asarray(am.loglikes(feats))
-        return dec.decode_batch(batch, lens)
+        loglikes = provider(waves)      # fused frontend+GMM, one jit
+        return dec.decode_batch(loglikes, lens)
 
     log.info("bench: warmup (compile)...")
     run_once()
