@@ -37,8 +37,10 @@ class DenseGraph:
     num_states: int
     start: int
     e_il: np.ndarray      # (S, Ae) int32, 0-padded
+    e_ol: np.ndarray      # (S, Ae) int32 output labels
     e_w: np.ndarray       # (S, Ae) f32, BIG-padded
     e_ns: np.ndarray      # (S, Ae) int32
+    n_ol: np.ndarray      # (S, An) int32 output labels
     n_w: np.ndarray       # (S, An) f32, BIG-padded
     n_ns: np.ndarray      # (S, An) int32
     final: np.ndarray     # (S,) f32
@@ -52,8 +54,10 @@ def pack_dense(fst: VectorFst, s_pad: int, ae_pad: int, an_pad: int
     if S > s_pad:
         raise KaldiError(f"pack_dense: {S} states > pad {s_pad}")
     e_il = np.zeros((s_pad, ae_pad), np.int32)
+    e_ol = np.zeros((s_pad, ae_pad), np.int32)
     e_w = np.full((s_pad, ae_pad), 1e30, np.float32)
     e_ns = np.zeros((s_pad, ae_pad), np.int32)
+    n_ol = np.zeros((s_pad, an_pad), np.int32)
     n_w = np.full((s_pad, an_pad), 1e30, np.float32)
     n_ns = np.zeros((s_pad, an_pad), np.int32)
     final = np.full(s_pad, 1e30, np.float32)
@@ -67,12 +71,14 @@ def pack_dense(fst: VectorFst, s_pad: int, ae_pad: int, an_pad: int
                 if ei >= ae_pad:
                     raise KaldiError("pack_dense: emit degree overflow")
                 e_il[s, ei] = a.ilabel
+                e_ol[s, ei] = a.olabel
                 e_w[s, ei] = a.weight
                 e_ns[s, ei] = a.nextstate
                 ei += 1
             else:
                 if ni >= an_pad:
                     raise KaldiError("pack_dense: eps degree overflow")
+                n_ol[s, ni] = a.olabel
                 n_w[s, ni] = a.weight
                 n_ns[s, ni] = a.nextstate
                 ni += 1
@@ -81,7 +87,8 @@ def pack_dense(fst: VectorFst, s_pad: int, ae_pad: int, an_pad: int
     depth = _eps_depth(S, n_off, np.asarray(n_ns_flat, np.int64))
     for s, w in fst.finals.items():
         final[s] = w
-    return DenseGraph(S, fst.start, e_il, e_w, e_ns, n_w, n_ns, final, depth)
+    return DenseGraph(S, fst.start, e_il, e_ol, e_w, e_ns, n_ol, n_w,
+                      n_ns, final, depth)
 
 
 def degrees(fst: VectorFst) -> Tuple[int, int]:

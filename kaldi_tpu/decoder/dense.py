@@ -108,14 +108,24 @@ def pack_reverse(fst: VectorFst) -> ReverseDenseGraph:
 class DenseDecoderConfig:
     beam: float = 16.0
     acoustic_scale: float = 0.1
+    lattice_beam: float = 8.0       # used by decode_lattice
 
 
 class DenseDecoder:
-    """Exact dense Viterbi with beam masking; batch via vmap."""
+    """Exact dense Viterbi with beam masking; batch via vmap.
 
-    def __init__(self, graph: ReverseDenseGraph, tid_to_pdf: np.ndarray,
+    Accepts either a prepacked ReverseDenseGraph or a VectorFst (the
+    latter additionally enables lattice generation, which needs the
+    source-grouped arc pack for the backward β recursion)."""
+
+    def __init__(self, graph, tid_to_pdf: np.ndarray,
                  config: DenseDecoderConfig = None):
+        self._fst = None
+        if isinstance(graph, VectorFst):
+            self._fst = graph
+            graph = pack_reverse(graph)
         self.graph = graph
+        self.tid_to_pdf = np.asarray(tid_to_pdf)
         self.config = config or DenseDecoderConfig()
         g = graph
         self.c = dict(
@@ -230,3 +240,158 @@ class DenseDecoder:
         rev_tids.reverse()
         rev_ols.reverse()
         return rev_tids, rev_ols, cost
+
+    # ------------------------------------------------------------------
+    # Lattice generation (LatticeFasterDecoder::GetRawLattice equivalent)
+    # ------------------------------------------------------------------
+
+    def _ensure_lattice_jit(self):
+        if getattr(self, "_lat_jit", None) is not None:
+            return
+        if self._fst is None:
+            raise KaldiError("lattice generation needs a VectorFst-built "
+                             "DenseDecoder")
+        from kaldi_tpu.decoder.align import degrees, pack_dense
+        ae, an = degrees(self._fst)
+        fwd = pack_dense(self._fst, self._fst.num_states, max(ae, 1),
+                         max(an, 1))
+        self._fwd = fwd
+        self._fwd_ols = fwd.e_ol
+        self._fwd_eps_ols = fwd.n_ol
+        f = dict(
+            f_il=jnp.asarray(fwd.e_il), f_w=jnp.asarray(fwd.e_w),
+            f_ns=jnp.asarray(fwd.e_ns),
+            fn_w=jnp.asarray(fwd.n_w), fn_ns=jnp.asarray(fwd.n_ns),
+            f_pdf=jnp.asarray(self.tid_to_pdf, jnp.int32)[
+                jnp.asarray(fwd.e_il)],
+        )
+        c = self.c
+        S = self.graph.num_states
+        E = self.graph.eps_depth
+        scale = self.config.acoustic_scale
+        beam = self.config.beam
+
+        def alpha_eps(alpha):
+            for _ in range(E):
+                cand = alpha[c["n_src"]] + c["n_w"]
+                alpha = jnp.minimum(alpha, jnp.min(cand, axis=1))
+            return alpha
+
+        def beta_eps(beta):
+            for _ in range(E):
+                cand = f["fn_w"] + beta[f["fn_ns"]]
+                beta = jnp.minimum(beta, jnp.min(cand, axis=1))
+            return beta
+
+        def alpha_compute(loglikes):
+            def fstep(alpha, loglike):
+                ac = -scale * loglike[c["e_pdf"]]
+                new = jnp.min(alpha[c["e_src"]] + c["e_w"] + ac, axis=1)
+                m = jnp.min(new)
+                new = jnp.where(new > m + beam, BIG, new)
+                new = alpha_eps(new)
+                return new, new
+
+            alpha0 = alpha_eps(jnp.full((S,), BIG).at[self.graph.start]
+                               .set(0.0))
+            _, alphas = jax.lax.scan(fstep, alpha0, loglikes)
+            return jnp.concatenate([alpha0[None], alphas])     # (T+1, S)
+
+        def beta_compute(loglikes, final_vec):
+            def bstep(beta_next, loglike):
+                ac = -scale * loglike[f["f_pdf"]]
+                bemit = jnp.min(f["f_w"] + ac + beta_next[f["f_ns"]], axis=1)
+                beta = beta_eps(bemit)
+                return beta, beta
+
+            betaT = beta_eps(jnp.minimum(final_vec, BIG))
+            _, betas = jax.lax.scan(bstep, betaT, loglikes, reverse=True)
+            return jnp.concatenate([betas, betaT[None]])       # (T+1, S)
+
+        self._alpha_jit = jax.jit(alpha_compute)
+        self._beta_jit = jax.jit(beta_compute)
+        self._lat_jit = True
+
+    def decode_lattice(self, loglikes: np.ndarray):
+        """→ (Lattice raw, best cost).  Raw-lattice arcs are pruned by
+        α(src) + arc + β(dst) ≤ best + lattice_beam — exactly the
+        extra-cost criterion of PruneActiveTokens."""
+        from kaldi_tpu.lattice.lattice import Lattice, LatticeArc
+        self._ensure_lattice_jit()
+        T = loglikes.shape[0]
+        ll_dev = jnp.asarray(loglikes, jnp.float32)
+        alphas = np.asarray(self._alpha_jit(ll_dev))
+        final_np = np.asarray(self.graph.final)
+        betas = np.asarray(self._beta_jit(ll_dev,
+                                          jnp.asarray(self.graph.final)))
+        use_final_probs = bool(
+            np.min(alphas[T] + betas[T]) < 1e29)
+        if not use_final_probs:
+            # No beam-surviving token reaches a final state: fall back to
+            # treating every live last-frame token as final with zero cost
+            # (LatticeFasterDecoder use_final_probs=false behavior).
+            betas = np.asarray(self._beta_jit(
+                ll_dev, jnp.zeros_like(jnp.asarray(self.graph.final))))
+            final_np = np.zeros_like(final_np)
+        best = float(np.min(alphas[T] + betas[T]))
+        if best >= 1e29:
+            raise KaldiError("decode_lattice: no path")
+        # f32 α/β accumulate rounding over T frames; widen the bound by a
+        # magnitude-aware slack so the best path always survives.
+        tol = 0.01 + 1e-5 * abs(best) + 1e-4 * T
+        bound = best + self.config.lattice_beam + tol
+        fwd = self._fwd
+        S = self.graph.num_states
+        keep = alphas + betas <= bound                         # (T+1, S)
+        node_id = -np.ones((T + 1, S), np.int64)
+        lat = Lattice()
+        for t, s in zip(*np.nonzero(keep)):
+            node_id[t, s] = lat.add_state()
+        lat.start = int(node_id[0, self.graph.start])
+        ll = np.asarray(loglikes)
+        pdf_of = self.tid_to_pdf
+        scale = self.config.acoustic_scale
+        e_valid = fwd.e_w < 1e29                               # (S, Ae)
+        n_valid = fwd.n_w < 1e29
+        for t in range(T + 1):
+            srcs = np.nonzero(keep[t])[0]
+            if len(srcs) == 0:
+                continue
+            # emitting arcs t → t+1
+            if t < T:
+                ac_row = -scale * ll[t]
+                for s in srcs:
+                    a_src = int(node_id[t, s])
+                    for k in np.nonzero(e_valid[s])[0]:
+                        ns = int(fwd.e_ns[s, k])
+                        if node_id[t + 1, ns] < 0:
+                            continue
+                        il = int(fwd.e_il[s, k])
+                        w = float(fwd.e_w[s, k])
+                        ac = float(ac_row[pdf_of[il]])
+                        if (alphas[t, s] + w + ac + betas[t + 1, ns]
+                                <= bound):
+                            lat.arcs[a_src].append(LatticeArc(
+                                il, int(self._fwd_olabel(s, k)), w, ac,
+                                int(node_id[t + 1, ns])))
+            # ε arcs within level t
+            for s in srcs:
+                a_src = int(node_id[t, s])
+                for k in np.nonzero(n_valid[s])[0]:
+                    ns = int(fwd.n_ns[s, k])
+                    w = float(fwd.n_w[s, k])
+                    if (alphas[t, s] + w + betas[t, ns] <= bound
+                            and node_id[t, ns] >= 0):
+                        lat.arcs[a_src].append(LatticeArc(
+                            0, int(self._fwd_eps_olabel(s, k)), w, 0.0,
+                            int(node_id[t, ns])))
+        for s in np.nonzero(keep[T] & (final_np < 1e29))[0]:
+            if alphas[T, s] + final_np[s] <= bound:
+                lat.set_final(int(node_id[T, s]), float(final_np[s]), 0.0)
+        return lat, best
+
+    def _fwd_olabel(self, s: int, k: int) -> int:
+        return self._fwd_ols[s, k]
+
+    def _fwd_eps_olabel(self, s: int, k: int) -> int:
+        return self._fwd_eps_ols[s, k]

@@ -1,0 +1,178 @@
+"""Lattice determinization: raw state-level lattice → CompactLattice.
+
+Parity target: src/lat/determinize-lattice-pruned.h
+(DeterminizeLatticePruned / DeterminizeLatticePhonePrunedWrapper):
+subset determinization over word labels so each word sequence keeps
+only its best-scoring path, with the per-word transition-id strings
+carried along; pruning by beam against the best path.
+
+The input raw lattice is acyclic (frame-indexed), so subsets terminate
+naturally; weights are (graph, acoustic) pairs compared by total cost.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+from kaldi_tpu.core.logging import KaldiError, get_logger
+from kaldi_tpu.lattice.lattice import (
+    CompactArc,
+    CompactLattice,
+    INF,
+    Lattice,
+    LatticeArc,
+)
+
+log = get_logger(__name__)
+
+
+def determinize_lattice(lat: Lattice, max_states: int = 200000
+                        ) -> CompactLattice:
+    """Word-level determinization.
+
+    Det-state = normalized set of (lat_state, (gc, ac) residual,
+    tid-string residual).  For each word label leaving the subset, the
+    best residual continuation is kept (appropriate for the tropical
+    lattice semiring).
+    """
+    if lat.start < 0:
+        return CompactLattice()
+
+    def closure(items):
+        """ε-closure over word-ε arcs (word=0), accumulating tids/costs.
+        items: iterable of (state, gc, ac, tids).  Keeps the best
+        (by total) entry per (state) — tid strings follow the winner."""
+        best: Dict[int, Tuple[float, float, Tuple[int, ...]]] = {}
+        heap = [(gc + ac, gc, ac, s, tids) for s, gc, ac, tids in items]
+        heapq.heapify(heap)
+        while heap:
+            tot, gc, ac, s, tids = heapq.heappop(heap)
+            if s in best and best[s][0] + best[s][1] <= tot:
+                continue
+            best[s] = (gc, ac, tids)
+            for a in lat.arcs[s]:
+                if a.olabel == 0:
+                    ntids = tids + ((a.ilabel,) if a.ilabel else ())
+                    ngc, nac = gc + a.graph_cost, ac + a.acoustic_cost
+                    cur = best.get(a.nextstate)
+                    if cur is None or cur[0] + cur[1] > ngc + nac:
+                        heapq.heappush(heap, (ngc + nac, ngc, nac,
+                                              a.nextstate, ntids))
+        return best
+
+    def normalize(closed):
+        """Subtract the common best cost; strip common tid prefix."""
+        min_tot = min(gc + ac for gc, ac, _ in closed.values())
+        # common tid prefix across elements
+        strings = [t for _, _, t in closed.values()]
+        prefix = strings[0]
+        for t in strings[1:]:
+            i = 0
+            while i < len(prefix) and i < len(t) and prefix[i] == t[i]:
+                i += 1
+            prefix = prefix[:i]
+            if not prefix:
+                break
+        plen = len(prefix)
+        # choose a representative split of the common cost into (gc, ac):
+        # take it from the min-total element (keeps gc/ac decomposition
+        # consistent along paths; total costs are exact)
+        rep = min(closed.items(), key=lambda kv: kv[1][0] + kv[1][1])
+        base_gc, base_ac = rep[1][0], rep[1][1]
+        norm = tuple(sorted(
+            (s, round(gc - base_gc, 6), round(ac - base_ac, 6), t[plen:])
+            for s, (gc, ac, t) in closed.items()))
+        return base_gc, base_ac, prefix, norm
+
+    out = CompactLattice()
+    det: Dict[tuple, int] = {}
+
+    init = closure([(lat.start, 0.0, 0.0, ())])
+    gc0, ac0, pre0, norm0 = normalize(init)
+    s0 = out.add_state()
+    out.start = s0
+    det[norm0] = s0
+    # initial residual (cost/tids before any word) goes onto an ε arc
+    if gc0 or ac0 or pre0:
+        real = out.add_state()
+        out.arcs[s0].append(CompactArc(0, gc0, ac0, pre0, real))
+        det[norm0] = real
+        # re-point: start stays s0; norm0's state is `real`
+    queue = deque([norm0])
+    while queue:
+        norm = queue.popleft()
+        src = det[norm]
+        # final weight
+        fin: Optional[Tuple[float, float, Tuple[int, ...]]] = None
+        for s, gc, ac, tids in norm:
+            if s in lat.finals:
+                fgc, fac = lat.finals[s]
+                cand = (gc + fgc, ac + fac, tids)
+                if fin is None or cand[0] + cand[1] < fin[0] + fin[1]:
+                    fin = cand
+        if fin is not None:
+            out.finals[src] = fin
+
+        by_word: Dict[int, List[Tuple[int, float, float, Tuple[int, ...]]]] = {}
+        for s, gc, ac, tids in norm:
+            for a in lat.arcs[s]:
+                if a.olabel != 0:
+                    ntids = tids + ((a.ilabel,) if a.ilabel else ())
+                    by_word.setdefault(a.olabel, []).append(
+                        (a.nextstate, gc + a.graph_cost,
+                         ac + a.acoustic_cost, ntids))
+        for word in sorted(by_word):
+            closed = closure(by_word[word])
+            gc, ac, prefix, nnorm = normalize(closed)
+            if nnorm not in det:
+                if len(det) >= max_states:
+                    raise KaldiError("determinize_lattice: state blowup")
+                det[nnorm] = out.add_state()
+                queue.append(nnorm)
+            out.arcs[src].append(
+                CompactArc(word, gc, ac, prefix, det[nnorm]))
+    return out
+
+
+def prune_lattice(clat: CompactLattice, beam: float) -> CompactLattice:
+    """Remove arcs/states whose best-through cost exceeds best + beam
+    (lattice-functions.h PruneLattice)."""
+    n = clat.num_states
+    if n == 0 or clat.start < 0:
+        return clat
+    order = clat.top_order()
+    fwd = [INF] * n
+    fwd[clat.start] = 0.0
+    for s in order:
+        if fwd[s] == INF:
+            continue
+        for a in clat.arcs[s]:
+            fwd[a.nextstate] = min(fwd[a.nextstate], fwd[s] + a.total)
+    bwd = [INF] * n
+    for s, (gc, ac, _) in clat.finals.items():
+        bwd[s] = gc + ac
+    for s in reversed(order):
+        for a in clat.arcs[s]:
+            bwd[s] = min(bwd[s], a.total + bwd[a.nextstate])
+    best = fwd and min(fwd[s] + bwd[s] for s in range(n)
+                       if fwd[s] != INF and bwd[s] != INF)
+    bound = best + beam
+    keep = [s for s in range(n)
+            if fwd[s] != INF and bwd[s] != INF and fwd[s] + bwd[s] <= bound]
+    remap = {s: i for i, s in enumerate(keep)}
+    out = CompactLattice()
+    for _ in keep:
+        out.add_state()
+    out.start = remap.get(clat.start, -1)
+    for s in keep:
+        for a in clat.arcs[s]:
+            if (a.nextstate in remap
+                    and fwd[s] + a.total + bwd[a.nextstate] <= bound):
+                out.arcs[remap[s]].append(CompactArc(
+                    a.word, a.graph_cost, a.acoustic_cost, a.tids,
+                    remap[a.nextstate]))
+        if s in clat.finals:
+            out.finals[remap[s]] = clat.finals[s]
+    return out

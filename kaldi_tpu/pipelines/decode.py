@@ -30,6 +30,38 @@ class DecodeResult:
     alignments: Dict[str, List[int]]
     costs: Dict[str, float]
     wer: Optional[WerStats] = None
+    lattices: Optional[Dict[str, object]] = None   # utt → CompactLattice
+
+
+def decode_gmm_lattice(feats: Dict[str, np.ndarray], am: AmDiagGmm,
+                       tm: TransitionModel, HCLG: VectorFst, lang: Lang,
+                       beam: float = 16.0, lattice_beam: float = 8.0,
+                       acoustic_scale: float = 0.1,
+                       refs: Optional[Dict[str, List[str]]] = None
+                       ) -> DecodeResult:
+    """gmm-latgen-faster equivalent: decode with CompactLattice output."""
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.lattice import determinize_lattice
+
+    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=beam,
+                                          lattice_beam=lattice_beam,
+                                          acoustic_scale=acoustic_scale))
+    hyps, alignments, costs, lats = {}, {}, {}, {}
+    for u in sorted(feats):
+        ll = np.asarray(am.loglikes(feats[u]))
+        lat, best = dec.decode_lattice(ll)
+        clat = determinize_lattice(lat)
+        words, tids, cost = clat.best_path()
+        hyps[u] = [lang.words.find(w) for w in words]
+        alignments[u] = tids
+        costs[u] = cost
+        lats[u] = clat
+    result = DecodeResult(hyps, alignments, costs, lattices=lats)
+    if refs is not None:
+        result.wer = compute_wer(refs, hyps)
+        log.info("decode(lattice): %s", result.wer)
+    return result
 
 
 def decode_gmm(feats: Dict[str, np.ndarray], am: AmDiagGmm,
