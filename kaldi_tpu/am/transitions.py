@@ -46,22 +46,36 @@ class TransitionModel:
 
     # -- structure ---------------------------------------------------------
     def _compute_tuples(self) -> None:
+        """One transition state per (phone, hmm_state, fwd_pdf, slf_pdf)
+        combination the tree can produce in ANY context (the reference
+        builds these from ContextDependency::GetPdfInfo)."""
         seen = set()
         for phone in self.topo.phones:
             entry = self.topo.topology_for_phone(phone)
-            window = [0] * self.tree.context_width
-            window[self.tree.central_position] = phone
             for hmm_state, st in enumerate(entry):
                 if st.forward_pdf_class == NO_PDF:
                     continue
-                fwd = self.tree.compute(window, st.forward_pdf_class)
-                slf = self.tree.compute(window, st.self_loop_pdf_class)
-                t = Tuple4(phone, hmm_state, fwd, slf)
-                if t not in seen:
-                    seen.add(t)
-                    self.tuples.append(t)
+                if hasattr(self.tree, "possible_pdfs"):
+                    fwds = self.tree.possible_pdfs(phone, st.forward_pdf_class)
+                    slfs = self.tree.possible_pdfs(phone,
+                                                   st.self_loop_pdf_class)
+                else:
+                    window = [0] * self.tree.context_width
+                    window[self.tree.central_position] = phone
+                    fwds = [self.tree.compute(window, st.forward_pdf_class)]
+                    slfs = [self.tree.compute(window, st.self_loop_pdf_class)]
+                if st.forward_pdf_class == st.self_loop_pdf_class:
+                    combos = [(f, f) for f in fwds]
+                else:
+                    combos = [(f, s) for f in fwds for s in slfs]
+                for fwd, slf in combos:
+                    t = Tuple4(phone, hmm_state, fwd, slf)
+                    if t not in seen:
+                        seen.add(t)
+                        self.tuples.append(t)
         self.tuples.sort(key=lambda t: (t.phone, t.hmm_state,
                                         t.forward_pdf, t.self_loop_pdf))
+        self._tuple_index = {t: i for i, t in enumerate(self.tuples)}
 
     def _compute_derived(self) -> None:
         # trans-state s (1-based) covers tids state2id[s] .. state2id[s+1]-1
@@ -125,8 +139,8 @@ class TransitionModel:
                                   fwd_pdf: int, slf_pdf: int) -> int:
         t = Tuple4(phone, hmm_state, fwd_pdf, slf_pdf)
         try:
-            return self.tuples.index(t) + 1
-        except ValueError:
+            return self._tuple_index[t] + 1
+        except KeyError:
             raise KaldiError(f"No transition state for {t}")
 
     def pair_to_transition_id(self, trans_state: int, trans_index: int) -> int:

@@ -115,6 +115,28 @@ class TreeContextDependency(ContextDependency):
             event[i] = p
         return self.root.lookup(event)
 
+    def possible_pdfs(self, phone: int, pdf_class: int) -> List[int]:
+        """All leaf pdfs reachable when the central phone and pdf-class
+        are fixed but context is free (context-dep.cc GetPdfInfo's
+        enumeration — needed so the TransitionModel covers every
+        context's pdf, not just the zero-context window)."""
+        out: List[int] = []
+
+        def walk(node: TreeNode):
+            if node.kind == "leaf":
+                out.append(node.answer)
+                return
+            if node.key == KEY_PDF_CLASS:
+                walk(node.yes if pdf_class in node.yes_set else node.no)
+            elif node.key == self.central_position:
+                walk(node.yes if phone in node.yes_set else node.no)
+            else:
+                walk(node.yes)
+                walk(node.no)
+
+        walk(self.root)
+        return sorted(set(out))
+
 
 class GaussStats:
     """Single-Gaussian sufficient statistics per event, for tree building

@@ -1,0 +1,202 @@
+"""Multi-stage GMM recipe: mono → tri1 (deltas) → tri2b (LDA+MLLT) →
+tri3b (SAT/fMLLR), runnable as a module:
+
+    python -m kaldi_tpu.pipelines.mini
+
+Parity target: egs/mini_librispeech/s5/run.sh stage flow (SURVEY.md §0
+BASELINE configs: 'mini_librispeech tri3b (LDA+MLLT+SAT) decode'), on a
+synthetic corpus with a larger lexicon than yesno.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from kaldi_tpu.core.logging import Timer, get_logger
+from kaldi_tpu.core.options import ParseOptions
+from kaldi_tpu.decoder.beam import BeamDecoderConfig
+from kaldi_tpu.features import (
+    DeltaFeaturesOptions,
+    FrameExtractionOptions,
+    MelBanksOptions,
+    Mfcc,
+    MfccOptions,
+    add_deltas,
+    apply_cmvn,
+    compute_cmvn_stats,
+    splice_frames,
+)
+from kaldi_tpu.am.transforms import apply_transform
+from kaldi_tpu.fst import ArpaModel, Lang, Lexicon, arpa_to_fst, \
+    make_unigram_arpa, mkgraph
+from kaldi_tpu.pipelines.data import make_synthetic_dataset
+from kaldi_tpu.pipelines.decode import decode_gmm
+from kaldi_tpu.pipelines.mono import MonoTrainConfig, train_mono
+from kaldi_tpu.pipelines.score import compute_wer
+from kaldi_tpu.pipelines.tri import (
+    TriTrainConfig,
+    apply_mllt_to_model,
+    estimate_fmllr_per_speaker,
+    estimate_lda,
+    estimate_mllt,
+    train_tri,
+)
+
+log = get_logger(__name__)
+
+
+def mini_lexicon() -> Lexicon:
+    return Lexicon(entries=[
+        ("ONE", ["W", "AH", "N"]),
+        ("TWO", ["T", "UW"]),
+        ("THREE", ["TH", "R", "IY"]),
+        ("FOUR", ["F", "AO", "R"]),
+        ("FIVE", ["F", "AY", "V"]),
+        ("SIX", ["S", "IH", "K"]),
+        ("SEVEN", ["S", "EH", "V", "AH", "N"]),
+        ("EIGHT", ["EY", "T"]),
+    ])
+
+
+def base_feats(data, samp_freq=8000.0):
+    mfcc = Mfcc(MfccOptions(
+        frame_opts=FrameExtractionOptions(samp_freq=samp_freq, dither=0.0),
+        mel_opts=MelBanksOptions(num_bins=15), num_ceps=10))
+    raw = {u: mfcc.compute(data.wavs[u][0] * 32768.0) for u in data.utts}
+    spk_stats = {spk: sum(compute_cmvn_stats(raw[u]) for u in utts)
+                 for spk, utts in data.spk2utt().items()}
+    return {u: np.asarray(apply_cmvn(raw[u], spk_stats[data.utt2spk[u]]))
+            for u in data.utts}
+
+
+def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
+        quick: bool = False):
+    timer = Timer()
+    lex = mini_lexicon()
+    lang = Lang(lex)
+    train = make_synthetic_dataset(lex, num_utts=num_utts, max_words=5,
+                                   num_speakers=4, seed=seed)
+    test = make_synthetic_dataset(lex, num_utts=num_test, max_words=5,
+                                  num_speakers=3, seed=seed + 100)
+    base_tr = base_feats(train)
+    base_te = base_feats(test)
+    delta_tr = {u: np.asarray(add_deltas(f)) for u, f in base_tr.items()}
+    delta_te = {u: np.asarray(add_deltas(f)) for u, f in base_te.items()}
+    G = arpa_to_fst(ArpaModel.parse(make_unigram_arpa(
+        {w: 1.0 for w, _ in lex.entries})), lang.words)
+    dcfg = BeamDecoderConfig(beam=16.0, max_active=2000, acoustic_scale=0.1)
+    wers = {}
+
+    n_mono = 8 if quick else 14
+    mono = train_mono(delta_tr, train.text, lang, MonoTrainConfig(
+        num_iters=n_mono, totgauss=150 if quick else 300,
+        realign_iters=tuple(range(1, n_mono, 2))))
+    HCLG = mkgraph(lang, mono.tm, G)
+    res = decode_gmm(delta_te, mono.am, mono.tm, HCLG, lang, dcfg,
+                     refs=test.text)
+    wers["mono"] = res.wer
+    log.info("mono decode: %s (%.0fs)", res.wer, timer.elapsed())
+
+    # alignments from mono for the tree
+    from kaldi_tpu.decoder.align import DenseAligner, degrees, pack_dense
+    from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler
+    compiler = TrainingGraphCompiler(lang, mono.tm)
+    graphs = {u: compiler.compile_text(train.text[u]) for u in delta_tr}
+    ae = max(degrees(g)[0] for g in graphs.values())
+    an = max(max(degrees(g)[1] for g in graphs.values()), 1)
+    smax = max(g.num_states for g in graphs.values())
+    dense = [pack_dense(graphs[u], smax, ae, an) for u in sorted(delta_tr)]
+    aligner = DenseAligner(mono.tm.tid_to_pdf_array)
+    lls = [np.asarray(mono.am.loglikes(delta_tr[u]))
+           for u in sorted(delta_tr)]
+    mono_ali = {u: tids for u, (tids, _) in
+                zip(sorted(delta_tr), aligner.align_batch(dense, lls))}
+
+    # --- tri1: triphone tree on delta features
+    tcfg = TriTrainConfig(
+        num_iters=8 if quick else 15,
+        totgauss=300 if quick else 600,
+        num_leaves=60 if quick else 100,
+        realign_iters=(1, 2, 4, 6) if quick else (1, 2, 4, 6, 8, 10, 12))
+    tri1, tri1_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
+                               tcfg)
+    HCLG1 = mkgraph(lang, tri1.tm, G)
+    res = decode_gmm(delta_te, tri1.am, tri1.tm, HCLG1, lang, dcfg,
+                     refs=test.text)
+    wers["tri1"] = res.wer
+    log.info("tri1 decode: %s (%.0fs)", res.wer, timer.elapsed())
+
+    # --- tri2b: LDA+MLLT on spliced base features
+    sl, sr = 3, 3
+    spl_tr = {u: np.asarray(splice_frames(f, sl, sr))
+              for u, f in base_tr.items()}
+    spl_te = {u: np.asarray(splice_frames(f, sl, sr))
+              for u, f in base_te.items()}
+    lda = estimate_lda(spl_tr, tri1_ali, tri1.tm, tcfg.lda_dim)
+    lda_tr = {u: apply_transform(f, lda).astype(np.float32)
+              for u, f in spl_tr.items()}
+    lda_te = {u: apply_transform(f, lda).astype(np.float32)
+              for u, f in spl_te.items()}
+    tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri1, tri1_ali,
+                                 tcfg)
+    # MLLT estimation + model transform (one round; the shell recipe
+    # interleaves several)
+    M, impr = estimate_mllt(tri2b.am, lda_tr, tri2b_ali, tri2b.tm)
+    mllt_lda = np.concatenate([M @ lda[:, :-1], (M @ lda[:, -1:])], axis=1)
+    lda_tr = {u: apply_transform(f, mllt_lda).astype(np.float32)
+              for u, f in spl_tr.items()}
+    lda_te = {u: apply_transform(f, mllt_lda).astype(np.float32)
+              for u, f in spl_te.items()}
+    apply_mllt_to_model(tri2b.am, M)
+    tri2b.lda_mat = mllt_lda
+    HCLG2 = mkgraph(lang, tri2b.tm, G)
+    res = decode_gmm(lda_te, tri2b.am, tri2b.tm, HCLG2, lang, dcfg,
+                     refs=test.text)
+    wers["tri2b"] = res.wer
+    log.info("tri2b decode: %s (%.0fs)", res.wer, timer.elapsed())
+
+    # --- tri3b: SAT — per-speaker fMLLR on top of LDA+MLLT features
+    fmllr = estimate_fmllr_per_speaker(
+        tri2b.am, lda_tr, tri2b_ali, tri2b.tm,
+        {u: train.utt2spk[u] for u in lda_tr}, min_count=50.0)
+    sat_tr = {u: apply_transform(f, fmllr.get(train.utt2spk[u],
+                                              np.eye(f.shape[1], f.shape[1] + 1)))
+              .astype(np.float32) for u, f in lda_tr.items()}
+    tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang, tri2b, tri2b_ali,
+                                 tcfg)
+    # two-pass SAT decode: 1st pass without transform → align → fMLLR →
+    # re-decode (steps/decode_fmllr.sh)
+    HCLG3 = mkgraph(lang, tri3b.tm, G)
+    first = decode_gmm(lda_te, tri3b.am, tri3b.tm, HCLG3, lang, dcfg)
+    test_ali = {u: first.alignments[u] for u in lda_te}
+    fmllr_te = estimate_fmllr_per_speaker(
+        tri3b.am, lda_te, test_ali, tri3b.tm,
+        {u: test.utt2spk[u] for u in lda_te}, min_count=50.0)
+    sat_te = {u: apply_transform(f, fmllr_te.get(test.utt2spk[u],
+                                                 np.eye(f.shape[1],
+                                                        f.shape[1] + 1)))
+              .astype(np.float32) for u, f in lda_te.items()}
+    res = decode_gmm(sat_te, tri3b.am, tri3b.tm, HCLG3, lang, dcfg,
+                     refs=test.text)
+    wers["tri3b"] = res.wer
+    log.info("tri3b decode: %s (%.0fs total)", res.wer, timer.elapsed())
+
+    for stage, wer in wers.items():
+        print(f"{stage}: {wer}")
+    return wers
+
+
+def main(argv=None):
+    po = ParseOptions("Usage: python -m kaldi_tpu.pipelines.mini [options]")
+    po.register("num-utts", int, 60, "training utterances")
+    po.register("quick", bool, False, "reduced iterations")
+    po.read(argv)
+    wers = run(num_utts=po["num-utts"], quick=po["quick"])
+    return 0 if wers["tri3b"].wer <= wers["mono"].wer else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
