@@ -158,22 +158,26 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray
 
     B, T, _ = scores.shape
 
-    # frame 0: enter state p with initial prob, emitting p's forward pdf —
-    # approximated by the state's own first emission via arc structure:
-    # we start alpha at initial and emit per-arc pdfs for frames 1..T-1,
-    # plus an initial emission using each state's self-loop pdf.
-    # Gather each state's self-loop pdf (the highest-probability src==dst
-    # arc — bigram smoothing can add a low-weight re-entry arc too).
+    # Frame 0: a chunk may start mid-phone (state p continuing → emits
+    # p's self-loop pdf) OR at a phone start (entering p → emits p's
+    # forward/entry pdf).  Both options must be in the denominator or the
+    # numerator's chunk-start forward pdfs escape normalization and the
+    # objective grows without bound.
     self_pdf = np.zeros(S, np.int32)
+    entry_pdf = np.zeros(S, np.int32)
     best_w = np.full(S, -np.inf)
     for a in range(len(den.src)):
-        s = den.src[a]
-        if s == den.dst[a] and den.logw[a] > best_w[s]:
+        s, d = den.src[a], den.dst[a]
+        if s == d and den.logw[a] > best_w[s]:
             best_w[s] = den.logw[a]
             self_pdf[s] = den.pdf[a]
+        if s != d:
+            entry_pdf[d] = den.pdf[a]   # all entry arcs into d share d's fwd pdf
     self_pdf = jnp.asarray(self_pdf)
+    entry_pdf = jnp.asarray(entry_pdf)
 
-    alpha0 = initial[None, :] + scores[:, 0, :][:, self_pdf]   # (B, S)
+    alpha0 = initial[None, :] + jnp.logaddexp(
+        scores[:, 0, :][:, self_pdf], scores[:, 0, :][:, entry_pdf])  # (B, S)
 
     @jax.checkpoint
     def step(alpha, score_t):

@@ -130,6 +130,9 @@ class _Holders:
             f.write((value + "\n").encode())
         elif holder == "wav":
             _wav_write(f, value)
+        elif holder == "clat":
+            from kaldi_tpu.lattice.io import write_compact_lattice
+            write_compact_lattice(f, value)
         else:
             raise KaldiError(f"Unknown holder '{holder}'")
 
@@ -140,6 +143,9 @@ class _Holders:
             return line.split()
         if holder == "wav":
             return _wav_read(f)
+        if holder == "clat":
+            from kaldi_tpu.lattice.io import read_compact_lattice
+            return read_compact_lattice(f)
         binary = kio.init_kaldi_input_stream(f)
         if holder == "mat":
             return kio.read_matrix(f) if binary else _read_text_matrix(f)

@@ -58,30 +58,45 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
     X, A, M = [], [], []
     out_T = chunk_size // subsample
     for u, f in sorted(feats.items()):
-        # full-rate pdf sequence
-        pdfs = []
+        # full-rate phone sequence, then subsample PHONES (midpoint rule)
+        # and re-derive pdfs so every phone entry emits its forward pdf —
+        # subsampling raw pdfs could skip a forward pdf, making numerator
+        # sequences the denominator graph cannot produce.
+        phones_full: List[int] = []
         for phone, dur in phone_alignments[u]:
+            phones_full.extend([phone] * dur)
+        T = min(len(phones_full), f.shape[0])
+        T_sub_total = T // subsample
+        sub_phones = [phones_full[min(subsample * t + subsample // 2, T - 1)]
+                      for t in range(T_sub_total)]
+
+        def pdfs_for(phone, is_entry):
             window = [0] * tree.context_width
             window[tree.central_position] = phone
             st = topo.topology_for_phone(phone)[0]
-            fwd = tree.compute(window, st.forward_pdf_class)
-            slf = tree.compute(window, st.self_loop_pdf_class)
-            pdfs.extend([fwd] + [slf] * (dur - 1))
-        T = min(len(pdfs), f.shape[0])
-        for start in range(0, T - chunk_size + 1, chunk_size):
-            chunk_f = f[start:start + chunk_size]
-            sub_pdfs = pdfs[start:start + chunk_size:subsample][:out_T]
-            X.append(chunk_f)
-            A.append(np.asarray(sub_pdfs, np.int32))
+            cls = (st.forward_pdf_class if is_entry
+                   else st.self_loop_pdf_class)
+            return tree.compute(window, cls)
+
+        sub_pdfs_full = []
+        for t, ph in enumerate(sub_phones):
+            entry = t == 0 or sub_phones[t - 1] != ph
+            sub_pdfs_full.append(pdfs_for(ph, entry))
+
+        for start_sub in range(0, T_sub_total - out_T + 1, out_T):
+            start = start_sub * subsample
+            X.append(f[start:start + chunk_size])
+            A.append(np.asarray(
+                sub_pdfs_full[start_sub:start_sub + out_T], np.int32))
             M.append(np.ones(out_T, bool))
-        # tail chunk (padded)
-        rem = T % chunk_size
-        if rem >= subsample * 4:
-            start = T - rem
+        rem_sub = T_sub_total % out_T
+        if rem_sub >= 4:
+            start_sub = T_sub_total - rem_sub
+            start = start_sub * subsample
             chunk_f = np.zeros((chunk_size, f.shape[1]), f.dtype)
-            chunk_f[:rem] = f[start:T]
+            chunk_f[:T - start] = f[start:T]
             sub_pdfs = np.zeros(out_T, np.int32)
-            sp = pdfs[start:T:subsample][:out_T]
+            sp = sub_pdfs_full[start_sub:]
             sub_pdfs[:len(sp)] = sp
             m = np.zeros(out_T, bool)
             m[:len(sp)] = True

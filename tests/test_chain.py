@@ -52,16 +52,21 @@ def _tiny_den():
 
 
 def _numpy_den_forward(den, scores):
-    """Brute-force log-space forward oracle."""
+    """Brute-force log-space forward oracle (frame 0 allows both the
+    self-loop continuation pdf and the entry/forward pdf)."""
     B, T, P = scores.shape
     S = den.num_states
     self_pdf = np.zeros(S, np.int32)
+    entry_pdf = np.zeros(S, np.int32)
     for a in range(len(den.src)):
         if den.src[a] == den.dst[a]:
             self_pdf[den.src[a]] = den.pdf[a]
+        else:
+            entry_pdf[den.dst[a]] = den.pdf[a]
     out = np.zeros(B)
     for b in range(B):
-        alpha = den.initial + scores[b, 0, self_pdf]
+        alpha = den.initial + np.logaddexp(scores[b, 0, self_pdf],
+                                           scores[b, 0, entry_pdf])
         for t in range(1, T):
             new = np.full(S, -np.inf)
             for a in range(len(den.src)):
