@@ -1,0 +1,241 @@
+"""i-vectors: total-variability modeling, VAD, PLDA.
+
+Parity targets: src/ivector/ivector-extractor.h (IvectorExtractor,
+OnlineIvectorEstimationStats), voice-activity-detection.h
+(ComputeVadEnergy), plda.h (Plda — two-covariance PLDA scoring).
+
+The extractor is the standard total-variability model over a diagonal
+UBM:  supervector offset  m_g(w) = M_g + T_g · w ,  w ~ N(0, I).
+Training is EM on Baum-Welch stats; extraction solves the posterior
+precision system — both expressed as batched einsums (the per-Gaussian
+loop of the reference becomes one (G, D, K) tensor contraction on the
+MXU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.core.logging import KaldiError, get_logger
+from kaldi_tpu.am.gmm import AmDiagGmm
+
+log = get_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Energy VAD
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class VadEnergyOptions:
+    vad_energy_threshold: float = 5.0
+    vad_energy_mean_scale: float = 0.5
+    vad_frames_context: int = 0
+    vad_proportion_threshold: float = 0.6
+
+
+def compute_vad_energy(feats: np.ndarray,
+                       opts: VadEnergyOptions = VadEnergyOptions()
+                       ) -> np.ndarray:
+    """feats: (T, D) with C0 energy in column 0 → (T,) 0/1 decisions
+    (voice-activity-detection.cc ComputeVadEnergy)."""
+    log_energy = np.asarray(feats)[:, 0]
+    T = len(log_energy)
+    threshold = opts.vad_energy_threshold
+    if opts.vad_energy_mean_scale != 0.0:
+        threshold += opts.vad_energy_mean_scale * log_energy.mean()
+    if opts.vad_frames_context == 0:
+        return (log_energy > threshold).astype(np.float32)
+    out = np.zeros(T, np.float32)
+    ctx = opts.vad_frames_context
+    for t in range(T):
+        lo, hi = max(0, t - ctx), min(T, t + ctx + 1)
+        window = log_energy[lo:hi]
+        prop = (window > threshold).mean()
+        out[t] = 1.0 if prop >= opts.vad_proportion_threshold else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Total-variability i-vector extractor
+# ---------------------------------------------------------------------------
+
+class IvectorExtractor:
+    """UBM (flattened single-pdf diag GMM) + T matrices (G, D, K)."""
+
+    def __init__(self, ubm_means: np.ndarray, ubm_vars: np.ndarray,
+                 ubm_weights: np.ndarray, ivector_dim: int, seed: int = 0):
+        G, D = ubm_means.shape
+        rng = np.random.default_rng(seed)
+        self.means = ubm_means.astype(np.float64)
+        self.inv_vars = 1.0 / ubm_vars.astype(np.float64)
+        self.weights = ubm_weights.astype(np.float64)
+        self.T = 0.1 * rng.standard_normal((G, D, ivector_dim))
+        self.ivector_dim = ivector_dim
+
+    @staticmethod
+    def from_am(am: AmDiagGmm, ivector_dim: int) -> "IvectorExtractor":
+        """Use a trained diag GMM ('diag UBM') as the base distribution."""
+        G = am.num_pdfs * am.max_mix
+        w = am.weights.reshape(G) / am.num_pdfs
+        keep = w > 0
+        return IvectorExtractor(am.means.reshape(G, -1)[keep],
+                                am.vars.reshape(G, -1)[keep], w[keep],
+                                ivector_dim)
+
+    # -- Baum-Welch stats --------------------------------------------------
+    def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (gamma (G,), X (G, D)): zeroth/first-order stats under the
+        UBM posteriors."""
+        x = np.asarray(feats, np.float64)
+        # log N(x; m_g, Σ_g) for all g: same einsum shape as GMM loglikes
+        quad = (x ** 2) @ (-0.5 * self.inv_vars).T \
+            + x @ (self.means * self.inv_vars).T
+        gconst = (np.log(self.weights)
+                  - 0.5 * (np.log(2 * np.pi / self.inv_vars).sum(1)
+                           + (self.means ** 2 * self.inv_vars).sum(1)))
+        logp = quad + gconst
+        logp -= logp.max(axis=1, keepdims=True)
+        post = np.exp(logp)
+        post /= post.sum(axis=1, keepdims=True)
+        gamma = post.sum(axis=0)
+        X = post.T @ x
+        return gamma, X
+
+    # -- extraction --------------------------------------------------------
+    def extract(self, gamma: np.ndarray, X: np.ndarray) -> np.ndarray:
+        """MAP point estimate of w given stats."""
+        K = self.ivector_dim
+        TtSi = self.T * self.inv_vars[:, :, None]          # (G, D, K)
+        precision = np.eye(K) + np.einsum(
+            "g,gdk,gdl->kl", gamma, TtSi, self.T)
+        lin = np.einsum("gdk,gd->k", TtSi, X - gamma[:, None] * self.means)
+        return np.linalg.solve(precision, lin)
+
+    def extract_from_feats(self, feats: np.ndarray) -> np.ndarray:
+        return self.extract(*self.acc_stats(feats))
+
+    # -- EM training -------------------------------------------------------
+    def train(self, utt_stats: Sequence[Tuple[np.ndarray, np.ndarray]],
+              num_iters: int = 5) -> None:
+        """EM over per-utterance (gamma, X) stats
+        (ivector-extractor.cc IvectorExtractorStats::Update)."""
+        G, D, K = self.T.shape
+        for it in range(num_iters):
+            A = np.zeros((G, K, K))
+            B = np.zeros((G, D, K))
+            tot_gamma = np.zeros(G)
+            for gamma, X in utt_stats:
+                TtSi = self.T * self.inv_vars[:, :, None]
+                precision = np.eye(K) + np.einsum(
+                    "g,gdk,gdl->kl", gamma, TtSi, self.T)
+                cov = np.linalg.inv(precision)
+                w = cov @ np.einsum("gdk,gd->k", TtSi,
+                                    X - gamma[:, None] * self.means)
+                Eww = cov + np.outer(w, w)
+                A += gamma[:, None, None] * Eww[None]
+                B += np.einsum("gd,k->gdk",
+                               X - gamma[:, None] * self.means, w)
+                tot_gamma += gamma
+            for g in range(G):
+                if tot_gamma[g] < 1e-3:
+                    continue
+                self.T[g] = np.linalg.solve(A[g] + 1e-8 * np.eye(K),
+                                            B[g].T).T
+            log.info("ivector EM iter %d: total gamma %.0f", it,
+                     tot_gamma.sum())
+
+
+class OnlineIvectorEstimator:
+    """Streaming i-vector estimation: stats accumulate per chunk, the
+    current estimate is available at any time
+    (OnlineIvectorEstimationStats)."""
+
+    def __init__(self, extractor: IvectorExtractor,
+                 max_count: float = 0.0):
+        self.ex = extractor
+        G, D = extractor.means.shape
+        self.gamma = np.zeros(G)
+        self.X = np.zeros((G, D))
+        self.max_count = max_count
+
+    def accept_frames(self, feats: np.ndarray) -> None:
+        g, x = self.ex.acc_stats(feats)
+        self.gamma += g
+        self.X += x
+        if self.max_count > 0 and self.gamma.sum() > self.max_count:
+            scale = self.max_count / self.gamma.sum()
+            self.gamma *= scale
+            self.X *= scale
+
+    def ivector(self) -> np.ndarray:
+        return self.ex.extract(self.gamma, self.X)
+
+
+# ---------------------------------------------------------------------------
+# PLDA
+# ---------------------------------------------------------------------------
+
+class Plda:
+    """Two-covariance PLDA (plda.h): between/within class Gaussians.
+
+    Trained from per-speaker collections of i-vectors; scoring gives the
+    LLR  log P(same) − log P(different)  for a (train, test) pair.
+    """
+
+    def __init__(self, mean: np.ndarray, between: np.ndarray,
+                 within: np.ndarray):
+        self.mean = mean
+        self.between = between
+        self.within = within
+        D = len(mean)
+        # simultaneous diagonalization: within → I, between → diag(psi)
+        w_evals, w_evecs = np.linalg.eigh(within)
+        W = w_evecs @ np.diag(1.0 / np.sqrt(np.maximum(w_evals, 1e-10)))
+        Bt = W.T @ between @ W
+        b_evals, b_evecs = np.linalg.eigh(Bt)
+        self.transform = (W @ b_evecs).T           # (D, D)
+        self.psi = np.maximum(b_evals, 1e-12)
+
+    @staticmethod
+    def train(spk2ivectors: Dict[str, np.ndarray]) -> "Plda":
+        all_iv = np.concatenate(list(spk2ivectors.values()))
+        mean = all_iv.mean(axis=0)
+        D = all_iv.shape[1]
+        between = np.zeros((D, D))
+        within = np.zeros((D, D))
+        n_spk = 0
+        for spk, ivs in spk2ivectors.items():
+            m = ivs.mean(axis=0) - mean
+            between += np.outer(m, m)
+            c = ivs - ivs.mean(axis=0) - 0 * mean
+            within += c.T @ c / max(len(ivs), 1)
+            n_spk += 1
+        between /= max(n_spk, 1)
+        within /= max(n_spk, 1)
+        within += 1e-6 * np.eye(D)
+        between += 1e-6 * np.eye(D)
+        return Plda(mean, between, within)
+
+    def score(self, train_iv: np.ndarray, test_iv: np.ndarray,
+              n_train: int = 1) -> float:
+        """LLR same-vs-different speaker (plda.cc LogLikelihoodRatio)."""
+        u = self.transform @ (np.asarray(train_iv) - self.mean)
+        v = self.transform @ (np.asarray(test_iv) - self.mean)
+        n = n_train
+        psi = self.psi
+        # given class mean distribution for same-speaker hypothesis
+        mean_same = (n * psi / (n * psi + 1.0)) * u
+        var_same = 1.0 + psi / (n * psi + 1.0)
+        var_diff = 1.0 + psi
+        ll_same = -0.5 * (np.log(2 * np.pi * var_same)
+                          + (v - mean_same) ** 2 / var_same).sum()
+        ll_diff = -0.5 * (np.log(2 * np.pi * var_diff)
+                          + v ** 2 / var_diff).sum()
+        return float(ll_same - ll_diff)

@@ -1,0 +1,76 @@
+"""Sharded batched decoding over a device mesh.
+
+Parity target: the reference's decode-time parallelism — steps/decode.sh
+--nj N fanning out processes over data splits (SURVEY.md §2.4 row 3) —
+and the BASELINE.json north-star config 5 ('multi-host pod decode:
+eval sharded across hosts').
+
+TPU-native shape: the utterance batch is sharded over the mesh 'data'
+axis; the graph arrays are replicated into every chip's HBM (they are
+read-only decode state, the CudaFst residency model); the whole
+batch-decode scan runs under one jit, XLA partitioning the vmapped
+scan across chips with no collectives in the steady state (per-utterance
+beams are independent, matching Kaldi's per-process semantics).  On a
+multi-host pod the same code runs under jax.distributed.initialize
+with a global mesh — each host feeds its local shard.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kaldi_tpu.core.logging import get_logger
+from kaldi_tpu.decoder.dense import DenseDecoder
+
+log = get_logger(__name__)
+
+
+class ShardedDecoder:
+    """Wraps a DenseDecoder for data-parallel batch decode on a mesh."""
+
+    def __init__(self, decoder: DenseDecoder, mesh: Mesh):
+        self.dec = decoder
+        self.mesh = mesh
+        self._jit = None
+
+    def _build(self):
+        dec = self.dec
+        mesh = self.mesh
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+        vmapped = jax.vmap(dec._decode_scan, in_axes=(0, 0))
+        self._jit = jax.jit(
+            vmapped,
+            in_shardings=(batch_sh, batch_sh),
+            out_shardings=batch_sh)
+
+    def decode_batch(self, loglikes_padded: np.ndarray,
+                     num_frames: np.ndarray):
+        """(B, T_pad, P) with B divisible by the data-axis size."""
+        if self._jit is None:
+            self._build()
+        ndata = self.mesh.shape["data"]
+        B = loglikes_padded.shape[0]
+        pad_b = (-B) % ndata
+        if pad_b:
+            loglikes_padded = np.concatenate(
+                [loglikes_padded,
+                 np.zeros((pad_b,) + loglikes_padded.shape[1:],
+                          loglikes_padded.dtype)])
+            num_frames = np.concatenate(
+                [num_frames, np.ones(pad_b, num_frames.dtype)])
+        with self.mesh:
+            out = self._jit(jnp.asarray(loglikes_padded, jnp.float32),
+                            jnp.asarray(num_frames, jnp.int32))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        results = []
+        for b in range(B):
+            one = jax.tree_util.tree_map(lambda x: x[b], out)
+            results.append(self.dec._backtrace(one, int(num_frames[b])))
+        return results

@@ -1,0 +1,108 @@
+"""i-vector / VAD / PLDA tests with planted-speaker oracles."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.am.ivector import (
+    IvectorExtractor,
+    OnlineIvectorEstimator,
+    Plda,
+    VadEnergyOptions,
+    compute_vad_energy,
+)
+
+
+def test_vad_energy(rng):
+    T, D = 100, 10
+    feats = rng.standard_normal((T, D)).astype(np.float32)
+    feats[:, 0] = 0.0
+    feats[40:60, 0] = 20.0      # loud segment
+    vad = compute_vad_energy(feats)
+    assert vad[45] == 1.0 and vad[10] == 0.0
+    assert 15 <= vad.sum() <= 25
+
+
+def _speaker_world(rng, n_spk=4, utts_per_spk=6, frames=200, D=8, K=3):
+    """Synthetic speakers: shared UBM + per-speaker offset in a K-dim
+    subspace — exactly the total-variability generative model."""
+    G = 6
+    ubm_means = rng.standard_normal((G, D)) * 4
+    ubm_vars = 0.4 + 0.3 * rng.random((G, D))
+    weights = np.ones(G) / G
+    T_true = rng.standard_normal((G, D, K))
+    data = {}
+    for s in range(n_spk):
+        w = rng.standard_normal(K) * 1.5
+        utts = []
+        for _ in range(utts_per_spk):
+            comps = rng.integers(0, G, frames)
+            x = (ubm_means[comps] + np.einsum("gdk,k->gd", T_true, w)[comps]
+                 + np.sqrt(ubm_vars[comps]) * rng.standard_normal((frames, D)))
+            utts.append(x)
+        data[f"spk{s}"] = utts
+    return ubm_means, ubm_vars, weights, data
+
+
+def test_ivector_extraction_separates_speakers(rng):
+    ubm_means, ubm_vars, weights, data = _speaker_world(rng)
+    ex = IvectorExtractor(ubm_means, ubm_vars, weights, ivector_dim=3)
+    stats = [ex.acc_stats(u) for utts in data.values() for u in utts]
+    ex.train(stats, num_iters=3)
+
+    ivs = {spk: np.stack([ex.extract_from_feats(u) for u in utts])
+           for spk, utts in data.items()}
+    # within-speaker distance << between-speaker distance
+    within, between = [], []
+    spks = sorted(ivs)
+    for s in spks:
+        m = ivs[s].mean(axis=0)
+        within.extend(np.linalg.norm(ivs[s] - m, axis=1))
+    for i in range(len(spks)):
+        for j in range(i + 1, len(spks)):
+            between.append(np.linalg.norm(ivs[spks[i]].mean(0)
+                                          - ivs[spks[j]].mean(0)))
+    assert np.mean(between) > 2.0 * np.mean(within)
+
+
+def test_online_ivector_converges(rng):
+    ubm_means, ubm_vars, weights, data = _speaker_world(rng, n_spk=1,
+                                                        utts_per_spk=1,
+                                                        frames=600)
+    ex = IvectorExtractor(ubm_means, ubm_vars, weights, ivector_dim=3)
+    utt = data["spk0"][0]
+    offline = ex.extract_from_feats(utt)
+    online = OnlineIvectorEstimator(ex)
+    partials = []
+    for i in range(0, 600, 100):
+        online.accept_frames(utt[i:i + 100])
+        partials.append(online.ivector())
+    np.testing.assert_allclose(partials[-1], offline, atol=1e-6)
+    # estimates stabilize (later partials closer to final)
+    d_early = np.linalg.norm(partials[0] - offline)
+    d_late = np.linalg.norm(partials[-2] - offline)
+    assert d_late <= d_early + 1e-9
+
+
+def test_plda_scoring(rng):
+    ubm_means, ubm_vars, weights, data = _speaker_world(
+        rng, n_spk=5, utts_per_spk=8)
+    ex = IvectorExtractor(ubm_means, ubm_vars, weights, ivector_dim=3)
+    ivs = {spk: np.stack([ex.extract_from_feats(u) for u in utts])
+           for spk, utts in data.items()}
+    train_ivs = {s: v[:5] for s, v in ivs.items()}
+    plda = Plda.train(train_ivs)
+    same, diff = [], []
+    spks = sorted(ivs)
+    for s in spks:
+        enroll = ivs[s][:5].mean(axis=0)
+        for t in spks:
+            for test in ivs[t][5:]:
+                score = plda.score(enroll, test, n_train=5)
+                (same if s == t else diff).append(score)
+    assert np.mean(same) > np.mean(diff) + 1.0
+    # pairwise ranking quality (AUC): same-speaker trials must outscore
+    # different-speaker trials almost always
+    same_a = np.asarray(same)[:, None]
+    diff_a = np.asarray(diff)[None, :]
+    auc = float((same_a > diff_a).mean())
+    assert auc > 0.9, auc
