@@ -1,0 +1,129 @@
+"""RNNLM, resample, pitch, and keyword-search tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.features.pitch import PitchExtractionOptions, \
+    compute_kaldi_pitch
+from kaldi_tpu.features.resample import linear_resample
+from kaldi_tpu.fst.fst import SymbolTable
+from kaldi_tpu.kws import keyword_search, search_lattice
+from kaldi_tpu.lattice.lattice import CompactArc, CompactLattice
+from kaldi_tpu.lm import RnnLmConfig, RnnLmScorer, train_rnnlm
+
+
+def test_resample_preserves_tone():
+    sf_in, sf_out, f0 = 16000, 8000, 440.0
+    t = np.arange(16000) / sf_in
+    wave = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    out = linear_resample(wave, sf_in, sf_out)
+    assert abs(len(out) - 8000) <= 1
+    # dominant frequency must stay 440 Hz
+    spec = np.abs(np.fft.rfft(out[200:-200] * np.hanning(len(out) - 400)))
+    peak = np.argmax(spec) * sf_out / (len(out) - 400)
+    assert abs(peak - f0) < 5.0
+    # amplitude roughly preserved
+    assert 0.7 < np.abs(out[200:-200]).max() < 1.3
+
+
+def test_pitch_tracks_tone(rng):
+    sf, f0 = 8000, 200.0
+    t = np.arange(8000) / sf
+    wave = (np.sin(2 * np.pi * f0 * t)
+            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    out = compute_kaldi_pitch(wave, PitchExtractionOptions(samp_freq=sf))
+    assert out.shape[1] == 2
+    mid = out[5:-5]
+    # pitch near 200 Hz on most voiced frames
+    close = np.abs(mid[:, 1] - f0) < 10
+    assert close.mean() > 0.8
+    # high POV on the tone
+    assert mid[:, 0].mean() > 0.5
+
+
+def test_pitch_noise_low_pov(rng):
+    sf = 8000
+    wave = rng.standard_normal(8000).astype(np.float32)
+    out = compute_kaldi_pitch(wave, PitchExtractionOptions(samp_freq=sf))
+    tone = compute_kaldi_pitch(
+        np.sin(2 * np.pi * 150 * np.arange(8000) / sf).astype(np.float32),
+        PitchExtractionOptions(samp_freq=sf))
+    assert out[:, 0].mean() < tone[:, 0].mean()
+
+
+def test_rnnlm_learns_pattern():
+    """Sentences always alternate 3,4,3,4...; the RNNLM must assign much
+    higher probability to the continuation than an order-0 model."""
+    cfg = RnnLmConfig(vocab_size=8, embed_dim=16, hidden_dim=32)
+    sentences = [[3, 4, 3, 4], [3, 4], [3, 4, 3, 4, 3, 4]] * 5
+    params, model = train_rnnlm(sentences, cfg, num_epochs=60,
+                                learning_rate=1e-2)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    words.add("<s>", 1)
+    words.add("</s>", 2)
+    words.add("A", 3)
+    words.add("B", 4)
+    scorer = RnnLmScorer(params, model, words)
+    # after "A", "B" must be far more likely than "A"
+    lp_b = scorer.score(("A",), "B")
+    lp_a = scorer.score(("A",), "A")
+    assert lp_b > lp_a + 1.0
+    # after "A B A", "B" again
+    lp_b2 = scorer.score(("A", "B", "A"), "B")
+    assert lp_b2 > math.log(0.5)
+    # scorer caches states: repeated scoring is consistent
+    assert scorer.score(("A",), "B") == lp_b
+
+
+def test_rnnlm_rescoring_flips_lattice():
+    """Rescoring with the pattern-trained RNNLM must prefer A B over A A."""
+    from kaldi_tpu.lattice import compose_lm, nbest
+    cfg = RnnLmConfig(vocab_size=8, embed_dim=16, hidden_dim=32)
+    params, model = train_rnnlm([[3, 4], [3, 4, 3, 4]] * 8, cfg,
+                                num_epochs=60, learning_rate=1e-2)
+    words = SymbolTable()
+    for sym, i in [("<eps>", 0), ("<s>", 1), ("</s>", 2), ("A", 3), ("B", 4)]:
+        words.add(sym, i)
+    c = CompactLattice()
+    s = [c.add_state() for _ in range(3)]
+    c.start = s[0]
+    c.arcs[s[0]].append(CompactArc(3, 0.0, 0.0, (9,), s[1]))
+    # acoustically "A A" is slightly better than "A B"
+    c.arcs[s[1]].append(CompactArc(3, 0.0, 0.0, (9,), s[2]))
+    c.arcs[s[1]].append(CompactArc(4, 0.3, 0.0, (9,), s[2]))
+    c.finals[s[2]] = (0.0, 0.0, ())
+    assert nbest(c, 1)[0][0] == [3, 3]
+    scorer = RnnLmScorer(params, model, words)
+    resc = compose_lm(c, scorer.score, words, scale=1.0)
+    assert nbest(resc, 1)[0][0] == [3, 4]
+
+
+def test_keyword_search():
+    """Keyword in a 2-branch lattice gets the branch posterior."""
+    c = CompactLattice()
+    s = [c.add_state() for _ in range(3)]
+    c.start = s[0]
+    # branch 1: words 5 6 (cost 0); branch 2: words 7 6 (cost 1)
+    c.arcs[s[0]].append(CompactArc(5, 0.0, 0.0, (1, 2), s[1]))
+    c.arcs[s[0]].append(CompactArc(7, 1.0, 0.0, (3,), s[1]))
+    c.arcs[s[1]].append(CompactArc(6, 0.0, 0.0, (4,), s[2]))
+    c.finals[s[2]] = (0.0, 0.0, ())
+    res = search_lattice(c, [5, 6])
+    assert len(res) == 1
+    b, e, post = res[0]
+    expect = 1.0 / (1.0 + math.exp(-1.0))
+    assert abs(post - expect) < 1e-6
+    assert b == 0 and e >= 3
+    # single-word keyword on the common suffix → posterior 1
+    res6 = search_lattice(c, [6])
+    assert len(res6) >= 1
+    assert abs(sum(p for _, _, p in res6) - 1.0) < 1e-6
+    # absent keyword
+    assert search_lattice(c, [9]) == []
+    # top-level API
+    hits = keyword_search({"utt1": c}, {"kw1": [5, 6], "kw2": [9]})
+    assert len(hits["kw1"]) == 1 and hits["kw1"][0].utt == "utt1"
+    assert hits["kw2"] == []
