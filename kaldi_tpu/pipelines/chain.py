@@ -162,7 +162,31 @@ class ChainTrainer:
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss, diag
 
-    def train(self, egs: ChainEgs, log_every: int = 20) -> Dict[str, float]:
+    # -- checkpoint / resume (steps/nnet3 N.mdl + --stage contract) --------
+    def save(self, ckpt_dir: str, step: int) -> None:
+        from kaldi_tpu.pipelines.checkpoint import save_train_state
+        save_train_state(ckpt_dir, step, self.params, self.batch_stats,
+                         self.opt_state)
+
+    def restore(self, ckpt_dir: str, step: Optional[int] = None) -> int:
+        from kaldi_tpu.pipelines.checkpoint import restore_train_state
+        template = {
+            "step": np.asarray(0),
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "batch_stats": jax.tree_util.tree_map(np.asarray,
+                                                  dict(self.batch_stats)),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+        }
+        state = restore_train_state(ckpt_dir, template, step)
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.opt_state),
+            jax.tree_util.tree_leaves(state["opt_state"]))
+        return int(state["step"])
+
+    def train(self, egs: ChainEgs, log_every: int = 20,
+              ckpt_dir: Optional[str] = None) -> Dict[str, float]:
         N = egs.feats.shape[0]
         B = min(self.cfg.batch_size, N)
         rng = np.random.default_rng(0)
@@ -185,6 +209,8 @@ class ChainTrainer:
                              float(diag["objf"]), float(diag["num"]),
                              float(diag["den"]))
             last = {"loss": float(loss), "objf": float(diag["objf"])}
+            if ckpt_dir is not None:
+                self.save(ckpt_dir, step)
         return last
 
     # -- inference ---------------------------------------------------------
