@@ -70,7 +70,7 @@ def main():
         deltas=DeltaFeaturesOptions())
     provider = GmmDecodableProvider(frontend, am)
 
-    B, dur_s, sr = 16, 10.0, 16000
+    B, dur_s, sr = 256, 10.0, 16000
     rng = np.random.default_rng(1)
     waves = rng.standard_normal((B, int(dur_s * sr))).astype(np.float32) * 1000
     T = frontend.num_frames(waves.shape[1])

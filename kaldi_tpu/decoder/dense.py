@@ -185,8 +185,48 @@ class DenseDecoder:
         has_final = jnp.min(total) < BIG
         use = jnp.where(has_final, total, alpha)
         best_state = jnp.argmin(use)
-        return {"bps": bps, "init_bps": init_bps, "best_state": best_state,
-                "best_cost": use[best_state]}
+
+        # --- device backtrace: reverse scan over the (T, E+1, S) bps so
+        # only (T,)-sized label arrays leave the chip (the (T, E+1, S)
+        # table transfer dominated decode wall-clock otherwise).
+        e_il = self.c["e_il"]
+        e_ol_full = jnp.asarray(self.graph.e_ol)
+        e_src_full = jnp.asarray(self.graph.e_src)
+        n_ol_full = jnp.asarray(self.graph.n_ol)
+        n_src_full = jnp.asarray(self.graph.n_src)
+
+        def bt_step(s, xs):
+            bp_t, act = xs                           # (E+1, S), bool
+            ols = []
+            for e in range(E, 0, -1):
+                slot = bp_t[e, s]
+                take = (slot >= 0) & act
+                safe = jnp.maximum(slot, 0)
+                ols.append(jnp.where(take, n_ol_full[s, safe], 0))
+                s = jnp.where(take, n_src_full[s, safe], s)
+            slot0 = jnp.maximum(bp_t[0, s], 0)
+            tid = jnp.where(act, e_il[s, slot0], 0)
+            ol0 = jnp.where(act, e_ol_full[s, slot0], 0)
+            prev = jnp.where(act, e_src_full[s, slot0], s)
+            # forward order within the frame: emit then sweeps 1..E
+            ols_fwd = [ol0] + ols[::-1]
+            return prev, (tid, jnp.stack(ols_fwd))
+
+        s_end, (tids, ols) = jax.lax.scan(bt_step, best_state.astype(jnp.int32),
+                                          (bps, active), reverse=True)
+        # initial ε-closure olabels (before frame 0), walked backwards
+        init_ols = []
+        s0 = s_end
+        for e in range(init_bps.shape[0] - 1, -1, -1):
+            slot = init_bps[e, s0]
+            take = slot >= 0
+            safe = jnp.maximum(slot, 0)
+            init_ols.append(jnp.where(take, n_ol_full[s0, safe], 0))
+            s0 = jnp.where(take, n_src_full[s0, safe], s0)
+        init_ols = (jnp.stack(init_ols[::-1]) if init_ols
+                    else jnp.zeros((0,), jnp.int32))
+        return {"tids": tids, "ols": ols, "init_ols": init_ols,
+                "best_state": best_state, "best_cost": use[best_state]}
 
     # -- host API ----------------------------------------------------------
     def decode(self, loglikes: np.ndarray):
@@ -203,43 +243,17 @@ class DenseDecoder:
             int(num_frames[b])) for b in range(loglikes_padded.shape[0])]
 
     def _backtrace(self, out, T: int):
-        g = self.graph
         cost = float(out["best_cost"])
         if cost >= 1e29:
             raise KaldiError("DenseDecoder: no path")
-        s = int(out["best_state"])
-        E1 = out["bps"].shape[1]
-        rev_tids: List[int] = []
-        rev_ols: List[int] = []
-        for t in range(T - 1, -1, -1):
-            # ε sweeps in reverse order, then the emitting step
-            for e in range(E1 - 1, 0, -1):
-                slot = int(out["bps"][t, e, s])
-                if slot >= 0:
-                    ol = int(g.n_ol[s, slot])
-                    if ol:
-                        rev_ols.append(ol)
-                    s = int(g.n_src[s, slot])
-            slot = int(out["bps"][t, 0, s])
-            if slot < 0:
-                raise KaldiError("DenseDecoder: broken backpointer")
-            tid = int(g.e_il[s, slot])
-            ol = int(g.e_ol[s, slot])
-            if ol:
-                rev_ols.append(ol)
-            rev_tids.append(tid)
-            s = int(g.e_src[s, slot])
-        # initial ε-closure moves before frame 0
-        for e in range(out["init_bps"].shape[0] - 1, -1, -1):
-            slot = int(out["init_bps"][e, s])
-            if slot >= 0:
-                ol = int(g.n_ol[s, slot])
-                if ol:
-                    rev_ols.append(ol)
-                s = int(g.n_src[s, slot])
-        rev_tids.reverse()
-        rev_ols.reverse()
-        return rev_tids, rev_ols, cost
+        tids = [int(t) for t in out["tids"][:T]]
+        if any(t == 0 for t in tids):
+            raise KaldiError("DenseDecoder: broken backpointer")
+        ols: List[int] = [int(o) for o in out["init_ols"] if o != 0]
+        frame_ols = out["ols"][:T]               # (T, E+1), forward order
+        nz = frame_ols.reshape(-1)
+        ols.extend(int(o) for o in nz if o != 0)
+        return tids, ols, cost
 
     # ------------------------------------------------------------------
     # Lattice generation (LatticeFasterDecoder::GetRawLattice equivalent)
