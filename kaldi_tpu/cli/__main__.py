@@ -1,4 +1,11 @@
+import signal
 import sys
+
+# Behave like a unix tool under `| head` etc.
+try:
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (AttributeError, ValueError):
+    pass
 
 from kaldi_tpu.cli.tools import main
 

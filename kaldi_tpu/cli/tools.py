@@ -396,6 +396,70 @@ def ali_to_pdf(argv):
     return 0
 
 
+@tool("lattice-to-ctm")
+def lattice_to_ctm(argv):
+    from kaldi_tpu.am.serialize import read_mdl
+    from kaldi_tpu.lattice.ctm import best_path_ctm
+    from kaldi_tpu.fst.fst import SymbolTable
+    po = ParseOptions(
+        "lattice-to-ctm <model> <words.txt> <lattice-rspec> [<ctm-file>]")
+    po.register("frame-shift", float, 0.01, "frame shift seconds")
+    po.register("silence-phones", str, "1", "colon-separated silence ids")
+    po.register("lexicon", str, "", "lexicon text file (word phone...) "
+                "with phones.txt beside it, for exact word alignment")
+    po.register("phone-symbol-table", str, "", "phones.txt (with --lexicon)")
+    args = po.read(argv)
+    tm, _ = read_mdl(args[0])
+    words = SymbolTable.read(args[1])
+    sil = {int(x) for x in po["silence-phones"].split(":") if x}
+    prons = None
+    if po["lexicon"]:
+        phones = SymbolTable.read(po["phone-symbol-table"])
+        prons = {}
+        with open(po["lexicon"]) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and parts[0] in words:
+                    prons.setdefault(words[parts[0]], []).append(
+                        [phones[p] for p in parts[1:]])
+    out = open(args[3], "w") if len(args) > 3 else sys.stdout
+    for key, clat in SequentialTableReader(args[2], holder="clat"):
+        for entry in best_path_ctm(clat, tm, words, key, sil,
+                                   po["frame-shift"], prons=prons):
+            print(entry, file=out)
+    if len(args) > 3:
+        out.close()
+    return 0
+
+
+@tool("compute-vad")
+def compute_vad_tool(argv):
+    from kaldi_tpu.am.ivector import VadEnergyOptions, compute_vad_energy
+    po = ParseOptions("compute-vad <feats-rspec> <vad-wspec>")
+    po.register("vad-energy-threshold", float, 5.0, "")
+    po.register("vad-energy-mean-scale", float, 0.5, "")
+    args = po.read(argv)
+    opts = VadEnergyOptions(po["vad-energy-threshold"],
+                            po["vad-energy-mean-scale"])
+    with TableWriter(args[1], holder="vec") as w:
+        for key, mat in SequentialTableReader(args[0], holder="mat"):
+            w[key] = compute_vad_energy(mat, opts)
+    return 0
+
+
+@tool("resample-wav")
+def resample_wav(argv):
+    from kaldi_tpu.features.resample import linear_resample
+    po = ParseOptions("resample-wav --target-rate=8000 <wav-rspec> <wspec>")
+    po.register("target-rate", float, 16000.0, "output sample rate")
+    args = po.read(argv)
+    with TableWriter(args[1], holder="wav") as w:
+        for key, (wave, rate) in SequentialTableReader(args[0], holder="wav"):
+            out = linear_resample(wave / 32768.0, rate, po["target-rate"])
+            w[key] = (out, int(po["target-rate"]))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
