@@ -42,15 +42,16 @@ log = get_logger(__name__)
 
 
 def gmm_alignments(model, feats, text, lang):
-    from kaldi_tpu.decoder.align import DenseAligner, degrees, pack_dense
+    from kaldi_tpu.decoder.align import DenseAligner, in_degrees, \
+        pack_dense_reverse
     from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler
     compiler = TrainingGraphCompiler(lang, model.tm)
     utts = sorted(feats)
     graphs = {u: compiler.compile_text(text[u]) for u in utts}
-    ae = max(degrees(g)[0] for g in graphs.values())
-    an = max(max(degrees(g)[1] for g in graphs.values()), 1)
+    ae = max(in_degrees(g)[0] for g in graphs.values())
+    an = max(max(in_degrees(g)[1] for g in graphs.values()), 1)
     smax = max(g.num_states for g in graphs.values())
-    dense = [pack_dense(graphs[u], smax, ae, an) for u in utts]
+    dense = [pack_dense_reverse(graphs[u], smax, ae, an) for u in utts]
     aligner = DenseAligner(model.tm.tid_to_pdf_array)
     lls = [np.asarray(model.am.loglikes(feats[u])) for u in utts]
     return {u: tids for u, (tids, _) in

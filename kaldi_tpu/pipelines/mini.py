@@ -101,14 +101,16 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     log.info("mono decode: %s (%.0fs)", res.wer, timer.elapsed())
 
     # alignments from mono for the tree
-    from kaldi_tpu.decoder.align import DenseAligner, degrees, pack_dense
+    from kaldi_tpu.decoder.align import DenseAligner, in_degrees, \
+        pack_dense_reverse
     from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler
     compiler = TrainingGraphCompiler(lang, mono.tm)
     graphs = {u: compiler.compile_text(train.text[u]) for u in delta_tr}
-    ae = max(degrees(g)[0] for g in graphs.values())
-    an = max(max(degrees(g)[1] for g in graphs.values()), 1)
+    ae = max(in_degrees(g)[0] for g in graphs.values())
+    an = max(max(in_degrees(g)[1] for g in graphs.values()), 1)
     smax = max(g.num_states for g in graphs.values())
-    dense = [pack_dense(graphs[u], smax, ae, an) for u in sorted(delta_tr)]
+    dense = [pack_dense_reverse(graphs[u], smax, ae, an)
+             for u in sorted(delta_tr)]
     aligner = DenseAligner(mono.tm.tid_to_pdf_array)
     lls = [np.asarray(mono.am.loglikes(delta_tr[u]))
            for u in sorted(delta_tr)]

@@ -30,7 +30,7 @@ from kaldi_tpu.am.gmm import (
 from kaldi_tpu.am.topology import HmmTopology
 from kaldi_tpu.am.transitions import TransitionModel
 from kaldi_tpu.am.tree import MonophoneContextDependency
-from kaldi_tpu.decoder.align import DenseAligner, degrees, pack_dense
+from kaldi_tpu.decoder.align import DenseAligner, in_degrees, pack_dense_reverse
 from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler, equal_align
 from kaldi_tpu.fst.lang import Lang
 from kaldi_tpu.pipelines.data import DataSet
@@ -78,10 +78,10 @@ def train_mono(feats: Dict[str, np.ndarray], text: Dict[str, List[str]],
     compiler = TrainingGraphCompiler(lang, tm, cfg.transition_scale,
                                      cfg.self_loop_scale)
     graphs = {u: compiler.compile_text(text[u]) for u in utts}
-    ae = max(degrees(g)[0] for g in graphs.values())
-    an = max(max(degrees(g)[1] for g in graphs.values()), 1)
+    ae = max(in_degrees(g)[0] for g in graphs.values())
+    an = max(max(in_degrees(g)[1] for g in graphs.values()), 1)
     smax = max(g.num_states for g in graphs.values())
-    dense = {u: pack_dense(graphs[u], smax, ae, an) for u in utts}
+    dense = {u: pack_dense_reverse(graphs[u], smax, ae, an) for u in utts}
 
     # equal alignment (align-equal-compiled)
     ali: Dict[str, List[int]] = {}
@@ -95,13 +95,17 @@ def train_mono(feats: Dict[str, np.ndarray], text: Dict[str, List[str]],
         cfg.max_iter_inc, 1)
 
     def accumulate_all() -> Tuple[GmmAccs, np.ndarray]:
+        # all utterances concatenated into ONE device call (a constant
+        # total frame count -> one compilation, and the segment-sums
+        # batch all frames together)
         accs = GmmAccs.zeros(am.num_pdfs, am.max_mix, am.dim)
         tid_counts = np.zeros(tm.num_transition_ids + 1)
-        for u in utts:
-            pdf_ali = tm.tid_to_pdf_array[np.asarray(ali[u])]
-            accumulate_stats(am, feats[u], pdf_ali, accs)
-            tid_counts += np.bincount(ali[u],
-                                      minlength=tm.num_transition_ids + 1)
+        all_feats = np.concatenate([feats[u] for u in utts])
+        all_tids = np.concatenate([np.asarray(ali[u]) for u in utts])
+        pdf_ali = tm.tid_to_pdf_array[all_tids]
+        accumulate_stats(am, all_feats, pdf_ali, accs)
+        tid_counts += np.bincount(all_tids,
+                                  minlength=tm.num_transition_ids + 1)
         return accs, tid_counts
 
     for it in range(cfg.num_iters):

@@ -21,7 +21,7 @@ from kaldi_tpu.am.transitions import TransitionModel
 from kaldi_tpu.am.transforms import FmllrAccs, LdaEstimate, MlltAccs, \
     accumulate_fmllr_for_utt, apply_transform
 from kaldi_tpu.am.tree import GaussStats, TreeContextDependency, build_tree
-from kaldi_tpu.decoder.align import DenseAligner, degrees, pack_dense
+from kaldi_tpu.decoder.align import DenseAligner, in_degrees, pack_dense_reverse
 from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler
 from kaldi_tpu.fst.lang import Lang
 from kaldi_tpu.pipelines.mono import MonoModel
@@ -225,10 +225,10 @@ def train_tri(feats: Dict[str, np.ndarray], text: Dict[str, List[str]],
     compiler = TrainingGraphCompiler(lang, tm, cfg.transition_scale,
                                      cfg.self_loop_scale)
     graphs = {u: compiler.compile_text(text[u]) for u in utts}
-    ae = max(degrees(g)[0] for g in graphs.values())
-    an = max(max(degrees(g)[1] for g in graphs.values()), 1)
+    ae = max(in_degrees(g)[0] for g in graphs.values())
+    an = max(max(in_degrees(g)[1] for g in graphs.values()), 1)
     smax = max(g.num_states for g in graphs.values())
-    dense = {u: pack_dense(graphs[u], smax, ae, an) for u in utts}
+    dense = {u: pack_dense_reverse(graphs[u], smax, ae, an) for u in utts}
     aligner = DenseAligner(tm.tid_to_pdf_array, acoustic_scale=1.0)
 
     gauss_inc = max(0, cfg.totgauss - am.num_gauss()) // max(cfg.max_iter_inc,
@@ -241,11 +241,11 @@ def train_tri(feats: Dict[str, np.ndarray], text: Dict[str, List[str]],
                 ali[u] = tids
         accs = GmmAccs.zeros(am.num_pdfs, am.max_mix, am.dim)
         tid_counts = np.zeros(tm.num_transition_ids + 1)
-        for u in utts:
-            pdf_ali = tm.tid_to_pdf_array[np.asarray(ali[u])]
-            accumulate_stats(am, feats[u], pdf_ali, accs)
-            tid_counts += np.bincount(ali[u],
-                                      minlength=tm.num_transition_ids + 1)
+        all_feats = np.concatenate([feats[u] for u in utts])
+        all_tids = np.concatenate([np.asarray(ali[u]) for u in utts])
+        accumulate_stats(am, all_feats, tm.tid_to_pdf_array[all_tids], accs)
+        tid_counts += np.bincount(all_tids,
+                                  minlength=tm.num_transition_ids + 1)
         mle_update(am, accs)
         tm.mle_update(tid_counts)
         if it < cfg.max_iter_inc and am.num_gauss() < cfg.totgauss:
