@@ -110,6 +110,41 @@ class TdnnChain(nn.Module):
         return out
 
 
+class RestrictedAttentionLayer(nn.Module):
+    """Time-restricted self-attention (nnet-attention-component.h
+    RestrictedAttentionComponent): each frame attends to
+    [t − left_ctx, t + right_ctx] only — a banded attention mask, which
+    keeps the QKᵀ matmul dense (MXU) while bounding the receptive field
+    like the reference."""
+    dim: int
+    num_heads: int = 4
+    left_ctx: int = 9
+    right_ctx: int = 9
+    bypass_scale: float = 0.66
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, D = x.shape
+        H = self.num_heads
+        dh = self.dim // H
+        q = nn.Dense(H * dh, name="query")(x).reshape(B, T, H, dh)
+        k = nn.Dense(H * dh, name="key")(x).reshape(B, T, H, dh)
+        v = nn.Dense(H * dh, name="value")(x).reshape(B, T, H, dh)
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(dh)
+        ti = jnp.arange(T)[:, None]
+        si = jnp.arange(T)[None, :]
+        band = (si >= ti - self.left_ctx) & (si <= ti + self.right_ctx)
+        logits = jnp.where(band[None, None], logits, -1e30)
+        att = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhts,bshd->bthd", att, v).reshape(B, T, H * dh)
+        out = nn.Dense(self.dim, name="out")(out)
+        out = nn.BatchNorm(use_running_average=not train, use_bias=False,
+                           use_scale=False, name="batchnorm")(out)
+        if D == self.dim:
+            out = out + self.bypass_scale * x
+        return out
+
+
 def semi_orthogonal_penalty(params) -> jnp.ndarray:
     """Σ ‖MMᵀ − scale·I‖² over every TDNN-F first factor
     (nnet-utils.cc ConstrainOrthonormal's floating-scale objective)."""
