@@ -117,17 +117,34 @@ class AmDiagGmm:
 
     # ------------------------------------------------------------------
     def loglikes(self, feats) -> jnp.ndarray:
-        """(T, D) features → (T, P) per-pdf log-likelihoods (jitted)."""
+        """(T, D) features → (T, P) per-pdf log-likelihoods (jitted).
+        T is padded to a 64-frame bucket so arbitrary lengths share
+        compilations; the pad is sliced off."""
         gconst, mean_invvar, inv_var = self.device_params()
-        return _loglikes_jit(jnp.asarray(feats, jnp.float32),
-                             gconst, mean_invvar, inv_var)
+        feats = np.asarray(feats, np.float32)
+        T = feats.shape[0]
+        T_pad = ((T + 63) // 64) * 64
+        if T_pad != T:
+            feats = np.concatenate(
+                [feats, np.zeros((T_pad - T, feats.shape[1]), np.float32)])
+        out = _loglikes_jit(jnp.asarray(feats), gconst, mean_invvar, inv_var)
+        return out[:T]
 
     def component_posteriors(self, feats, pdfs) -> jnp.ndarray:
-        """Mixture posteriors γ (T, M) for each frame's aligned pdf."""
+        """Mixture posteriors γ (T, M) for each frame's aligned pdf.
+        Bucketed to 64-frame multiples like loglikes."""
         gconst, mean_invvar, inv_var = self.device_params()
-        return _component_post_jit(jnp.asarray(feats, jnp.float32),
-                                   jnp.asarray(pdfs, jnp.int32),
-                                   gconst, mean_invvar, inv_var)
+        feats = np.asarray(feats, np.float32)
+        pdfs = np.asarray(pdfs, np.int32)
+        T = feats.shape[0]
+        T_pad = ((T + 63) // 64) * 64
+        if T_pad != T:
+            feats = np.concatenate(
+                [feats, np.zeros((T_pad - T, feats.shape[1]), np.float32)])
+            pdfs = np.concatenate([pdfs, np.zeros(T_pad - T, np.int32)])
+        out = _component_post_jit(jnp.asarray(feats), jnp.asarray(pdfs),
+                                  gconst, mean_invvar, inv_var)
+        return out[:T]
 
 
 @jax.jit

@@ -127,11 +127,22 @@ class _SpectralBase:
 
     def compute(self, waveform: np.ndarray,
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        """Full offline computation for one waveform → (frames, dim)."""
+        """Full offline computation for one waveform → (frames, dim).
+
+        The frame count is padded to a 64-frame bucket before the jitted
+        spectral pipeline so arbitrary utterance lengths reuse a handful
+        of compilations (compile time dominates on remote-compile TPU
+        setups); the pad is sliced off after."""
         frames = self.frames(waveform, rng)
-        if frames.shape[0] == 0:
+        T = frames.shape[0]
+        if T == 0:
             return np.zeros((0, self.dim), dtype=np.float32)
-        return np.asarray(self.compute_frames(frames))
+        T_pad = ((T + 63) // 64) * 64
+        if T_pad != T:
+            frames = np.concatenate(
+                [frames, np.ones((T_pad - T, frames.shape[1]),
+                                 frames.dtype)])
+        return np.asarray(self.compute_frames(frames))[:T]
 
 
 def _floor_energy(log_energy: jnp.ndarray, energy_floor: float) -> jnp.ndarray:

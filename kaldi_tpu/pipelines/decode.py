@@ -69,26 +69,29 @@ def decode_gmm(feats: Dict[str, np.ndarray], am: AmDiagGmm,
                config: BeamDecoderConfig = None,
                refs: Optional[Dict[str, List[str]]] = None,
                batch_size: int = 8) -> DecodeResult:
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
     cfg = config or BeamDecoderConfig(beam=16.0, max_active=2000,
                                       acoustic_scale=0.1)
-    csr = pack_fst(HCLG)
-    dec = BeamDecoder(csr, tm.tid_to_pdf_array, cfg)
+    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=cfg.beam,
+                                          acoustic_scale=cfg.acoustic_scale))
     utts = sorted(feats)
     hyps: Dict[str, List[str]] = {}
     alignments: Dict[str, List[int]] = {}
     costs: Dict[str, float] = {}
     P = am.num_pdfs
+    # one fixed (B, T_bucket) shape for the whole run → one compilation
+    T_all = ((max(feats[u].shape[0] for u in utts) + 255) // 256) * 256
     for i in range(0, len(utts), batch_size):
         chunk = utts[i:i + batch_size]
         lls = [np.asarray(am.loglikes(feats[u])) for u in chunk]
-        T_pad = ((max(l.shape[0] for l in lls) + 15) // 16) * 16
-        batch = np.zeros((len(chunk), T_pad, P), np.float32)
-        lens = np.zeros(len(chunk), np.int32)
+        batch = np.zeros((batch_size, T_all, P), np.float32)
+        lens = np.ones(batch_size, np.int32)
         for b, l in enumerate(lls):
             batch[b, :l.shape[0]] = l
             lens[b] = l.shape[0]
         for u, (tids, ols, cost) in zip(
-                chunk, dec.decode_batch(batch, lens)):
+                chunk, dec.decode_batch(batch, lens)[:len(chunk)]):
             hyps[u] = [lang.words.find(o) for o in ols]
             alignments[u] = tids
             costs[u] = cost
