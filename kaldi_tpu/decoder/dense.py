@@ -297,30 +297,38 @@ class DenseDecoder:
                 beta = jnp.minimum(beta, jnp.min(cand, axis=1))
             return beta
 
-        def alpha_compute(loglikes):
-            def fstep(alpha, loglike):
+        def alpha_compute(loglikes, num_frames):
+            # frames ≥ num_frames are padding: pass α through unchanged
+            def fstep(alpha, xs):
+                loglike, act = xs
                 ac = -scale * loglike[c["e_pdf"]]
                 new = jnp.min(alpha[c["e_src"]] + c["e_w"] + ac, axis=1)
                 m = jnp.min(new)
                 new = jnp.where(new > m + beam, BIG, new)
                 new = alpha_eps(new)
+                new = jnp.where(act, new, alpha)
                 return new, new
 
             alpha0 = alpha_eps(jnp.full((S,), BIG).at[self.graph.start]
                                .set(0.0))
-            _, alphas = jax.lax.scan(fstep, alpha0, loglikes)
-            return jnp.concatenate([alpha0[None], alphas])     # (T+1, S)
+            active = jnp.arange(loglikes.shape[0]) < num_frames
+            _, alphas = jax.lax.scan(fstep, alpha0, (loglikes, active))
+            return jnp.concatenate([alpha0[None], alphas])     # (T_pad+1, S)
 
-        def beta_compute(loglikes, final_vec):
-            def bstep(beta_next, loglike):
+        def beta_compute(loglikes, num_frames, final_vec):
+            def bstep(beta_next, xs):
+                loglike, act = xs
                 ac = -scale * loglike[f["f_pdf"]]
                 bemit = jnp.min(f["f_w"] + ac + beta_next[f["f_ns"]], axis=1)
                 beta = beta_eps(bemit)
+                beta = jnp.where(act, beta, beta_next)
                 return beta, beta
 
             betaT = beta_eps(jnp.minimum(final_vec, BIG))
-            _, betas = jax.lax.scan(bstep, betaT, loglikes, reverse=True)
-            return jnp.concatenate([betas, betaT[None]])       # (T+1, S)
+            active = jnp.arange(loglikes.shape[0]) < num_frames
+            _, betas = jax.lax.scan(bstep, betaT, (loglikes, active),
+                                    reverse=True)
+            return jnp.concatenate([betas, betaT[None]])       # (T_pad+1, S)
 
         self._alpha_jit = jax.jit(alpha_compute)
         self._beta_jit = jax.jit(beta_compute)
@@ -333,11 +341,19 @@ class DenseDecoder:
         from kaldi_tpu.lattice.lattice import Lattice, LatticeArc
         self._ensure_lattice_jit()
         T = loglikes.shape[0]
+        # bucket T so arbitrary lengths share compilations
+        T_pad = ((T + 63) // 64) * 64
+        loglikes = np.asarray(loglikes, np.float32)
+        if T_pad != T:
+            loglikes = np.concatenate(
+                [loglikes, np.zeros((T_pad - T, loglikes.shape[1]),
+                                    np.float32)])
         ll_dev = jnp.asarray(loglikes, jnp.float32)
-        alphas = np.asarray(self._alpha_jit(ll_dev))
+        nf = jnp.int32(T)
+        alphas = np.asarray(self._alpha_jit(ll_dev, nf))[:T + 1]
         final_np = np.asarray(self.graph.final)
-        betas = np.asarray(self._beta_jit(ll_dev,
-                                          jnp.asarray(self.graph.final)))
+        betas = np.asarray(self._beta_jit(
+            ll_dev, nf, jnp.asarray(self.graph.final)))[:T + 1]
         use_final_probs = bool(
             np.min(alphas[T] + betas[T]) < 1e29)
         if not use_final_probs:
@@ -345,7 +361,8 @@ class DenseDecoder:
             # treating every live last-frame token as final with zero cost
             # (LatticeFasterDecoder use_final_probs=false behavior).
             betas = np.asarray(self._beta_jit(
-                ll_dev, jnp.zeros_like(jnp.asarray(self.graph.final))))
+                ll_dev, nf,
+                jnp.zeros_like(jnp.asarray(self.graph.final))))[:T + 1]
             final_np = np.zeros_like(final_np)
         best = float(np.min(alphas[T] + betas[T]))
         if best >= 1e29:
