@@ -208,6 +208,57 @@ def numerator_logprob(scores: jnp.ndarray, pdf_ali: jnp.ndarray,
     return jnp.sum(jnp.where(mask, gathered, 0.0), axis=1)
 
 
+def numerator_flexible_logprob(scores: jnp.ndarray,
+                               entry_pdf: jnp.ndarray,
+                               self_pdf: jnp.ndarray,
+                               num_segs: jnp.ndarray,
+                               mask: jnp.ndarray) -> jnp.ndarray:
+    """Supervision-FST numerator with FREE phone-boundary placement
+    (a superset of chain-supervision.h's ±tolerance window): the chunk's
+    phone-segment sequence is fixed, but frames distribute over segments
+    arbitrarily (each segment ≥ 1 frame).
+
+    The supervision graph is a linear chain over segments, so the
+    forward recursion is shift + logaddexp — no gathers:
+
+        α'[s] = logaddexp(α[s] + score[self_pdf[s]],
+                          α[s−1] + score[entry_pdf[s]])
+
+    scores (B, T, P); entry_pdf/self_pdf (B, S) padded; num_segs (B,);
+    mask (B, T).  Frame 0 admits entry OR continuation of segment 0
+    (chunks may start mid-phone).  Returns (B,) log-probs.
+    """
+    B, T, P = scores.shape
+    S = entry_pdf.shape[1]
+    NEG = jnp.float32(-1e30)
+
+    def gather(score_t, pdfs):
+        return jnp.take_along_axis(score_t, pdfs, axis=1)  # (B, S)
+
+    s0 = scores[:, 0, :]
+    alpha0 = jnp.full((B, S), NEG).at[:, 0].set(
+        jnp.logaddexp(gather(s0, entry_pdf)[:, 0],
+                      gather(s0, self_pdf)[:, 0]))
+
+    def step(alpha, xs):
+        score_t, act = xs
+        stay = alpha + gather(score_t, self_pdf)
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), NEG), alpha[:, :-1]], axis=1)
+        advance = shifted + gather(score_t, entry_pdf)
+        new = jnp.logaddexp(stay, advance)
+        new = jnp.where(act[:, None], new, alpha)
+        return new, None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0,
+        (jnp.swapaxes(scores[:, 1:, :], 0, 1), jnp.swapaxes(mask[:, 1:], 0, 1)))
+    # end in the LAST segment (it may continue past the chunk edge)
+    last = jnp.clip(num_segs - 1, 0, S - 1)
+    return jnp.take_along_axis(alpha, last[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+
+
 @dataclasses.dataclass
 class ChainTrainingOptions:
     """Mirrors chain-training.h ChainTrainingOptions names."""
@@ -218,10 +269,19 @@ class ChainTrainingOptions:
 
 def chain_objf(den: DenominatorGraph, scores: jnp.ndarray,
                pdf_ali: jnp.ndarray, mask: jnp.ndarray,
-               opts: ChainTrainingOptions = ChainTrainingOptions()
+               opts: ChainTrainingOptions = ChainTrainingOptions(),
+               num_graph: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]] = None
                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Negative LF-MMI objective per frame (to minimize) + diagnostics."""
-    num = numerator_logprob(scores, pdf_ali, mask)
+    """Negative LF-MMI objective per frame (to minimize) + diagnostics.
+
+    num_graph = (entry_pdf, self_pdf, num_segs) switches the numerator
+    to the flexible-boundary supervision FST; pdf_ali is ignored then."""
+    if num_graph is not None:
+        num = numerator_flexible_logprob(scores, num_graph[0], num_graph[1],
+                                         num_graph[2], mask)
+    else:
+        num = numerator_logprob(scores, pdf_ali, mask)
     den_lp = denominator_logprob(den, scores)
     num_frames = jnp.maximum(jnp.sum(mask), 1)
     objf = (jnp.sum(num) - jnp.sum(den_lp)) / num_frames

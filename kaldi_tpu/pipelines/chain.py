@@ -42,10 +42,17 @@ log = get_logger(__name__)
 
 @dataclasses.dataclass
 class ChainEgs:
-    """Fixed-size training chunks (nnet3-chain-egs equivalent)."""
+    """Fixed-size training chunks (nnet3-chain-egs equivalent).
+
+    entry_pdf/self_pdf/num_segs describe the chunk's phone-segment
+    sequence for the flexible-boundary numerator (chain-supervision
+    tolerance); pdf_ali is the fixed-path fallback."""
     feats: np.ndarray       # (N, chunk_T, D)
     pdf_ali: np.ndarray     # (N, chunk_T // sub) int32
     mask: np.ndarray        # (N, chunk_T // sub) bool
+    entry_pdf: np.ndarray = None   # (N, S_max) int32
+    self_pdf: np.ndarray = None    # (N, S_max) int32
+    num_segs: np.ndarray = None    # (N,) int32
 
 
 def make_chain_egs(feats: Dict[str, np.ndarray],
@@ -55,7 +62,7 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
     """Cut utterances into fixed chunks; numerator pdfs from phone
     alignments ((phone, duration) runs) through the chain topology:
     first subsampled frame of a phone = forward pdf, rest = self pdf."""
-    X, A, M = [], [], []
+    X, A, M, EP = [], [], [], []
     out_T = chunk_size // subsample
     for u, f in sorted(feats.items()):
         # full-rate phone sequence, then subsample PHONES (midpoint rule)
@@ -83,12 +90,29 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
             entry = t == 0 or sub_phones[t - 1] != ph
             sub_pdfs_full.append(pdfs_for(ph, entry))
 
+        def segs_of(chunk_sub_phones):
+            segs = []
+            for t, ph in enumerate(chunk_sub_phones):
+                if t == 0 or chunk_sub_phones[t - 1] != ph:
+                    segs.append(ph)
+            return segs
+
+        def seg_arrays(chunk_sub_phones):
+            segs = segs_of(chunk_sub_phones)
+            e = np.zeros(out_T, np.int32)
+            sl = np.zeros(out_T, np.int32)
+            for i, ph in enumerate(segs):
+                e[i] = pdfs_for(ph, True)
+                sl[i] = pdfs_for(ph, False)
+            return e, sl, np.int32(len(segs))
+
         for start_sub in range(0, T_sub_total - out_T + 1, out_T):
             start = start_sub * subsample
             X.append(f[start:start + chunk_size])
             A.append(np.asarray(
                 sub_pdfs_full[start_sub:start_sub + out_T], np.int32))
             M.append(np.ones(out_T, bool))
+            EP.append(seg_arrays(sub_phones[start_sub:start_sub + out_T]))
         rem_sub = T_sub_total % out_T
         if rem_sub >= 4:
             start_sub = T_sub_total - rem_sub
@@ -103,8 +127,12 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
             X.append(chunk_f)
             A.append(sub_pdfs)
             M.append(m)
+            EP.append(seg_arrays(sub_phones[start_sub:]))
     return ChainEgs(np.stack(X).astype(np.float32), np.stack(A),
-                    np.stack(M))
+                    np.stack(M),
+                    entry_pdf=np.stack([e for e, _, _ in EP]),
+                    self_pdf=np.stack([s_ for _, s_, _ in EP]),
+                    num_segs=np.asarray([n for _, _, n in EP], np.int32))
 
 
 @dataclasses.dataclass
@@ -114,6 +142,10 @@ class ChainTrainConfig:
     learning_rate: float = 1e-3
     final_learning_rate: float = 1e-4
     orthonormal_weight: float = 1e-2
+    # flexible-boundary supervision numerator (chain-supervision
+    # tolerance, see am/chain.numerator_flexible_logprob); falls back to
+    # the fixed alignment path when egs lack segment arrays
+    use_flexible_numerator: bool = True
     opts: ChainTrainingOptions = dataclasses.field(
         default_factory=ChainTrainingOptions)
 
@@ -140,24 +172,25 @@ class ChainTrainer:
             self.opt_state = self.tx.init(self.params)
         self._step = jax.jit(self._train_step)
 
-    def _loss_fn(self, params, batch_stats, feats, pdf_ali, mask):
+    def _loss_fn(self, params, batch_stats, feats, pdf_ali, mask,
+                 num_graph):
         scores, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats, train=True, mutable=["batch_stats"])
         loss, diag = chain_objf(self.den, scores, pdf_ali, mask,
-                                self.cfg.opts)
+                                self.cfg.opts, num_graph=num_graph)
         loss = loss + self.cfg.orthonormal_weight * \
             semi_orthogonal_penalty(params)
         return loss, (diag, updates["batch_stats"])
 
     def _train_step(self, params, batch_stats, opt_state, feats, pdf_ali,
-                    mask):
+                    mask, num_graph=None):
         if self.mesh is not None:
             feats = jax.lax.with_sharding_constraint(
                 feats, batch_sharding(self.mesh))
         (loss, (diag, new_bs)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, batch_stats, feats,
-                                         pdf_ali, mask)
+                                         pdf_ali, mask, num_graph)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss, diag
@@ -196,12 +229,19 @@ class ChainTrainer:
             order = rng.permutation(N)
             for i in range(0, N - B + 1, B):
                 idx = order[i:i + B]
+                num_graph = None
+                if (self.cfg.use_flexible_numerator
+                        and egs.entry_pdf is not None):
+                    num_graph = (jnp.asarray(egs.entry_pdf[idx]),
+                                 jnp.asarray(egs.self_pdf[idx]),
+                                 jnp.asarray(egs.num_segs[idx]))
                 (self.params, self.batch_stats, self.opt_state, loss,
                  diag) = self._step(self.params, self.batch_stats,
                                     self.opt_state,
                                     jnp.asarray(egs.feats[idx]),
                                     jnp.asarray(egs.pdf_ali[idx]),
-                                    jnp.asarray(egs.mask[idx]))
+                                    jnp.asarray(egs.mask[idx]),
+                                    num_graph)
                 step += 1
                 if step % log_every == 0:
                     log.info("chain step %d: loss %.4f objf %.4f "

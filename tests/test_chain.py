@@ -169,3 +169,70 @@ def test_chain_objective_learnable(rng):
     # (self-loop log 2; cross arcs add the bigram LM term ≈ log 2·|P|).
     worst_arc = -float(np.min(den.logw[den.logw > -5.0]))
     assert float(diag1["objf"]) <= worst_arc + 3.0 / T
+
+
+def test_flexible_numerator_bounds(rng):
+    """Flexible-boundary numerator: ≥ any fixed segmentation path, ≤ the
+    denominator-free sum over all segmentations (sanity via brute force
+    on a tiny case)."""
+    import itertools
+    from kaldi_tpu.am.chain import numerator_flexible_logprob
+    B, T, P = 1, 5, 4
+    scores = jnp.asarray(rng.standard_normal((B, T, P)).astype(np.float32))
+    # 2 segments: entry pdfs [0, 2], self pdfs [1, 3]
+    entry = jnp.asarray([[0, 2, 0, 0, 0]], jnp.int32)
+    selfp = jnp.asarray([[1, 3, 0, 0, 0]], jnp.int32)
+    nseg = jnp.asarray([2], jnp.int32)
+    mask = jnp.ones((B, T), bool)
+    got = float(numerator_flexible_logprob(scores, entry, selfp, nseg, mask)[0])
+    # brute force: boundary b = first frame of segment 2, 1..T-1; frame 0
+    # emits entry-or-self of segment 1 (logaddexp)
+    s = np.asarray(scores[0])
+    totals = []
+    for b in range(1, T):
+        v = np.logaddexp(s[0, 0], s[0, 1])
+        for t in range(1, b):
+            v += s[t, 1]
+        v += s[b, 2]
+        for t in range(b + 1, T):
+            v += s[t, 3]
+        totals.append(v)
+    ref = np.logaddexp.reduce(totals)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_flexible_numerator_in_training(rng):
+    """Training with the flexible numerator must still learn (objf up)."""
+    from kaldi_tpu.am.topology import HmmTopology
+    from kaldi_tpu.am.tree import MonophoneContextDependency
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.pipelines.chain import (ChainTrainConfig, ChainTrainer,
+                                           make_chain_egs)
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    den = make_denominator_graph([[1, 2, 1], [2, 1, 2]], tree, topo)
+    # fabricate alignments: phone runs with durations
+    runs = {"u0": [(1, 12), (2, 12), (1, 12)],
+            "u1": [(2, 12), (1, 12), (2, 12)]}
+    D = 6
+    proto = {1: rng.standard_normal(D), 2: rng.standard_normal(D)}
+    feats = {}
+    for u, rr in runs.items():
+        fs = []
+        for ph, dur in rr:
+            fs.extend([proto[ph] + 0.1 * rng.standard_normal(D)
+                       for _ in range(dur)])
+        feats[u] = np.asarray(fs, np.float32)
+    egs = make_chain_egs(feats, runs, tree, topo, chunk_size=18, subsample=3)
+    assert egs.entry_pdf is not None
+    assert egs.num_segs.min() >= 1
+    cfg = TdnnConfig(feat_dim=D, num_pdfs=tree.num_pdfs, hidden_dim=16,
+                     bottleneck_dim=8, num_layers=2,
+                     frame_subsampling_factor=3)
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=30, batch_size=4, learning_rate=5e-3,
+        use_flexible_numerator=True))
+    out = tr.train(egs, log_every=1000)
+    assert np.isfinite(out["loss"])
+    assert out["objf"] > -5.0   # learned something reasonable
