@@ -7,8 +7,12 @@ src/gmm/am-diag-gmm.cc (<DIMENSION> <NUMPDFS>), tree serialization
 (src/tree/context-dep.cc ContextDependency::Write).
 
 Wire format: our core.io binary primitives (token + basic-type framing,
-"\\0B" header) with the reference's token names, so files are
-structured the same way; every artifact between pipeline stages lives
+"\\0B" header) with reference-style token names.  NOT byte-compatible
+with upstream .mdl files: the tree is embedded inside <TransitionModel>,
+there is no <Tuples>/<Triples> section, and GMMs are stored as batched
+<MAXMIX>/<MEANS>/<VARS> matrices rather than per-pdf <DiagGMM> blocks
+(a deliberate TPU-side layout — the (P, M, D) tensors load straight
+into the einsum scorer).  Every artifact between pipeline stages lives
 on disk exactly like the reference's stage contract (SURVEY.md §5
 checkpoint/resume row).  Flax/optax training state uses orbax instead
 (pipelines/chain.py); this module covers the GMM/HMM world.
@@ -171,7 +175,13 @@ def read_transition_model(f: BinaryIO) -> TransitionModel:
     tree = read_tree(f)
     tm = TransitionModel(topo, tree)
     kio.expect_token(f, "<LogProbs>")
-    tm.log_probs = kio.read_vector(f)
+    log_probs = kio.read_vector(f)
+    if len(log_probs) != tm.num_transition_ids + 1:
+        raise KaldiError(
+            f"read_transition_model: <LogProbs> length {len(log_probs)} != "
+            f"num-transition-ids+1 = {tm.num_transition_ids + 1} "
+            "(truncated or mismatched file)")
+    tm.log_probs = log_probs
     kio.expect_token(f, "</LogProbs>")
     kio.expect_token(f, "</TransitionModel>")
     return tm

@@ -10,8 +10,12 @@ Parity targets:
   - src/base/io-funcs.h  ReadBasicType/WriteBasicType, tokens, and the
     "\\0B" binary-mode header.
 
-Wire format (Kaldi binary mode, kept byte-compatible so models/archives
-written by the C++ toolkit are readable):
+Wire format (Kaldi binary mode). The PRIMITIVES below — the \\0B
+header, basic types, tokens, FM/FV/DM/DV matrices and vectors, integer
+vectors, and ark/scp table framing — follow the C++ toolkit's byte
+layout. Higher-level objects (.mdl in am/serialize.py) use these
+primitives but their token layout diverges from the reference's
+TransitionModel/AmDiagGmm sections; see am/serialize.py's docstring.
   * a binary item starts with bytes ``\\0B``
   * basic types are written as one size byte (sizeof) followed by the
     little-endian value (io-funcs-inl.h WriteBasicType)

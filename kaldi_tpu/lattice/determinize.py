@@ -156,8 +156,13 @@ def prune_lattice(clat: CompactLattice, beam: float) -> CompactLattice:
     for s in reversed(order):
         for a in clat.arcs[s]:
             bwd[s] = min(bwd[s], a.total + bwd[a.nextstate])
-    best = fwd and min(fwd[s] + bwd[s] for s in range(n)
-                       if fwd[s] != INF and bwd[s] != INF)
+    costs = [fwd[s] + bwd[s] for s in range(n)
+             if fwd[s] != INF and bwd[s] != INF]
+    if not costs:
+        # no state is both accessible and coaccessible (e.g. no reachable
+        # final): the pruned lattice is empty
+        return CompactLattice()
+    best = min(costs)
     bound = best + beam
     keep = [s for s in range(n)
             if fwd[s] != INF and bwd[s] != INF and fwd[s] + bwd[s] <= bound]
