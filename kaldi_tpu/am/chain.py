@@ -1,8 +1,10 @@
 """LF-MMI ('chain') training objective.
 
 Parity targets: src/chain/chain-training.h (ComputeChainObjfAndDeriv),
-chain-den-graph.h (DenominatorGraph), chain-denominator.h
-(DenominatorComputation), chain-supervision.h (Supervision).
+chain-den-graph.h (DenominatorGraph, leaky-HMM initial probs),
+chain-denominator.h (DenominatorComputation with leaky_hmm_coefficient),
+chain-supervision.h (Supervision), and the recipe-side phone LM
+estimation (chainbin/chain-est-phone-lm.cc).
 
 TPU-first design: the denominator forward recursion is a log-space
 lax.scan over frames with per-arc gathers and segment-logsumexp
@@ -12,10 +14,18 @@ expected occupancy, so XLA's autodiff *is* the backward pass of
 chain-kernels.cu, with jax.checkpoint rematerializing alpha instead of
 storing T×S betas.
 
-The numerator here is the fixed forced-alignment path at the
-subsampled frame rate (the reference's Supervision FSTs additionally
-allow a ±frame tolerance window; hook `numerator_fst_logprob` takes a
-path FST so tolerance supervisions can plug in).
+Divergences from the reference, by design:
+  * The phone LM is closed over backoff into dense per-state next-phone
+    distributions at graph-build time (the reference builds a backoff
+    FST, epsilon-removes and minimizes it — same result, but the dense
+    closure keeps the on-device recursion epsilon-free and uniform).
+  * Leaky-HMM is folded into the forward scan as a per-frame logaddexp
+    against the stationary distribution instead of a special state.
+  * The numerator is a flexible-boundary segment chain (a superset of
+    the reference's ±frame-tolerance supervision), with the
+    normalization-FST weights (phone-LM scores + topology transition
+    probs + initial/final probs) threaded in as per-segment additive
+    weights.
 """
 
 from __future__ import annotations
@@ -35,43 +45,187 @@ from kaldi_tpu.am.tree import ContextDependency
 log = get_logger(__name__)
 
 
+# ---------------------------------------------------------------------------
+# Phone LM (chain-est-phone-lm role)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PhoneLm:
+    """Backoff n-gram phone LM closed into dense per-history
+    distributions (the den-graph states).
+
+    States are retained histories (tuples of phone indices, length
+    1..order-1, always ending in the current phone); transitions from
+    history h on phone c land at the longest retained suffix of h+(c,).
+    Witten–Bell interpolation down to the unigram supplies mass for
+    unseen continuations, so every row is a full distribution over
+    next-phone ∪ {end-of-sequence}.
+    """
+    order: int
+    phones: List[int]                      # sorted phone symbols
+    hists: List[Tuple[int, ...]]           # per-state history (phone indices)
+    next_logp: np.ndarray                  # (S, P) log p(c | h)
+    final_logp: np.ndarray                 # (S,) log p(</s> | h)
+    next_state: np.ndarray                 # (S, P) int32 dst state ids
+
+    @property
+    def num_states(self) -> int:
+        return len(self.hists)
+
+    def state_of(self, phone_seq: Sequence[int]) -> int:
+        """Longest retained suffix of the given phone sequence (must end
+        in at least one phone)."""
+        if not hasattr(self, "_hist_index"):
+            self._hist_index = {h: i for i, h in enumerate(self.hists)}
+            self._pidx = {p: i for i, p in enumerate(self.phones)}
+        idx = [self._pidx[p] for p in phone_seq]
+        for k in range(min(len(idx), self.order - 1), 0, -1):
+            h = tuple(idx[-k:])
+            if h in self._hist_index:
+                return self._hist_index[h]
+        raise KaldiError(f"PhoneLm.state_of: no state for {phone_seq}")
+
+
+def estimate_phone_lm(phone_seqs: Sequence[Sequence[int]],
+                      phones: Sequence[int],
+                      order: int = 2,
+                      min_hist_count: int = 1) -> PhoneLm:
+    """Estimate a Witten–Bell-interpolated n-gram phone LM from training
+    phone sequences (chain recipes run chain-est-phone-lm on the
+    numerator alignments).  Histories with count < min_hist_count are
+    pruned (their mass reaches the model through backoff)."""
+    phones = sorted(phones)
+    pidx = {p: i for i, p in enumerate(phones)}
+    P = len(phones)
+    FINAL = P                              # index of </s> in count tables
+
+    # counts[h][c] for histories h of length 0..order-1
+    counts: Dict[Tuple[int, ...], np.ndarray] = {}
+
+    def bump(h: Tuple[int, ...], c: int) -> None:
+        if h not in counts:
+            counts[h] = np.zeros(P + 1)
+        counts[h][c] += 1
+
+    for seq in phone_seqs:
+        idx = [pidx[p] for p in seq]
+        for t, c in enumerate(idx + [FINAL]):
+            for k in range(0, order):
+                if k <= t:
+                    bump(tuple(idx[t - k:t]), c)
+
+    if () not in counts:
+        counts[()] = np.ones(P + 1)
+
+    # Witten–Bell closure, shortest histories first
+    probs: Dict[Tuple[int, ...], np.ndarray] = {}
+    uni_counts = counts[()] + 1e-3          # floor so every phone reachable
+    probs[()] = uni_counts / uni_counts.sum()
+    for h in sorted(counts, key=len):
+        if h == ():
+            continue
+        c = counts[h]
+        tot = c.sum()
+        uniq = np.count_nonzero(c)
+        lam = tot / (tot + uniq)            # weight on the ML estimate
+        probs[h] = lam * (c / max(tot, 1.0)) + (1 - lam) * probs[h[1:]]
+
+    # retained states: histories of length >= 1 whose count passes the
+    # threshold; always retain every unigram history so fallback exists
+    kept = [h for h in counts
+            if len(h) >= 1 and (len(h) == 1
+                                or counts[h].sum() >= min_hist_count)]
+    for p in range(P):
+        if (p,) not in counts:
+            kept.append((p,))
+            probs[(p,)] = probs[()]
+    kept = sorted(set(kept), key=lambda h: (len(h), h))
+    hist_index = {h: i for i, h in enumerate(kept)}
+
+    S = len(kept)
+    next_logp = np.zeros((S, P), np.float32)
+    final_logp = np.zeros(S, np.float32)
+    next_state = np.zeros((S, P), np.int32)
+    for i, h in enumerate(kept):
+        dist = probs[h]
+        next_logp[i] = np.log(np.maximum(dist[:P], 1e-30))
+        final_logp[i] = np.log(max(dist[FINAL], 1e-30))
+        for c in range(P):
+            ext = h + (c,)
+            dst = None
+            for k in range(min(len(ext), order - 1), 0, -1):
+                if ext[-k:] in hist_index:
+                    dst = hist_index[ext[-k:]]
+                    break
+            next_state[i, c] = dst
+    return PhoneLm(order=order, phones=list(phones), hists=kept,
+                   next_logp=next_logp, final_logp=final_logp,
+                   next_state=next_state)
+
+
+# ---------------------------------------------------------------------------
+# Denominator graph
+# ---------------------------------------------------------------------------
+
 @dataclasses.dataclass
 class DenominatorGraph:
-    """Flat arc-list HMM over pdf-ids (chain-den-graph.h equivalent)."""
+    """Flat arc-list HMM over pdf-ids (chain-den-graph.h equivalent).
+
+    `initial` doubles as the leaky-HMM target distribution: it is the
+    stationary distribution of the transition matrix (the reference
+    computes the same thing by iterating the HMM for ~100 steps to get
+    its DenominatorGraph initial probs)."""
     num_states: int
     src: np.ndarray        # (A,) int32
     dst: np.ndarray        # (A,) int32
     pdf: np.ndarray        # (A,) int32
     logw: np.ndarray       # (A,) f32
-    initial: np.ndarray    # (S,) f32 log initial probs
+    initial: np.ndarray    # (S,) f32 log initial probs (stationary dist)
     final: np.ndarray      # (S,) f32 log final probs
+    lm: Optional[PhoneLm] = None          # the phone LM behind the graph
+    # per-state topology log-probs (for normalization-FST weights)
+    l_self: Optional[np.ndarray] = None   # (S,) f32
+    l_fwd: Optional[np.ndarray] = None    # (S,) f32
+
+
+def _stationary_distribution(S: int, src: np.ndarray, dst: np.ndarray,
+                             w: np.ndarray, iters: int = 100) -> np.ndarray:
+    """Power-iterate p ← normalize(pᵀM) over the (sub-stochastic, final
+    mass leaks out) transition matrix; the reference's den-graph initial
+    probs come from the same fixed-point."""
+    M = np.zeros((S, S))
+    np.add.at(M, (src, dst), np.exp(w))
+    p = np.full(S, 1.0 / S)
+    for _ in range(iters):
+        p = p @ M
+        p /= p.sum()
+    return np.log(np.maximum(p, 1e-30)).astype(np.float32)
 
 
 def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
                            tree: ContextDependency,
                            topo: HmmTopology,
-                           interp: float = 1e-3) -> DenominatorGraph:
-    """Build the den graph from training phone sequences: a bigram phone
-    LM (chain recipes estimate it from the numerator alignments —
-    chain-est-phone-lm) expanded through the chain 2-state topology.
+                           interp: float = 1e-3,
+                           order: int = 2,
+                           min_hist_count: int = 1) -> DenominatorGraph:
+    """Build the den graph from training phone sequences: an n-gram
+    phone LM (chain-est-phone-lm role; Witten–Bell backoff closed into
+    dense rows) expanded through the chain topology.
 
-    State p = 'inside phone p'; arcs carry the *forward* pdf of the
-    destination phone; self-loops carry the self-loop pdf.
-    """
+    State = LM history ending in the current phone; arcs to the next
+    phone carry its *forward* pdf and weight log p_fwd + log p(c | h);
+    self-loops carry the current phone's self-loop pdf and log p_self;
+    finals carry log p_fwd + log p(</s> | h) so each state's total
+    outgoing mass is exactly 1 (p_self + p_fwd).
+
+    `interp` is kept for API compatibility (the WB unigram floor plays
+    its smoothing role)."""
+    del interp
     phones = sorted(topo.phones)
-    pidx = {p: i for i, p in enumerate(phones)}
+    lm = estimate_phone_lm(phone_seqs, phones, order=order,
+                           min_hist_count=min_hist_count)
+    S = lm.num_states
     P = len(phones)
-    # bigram counts with +interp smoothing over all pairs
-    uni = np.full(P, interp)
-    big = np.full((P, P), interp)
-    fin = np.full(P, interp)
-    for seq in phone_seqs:
-        if not seq:
-            continue
-        uni[pidx[seq[0]]] += 1
-        for a, b in zip(seq[:-1], seq[1:]):
-            big[pidx[a], pidx[b]] += 1
-        fin[pidx[seq[-1]]] += 1
 
     def pdfs_of(phone):
         window = [0] * tree.context_width
@@ -89,44 +243,46 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
         p_fwd = sum(p for ns, p in trans if ns != 0)
         return math.log(max(p_self, 1e-10)), math.log(max(p_fwd, 1e-10))
 
-    src, dst, pdf, logw = [], [], [], []
-    # normalize LM rows including the final "phone ends utterance" mass
-    row_tot = big.sum(axis=1) + fin
-    for a in range(P):
-        l_self, l_fwd = topo_probs(phones[a])
-        fwd_a, slf_a = pdfs_of(phones[a])
-        # self-loop of phone a
-        src.append(a)
-        dst.append(a)
-        pdf.append(slf_a)
-        logw.append(l_self)
-        for b in range(P):
-            fwd_b, _ = pdfs_of(phones[b])
-            w = l_fwd + math.log(big[a, b] / row_tot[a])
-            src.append(a)
-            dst.append(b)
-            pdf.append(fwd_b)
-            logw.append(w)
+    fwd_pdf = np.zeros(P, np.int32)
+    slf_pdf = np.zeros(P, np.int32)
+    l_self_p = np.zeros(P, np.float32)
+    l_fwd_p = np.zeros(P, np.float32)
+    for i, ph in enumerate(phones):
+        fwd_pdf[i], slf_pdf[i] = pdfs_of(ph)
+        l_self_p[i], l_fwd_p[i] = topo_probs(ph)
 
-    # initial: entering phone p emits its forward pdf on the first frame;
-    # we model that by initial probs over states combined with emitting
-    # the state's OWN pdf at every frame including the first. To keep the
-    # per-frame recursion uniform, fold entry emission as: alpha_0[p] =
-    # log uni[p]; frame emissions use self-loop pdfs; approximation noted.
-    # Better: add a super-initial expansion on frame 0 handled in the
-    # forward function via `initial` probs + first-frame forward pdfs.
-    initial = np.log(uni / uni.sum())
-    final = np.log(fin / row_tot)
+    cur = np.asarray([h[-1] for h in lm.hists], np.int32)  # current phone idx
+    l_self = l_self_p[cur]
+    l_fwd = l_fwd_p[cur]
+
+    # self-loops
+    src = [np.arange(S, dtype=np.int32)]
+    dst = [np.arange(S, dtype=np.int32)]
+    pdf = [slf_pdf[cur]]
+    logw = [l_self]
+    # cross arcs: dense (S, P)
+    ss, cc = np.meshgrid(np.arange(S, dtype=np.int32),
+                         np.arange(P, dtype=np.int32), indexing="ij")
+    src.append(ss.ravel())
+    dst.append(lm.next_state[ss, cc].ravel().astype(np.int32))
+    pdf.append(fwd_pdf[cc].ravel())
+    logw.append((l_fwd[:, None] + lm.next_logp)[ss, cc].ravel())
+
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    pdf = np.concatenate(pdf)
+    logw = np.concatenate(logw).astype(np.float32)
+    final = (l_fwd + lm.final_logp).astype(np.float32)
+    initial = _stationary_distribution(S, src, dst, logw)
     return DenominatorGraph(
-        num_states=P,
-        src=np.asarray(src, np.int32),
-        dst=np.asarray(dst, np.int32),
-        pdf=np.asarray(pdf, np.int32),
-        logw=np.asarray(logw, np.float32),
-        initial=initial.astype(np.float32),
-        final=final.astype(np.float32),
-    )
+        num_states=S, src=src, dst=dst, pdf=pdf, logw=logw,
+        initial=initial, final=final, lm=lm,
+        l_self=l_self.astype(np.float32), l_fwd=l_fwd.astype(np.float32))
 
+
+# ---------------------------------------------------------------------------
+# Denominator forward (log Z)
+# ---------------------------------------------------------------------------
 
 def _segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,
                        num_segments: int) -> jnp.ndarray:
@@ -141,12 +297,19 @@ def _segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,
     return mx + jnp.log(jnp.maximum(s, 1e-30))
 
 
-def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray
-                        ) -> jnp.ndarray:
+def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray,
+                        mask: Optional[jnp.ndarray] = None,
+                        leaky_hmm_coefficient: float = 0.0) -> jnp.ndarray:
     """log Z of the denominator HMM for each sequence.
 
     scores: (B, T, num_pdfs) un-normalized log acoustic scores.
-    Returns (B,) log-probs.  Differentiable; wrap calls in jax.value_and_grad.
+    mask: optional (B, T) bool — padded frames freeze alpha, so the
+    denominator integrates exactly the frames the numerator sees.
+    leaky_hmm_coefficient: per-frame leak to the stationary
+    distribution (chain-denominator.h's leaky-HMM — gradually forgets
+    context, bounding occupancies and stabilizing training).
+    Returns (B,) log-probs.  Differentiable; wrap calls in
+    jax.value_and_grad.
     """
     S = den.num_states
     src = jnp.asarray(den.src)
@@ -157,6 +320,8 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray
     final = jnp.asarray(den.final)
 
     B, T, _ = scores.shape
+    if mask is None:
+        mask = jnp.ones((B, T), bool)
 
     # Frame 0: a chunk may start mid-phone (state p continuing → emits
     # p's self-loop pdf) OR at a phone start (entering p → emits p's
@@ -176,27 +341,46 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray
     self_pdf = jnp.asarray(self_pdf)
     entry_pdf = jnp.asarray(entry_pdf)
 
-    alpha0 = initial[None, :] + jnp.logaddexp(
-        scores[:, 0, :][:, self_pdf], scores[:, 0, :][:, entry_pdf])  # (B, S)
+    if leaky_hmm_coefficient > 0.0:
+        log_leak = jnp.float32(math.log(leaky_hmm_coefficient))
+
+        def leak(alpha):
+            tot = jax.scipy.special.logsumexp(alpha, axis=1, keepdims=True)
+            return jnp.logaddexp(alpha, log_leak + initial[None, :] + tot)
+    else:
+        def leak(alpha):
+            return alpha
+
+    alpha0 = leak(initial[None, :] + jnp.logaddexp(
+        scores[:, 0, :][:, self_pdf], scores[:, 0, :][:, entry_pdf]))  # (B, S)
 
     @jax.checkpoint
     def step(alpha, score_t):
         contrib = alpha[:, src] + logw[None, :] + score_t[:, pdf]
-        new_alpha = _segment_logsumexp(contrib, dst, S)
+        new_alpha = leak(_segment_logsumexp(contrib, dst, S))
         # normalize for numerical stability; carry the log-correction
         m = jnp.max(new_alpha, axis=1, keepdims=True)
         return new_alpha - m, m[:, 0]
 
-    def scan_step(carry, score_t):
+    def scan_step(carry, xs):
+        score_t, act = xs
         alpha, corr = carry
         new_alpha, m = step(alpha, score_t)
-        return (new_alpha, corr + m), None
+        # padded frames: freeze alpha and the correction
+        new_alpha = jnp.where(act[:, None], new_alpha, alpha)
+        corr = corr + jnp.where(act, m, 0.0)
+        return (new_alpha, corr), None
 
     (alphaT, corr), _ = jax.lax.scan(
         scan_step, (alpha0, jnp.zeros(B)),
-        jnp.swapaxes(scores[:, 1:, :], 0, 1))
+        (jnp.swapaxes(scores[:, 1:, :], 0, 1),
+         jnp.swapaxes(mask[:, 1:], 0, 1)))
     return corr + jax.scipy.special.logsumexp(alphaT + final[None, :], axis=1)
 
+
+# ---------------------------------------------------------------------------
+# Numerators
+# ---------------------------------------------------------------------------
 
 def numerator_logprob(scores: jnp.ndarray, pdf_ali: jnp.ndarray,
                       mask: jnp.ndarray) -> jnp.ndarray:
@@ -212,7 +396,12 @@ def numerator_flexible_logprob(scores: jnp.ndarray,
                                entry_pdf: jnp.ndarray,
                                self_pdf: jnp.ndarray,
                                num_segs: jnp.ndarray,
-                               mask: jnp.ndarray) -> jnp.ndarray:
+                               mask: jnp.ndarray,
+                               entry_w: Optional[jnp.ndarray] = None,
+                               self_w: Optional[jnp.ndarray] = None,
+                               init_w: Optional[jnp.ndarray] = None,
+                               final_w: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
     """Supervision-FST numerator with FREE phone-boundary placement
     (a superset of chain-supervision.h's ±tolerance window): the chunk's
     phone-segment sequence is fixed, but frames distribute over segments
@@ -221,8 +410,15 @@ def numerator_flexible_logprob(scores: jnp.ndarray,
     The supervision graph is a linear chain over segments, so the
     forward recursion is shift + logaddexp — no gathers:
 
-        α'[s] = logaddexp(α[s] + score[self_pdf[s]],
-                          α[s−1] + score[entry_pdf[s]])
+        α'[s] = logaddexp(α[s] + score[self_pdf[s]] + self_w[s],
+                          α[s−1] + score[entry_pdf[s]] + entry_w[s])
+
+    The optional weights are the NORMALIZATION-FST composition
+    (chain-supervision.h AddWeightToSupervisionFst): entry_w carries
+    log p_fwd + log p_LM(phone_s | history) per segment, self_w carries
+    log p_self, init_w/final_w the den graph's initial/final log-probs
+    of the first/last segment's state — making num − den a properly
+    normalized (≤ 0) log-likelihood ratio.
 
     scores (B, T, P); entry_pdf/self_pdf (B, S) padded; num_segs (B,);
     mask (B, T).  Frame 0 admits entry OR continuation of segment 0
@@ -231,58 +427,74 @@ def numerator_flexible_logprob(scores: jnp.ndarray,
     B, T, P = scores.shape
     S = entry_pdf.shape[1]
     NEG = jnp.float32(-1e30)
+    if entry_w is None:
+        entry_w = jnp.zeros((B, S), jnp.float32)
+    if self_w is None:
+        self_w = jnp.zeros((B, S), jnp.float32)
+    if init_w is None:
+        init_w = jnp.zeros((B,), jnp.float32)
+    if final_w is None:
+        final_w = jnp.zeros((B,), jnp.float32)
 
     def gather(score_t, pdfs):
         return jnp.take_along_axis(score_t, pdfs, axis=1)  # (B, S)
 
     s0 = scores[:, 0, :]
     alpha0 = jnp.full((B, S), NEG).at[:, 0].set(
-        jnp.logaddexp(gather(s0, entry_pdf)[:, 0],
-                      gather(s0, self_pdf)[:, 0]))
+        init_w + jnp.logaddexp(gather(s0, entry_pdf)[:, 0],
+                               gather(s0, self_pdf)[:, 0]))
 
     def step(alpha, xs):
         score_t, act = xs
-        stay = alpha + gather(score_t, self_pdf)
+        stay = alpha + gather(score_t, self_pdf) + self_w
         shifted = jnp.concatenate(
-            [jnp.full((B, 1), NEG), alpha[:, :-1]], axis=1)
+            [jnp.full((B, 1), NEG), (alpha + entry_w_shift)[:, :-1]], axis=1)
         advance = shifted + gather(score_t, entry_pdf)
         new = jnp.logaddexp(stay, advance)
         new = jnp.where(act[:, None], new, alpha)
         return new, None
+
+    # entering segment s from s-1 pays entry_w[s]; align it for the shift
+    entry_w_shift = jnp.concatenate(
+        [entry_w[:, 1:], jnp.zeros((B, 1), jnp.float32)], axis=1)
 
     alpha, _ = jax.lax.scan(
         step, alpha0,
         (jnp.swapaxes(scores[:, 1:, :], 0, 1), jnp.swapaxes(mask[:, 1:], 0, 1)))
     # end in the LAST segment (it may continue past the chunk edge)
     last = jnp.clip(num_segs - 1, 0, S - 1)
-    return jnp.take_along_axis(alpha, last[:, None].astype(jnp.int32),
-                               axis=1)[:, 0]
+    return final_w + jnp.take_along_axis(
+        alpha, last[:, None].astype(jnp.int32), axis=1)[:, 0]
 
 
 @dataclasses.dataclass
 class ChainTrainingOptions:
     """Mirrors chain-training.h ChainTrainingOptions names."""
     l2_regularize: float = 5e-5
-    leaky_hmm_coefficient: float = 0.1    # reserved (see denominator init)
+    leaky_hmm_coefficient: float = 0.1
     xent_regularize: float = 0.0
 
 
 def chain_objf(den: DenominatorGraph, scores: jnp.ndarray,
                pdf_ali: jnp.ndarray, mask: jnp.ndarray,
                opts: ChainTrainingOptions = ChainTrainingOptions(),
-               num_graph: Optional[Tuple[jnp.ndarray, jnp.ndarray,
-                                         jnp.ndarray]] = None
+               num_graph: Optional[Tuple[jnp.ndarray, ...]] = None
                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Negative LF-MMI objective per frame (to minimize) + diagnostics.
 
-    num_graph = (entry_pdf, self_pdf, num_segs) switches the numerator
-    to the flexible-boundary supervision FST; pdf_ali is ignored then."""
+    num_graph = (entry_pdf, self_pdf, num_segs[, entry_w, self_w,
+    init_w, final_w]) switches the numerator to the flexible-boundary
+    supervision FST (optionally normalization-weighted); pdf_ali is
+    ignored then."""
     if num_graph is not None:
-        num = numerator_flexible_logprob(scores, num_graph[0], num_graph[1],
-                                         num_graph[2], mask)
+        num = numerator_flexible_logprob(
+            scores, num_graph[0], num_graph[1], num_graph[2], mask,
+            *num_graph[3:])
     else:
         num = numerator_logprob(scores, pdf_ali, mask)
-    den_lp = denominator_logprob(den, scores)
+    den_lp = denominator_logprob(
+        den, scores, mask=mask,
+        leaky_hmm_coefficient=opts.leaky_hmm_coefficient)
     num_frames = jnp.maximum(jnp.sum(mask), 1)
     objf = (jnp.sum(num) - jnp.sum(den_lp)) / num_frames
     loss = -objf

@@ -46,24 +46,60 @@ class ChainEgs:
 
     entry_pdf/self_pdf/num_segs describe the chunk's phone-segment
     sequence for the flexible-boundary numerator (chain-supervision
-    tolerance); pdf_ali is the fixed-path fallback."""
+    tolerance); pdf_ali is the fixed-path fallback.  entry_w/self_w/
+    init_w/final_w are the normalization-FST weights (phone-LM + chain
+    topology + den initial/final probs along the numerator chain)."""
     feats: np.ndarray       # (N, chunk_T, D)
     pdf_ali: np.ndarray     # (N, chunk_T // sub) int32
     mask: np.ndarray        # (N, chunk_T // sub) bool
     entry_pdf: np.ndarray = None   # (N, S_max) int32
     self_pdf: np.ndarray = None    # (N, S_max) int32
     num_segs: np.ndarray = None    # (N,) int32
+    entry_w: np.ndarray = None     # (N, S_max) f32
+    self_w: np.ndarray = None      # (N, S_max) f32
+    init_w: np.ndarray = None      # (N,) f32
+    final_w: np.ndarray = None     # (N,) f32
 
 
 def make_chain_egs(feats: Dict[str, np.ndarray],
                    phone_alignments: Dict[str, List[Tuple[int, int]]],
                    tree, topo: HmmTopology,
-                   chunk_size: int = 96, subsample: int = 3) -> ChainEgs:
+                   chunk_size: int = 96, subsample: int = 3,
+                   den=None) -> ChainEgs:
     """Cut utterances into fixed chunks; numerator pdfs from phone
     alignments ((phone, duration) runs) through the chain topology:
-    first subsampled frame of a phone = forward pdf, rest = self pdf."""
-    X, A, M, EP = [], [], [], []
+    first subsampled frame of a phone = forward pdf, rest = self pdf.
+
+    When `den` (a DenominatorGraph with its PhoneLm) is given, each
+    chunk also carries normalization-FST weights: per-segment LM +
+    topology log-probs plus den initial/final probs, computed with the
+    TRUE cross-chunk phone history (the reference's normalization FST
+    applies the same weights during supervision composition —
+    chain-supervision.h AddWeightToSupervisionFst)."""
+    X, A, M, EP, NW = [], [], [], [], []
     out_T = chunk_size // subsample
+
+    def dedup_runs(seq):
+        out = []
+        for p in seq:
+            if not out or out[-1] != p:
+                out.append(p)
+        return out
+
+    def norm_weights(segs, context_phones):
+        """(entry_w, self_w, init_w, final_w) along the segment chain."""
+        lm = den.lm
+        ew = np.zeros(out_T, np.float32)
+        sw = np.zeros(out_T, np.float32)
+        st = lm.state_of(context_phones)   # state of segment 0 (w/ history)
+        init_w = den.initial[st]
+        sw[0] = den.l_self[st]
+        for i in range(1, len(segs)):
+            c = lm.phones.index(segs[i])
+            ew[i] = den.l_fwd[st] + lm.next_logp[st, c]
+            st = int(lm.next_state[st, c])
+            sw[i] = den.l_self[st]
+        return ew, sw, np.float32(init_w), np.float32(den.final[st])
     for u, f in sorted(feats.items()):
         # full-rate phone sequence, then subsample PHONES (midpoint rule)
         # and re-derive pdfs so every phone entry emits its forward pdf —
@@ -112,7 +148,12 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
             A.append(np.asarray(
                 sub_pdfs_full[start_sub:start_sub + out_T], np.int32))
             M.append(np.ones(out_T, bool))
-            EP.append(seg_arrays(sub_phones[start_sub:start_sub + out_T]))
+            chunk_phones = sub_phones[start_sub:start_sub + out_T]
+            EP.append(seg_arrays(chunk_phones))
+            if den is not None and den.lm is not None:
+                NW.append(norm_weights(
+                    segs_of(chunk_phones),
+                    dedup_runs(sub_phones[:start_sub + 1])))
         rem_sub = T_sub_total % out_T
         if rem_sub >= 4:
             start_sub = T_sub_total - rem_sub
@@ -128,11 +169,22 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
             A.append(sub_pdfs)
             M.append(m)
             EP.append(seg_arrays(sub_phones[start_sub:]))
+            if den is not None and den.lm is not None:
+                NW.append(norm_weights(
+                    segs_of(sub_phones[start_sub:]),
+                    dedup_runs(sub_phones[:start_sub + 1])))
+    kw = {}
+    if NW:
+        kw = dict(entry_w=np.stack([w[0] for w in NW]),
+                  self_w=np.stack([w[1] for w in NW]),
+                  init_w=np.asarray([w[2] for w in NW], np.float32),
+                  final_w=np.asarray([w[3] for w in NW], np.float32))
     return ChainEgs(np.stack(X).astype(np.float32), np.stack(A),
                     np.stack(M),
                     entry_pdf=np.stack([e for e, _, _ in EP]),
                     self_pdf=np.stack([s_ for _, s_, _ in EP]),
-                    num_segs=np.asarray([n for _, _, n in EP], np.int32))
+                    num_segs=np.asarray([n for _, _, n in EP], np.int32),
+                    **kw)
 
 
 @dataclasses.dataclass
@@ -235,6 +287,12 @@ class ChainTrainer:
                     num_graph = (jnp.asarray(egs.entry_pdf[idx]),
                                  jnp.asarray(egs.self_pdf[idx]),
                                  jnp.asarray(egs.num_segs[idx]))
+                    if egs.entry_w is not None:
+                        num_graph = num_graph + (
+                            jnp.asarray(egs.entry_w[idx]),
+                            jnp.asarray(egs.self_w[idx]),
+                            jnp.asarray(egs.init_w[idx]),
+                            jnp.asarray(egs.final_w[idx]))
                 (self.params, self.batch_stats, self.opt_state, loss,
                  diag) = self._step(self.params, self.batch_stats,
                                     self.opt_state,

@@ -84,7 +84,7 @@ def run(num_utts: int = 50, num_test: int = 12, num_epochs: int = 40,
     chain_topo = HmmTopology.chain(phones)
     chain_tree = MonophoneContextDependency(phones, chain_topo)
     phone_seqs = [gmm.tm.alignment_to_phones(ali[u]) for u in sorted(ali)]
-    den = make_denominator_graph(phone_seqs, chain_tree, chain_topo)
+    den = make_denominator_graph(phone_seqs, chain_tree, chain_topo, order=3)
     log.info("stage 2: den graph %d states %d arcs", den.num_states,
              len(den.src))
 
@@ -92,7 +92,7 @@ def run(num_utts: int = 50, num_test: int = 12, num_epochs: int = 40,
     runs = {u: phone_alignment_runs(gmm.tm, ali[u]) for u in ali}
     feat_dim = next(iter(delta_tr.values())).shape[1]
     egs = make_chain_egs(delta_tr, runs, chain_tree, chain_topo,
-                         chunk_size=51, subsample=3)
+                         chunk_size=51, subsample=3, den=den)
     log.info("stage 3: %d egs chunks of %d frames", egs.feats.shape[0],
              egs.feats.shape[1])
 

@@ -236,3 +236,147 @@ def test_flexible_numerator_in_training(rng):
     out = tr.train(egs, log_every=1000)
     assert np.isfinite(out["loss"])
     assert out["objf"] > -5.0   # learned something reasonable
+
+
+# ---------------------------------------------------------------------------
+# Round-2 chain parity: leaky-HMM, mask, n-gram den LM, normalization
+# ---------------------------------------------------------------------------
+
+def test_denominator_mask_equals_truncation(rng):
+    """Masked padded frames must not contribute denominator mass: the
+    masked logZ equals logZ of the truncated sequence."""
+    den = _tiny_den()
+    scores = rng.standard_normal((2, 9, 4)).astype(np.float32)
+    mask = np.ones((2, 9), bool)
+    mask[0, 5:] = False
+    mask[1, 7:] = False
+    got = np.asarray(denominator_logprob(den, jnp.asarray(scores),
+                                         mask=jnp.asarray(mask)))
+    ref0 = _numpy_den_forward(den, scores[:1, :5])[0]
+    ref1 = _numpy_den_forward(den, scores[1:, :7])[0]
+    np.testing.assert_allclose(got, [ref0, ref1], rtol=1e-4, atol=1e-4)
+
+
+def _numpy_leaky_forward(den, scores, leaky):
+    """Oracle with the leak applied after every alpha update."""
+    B, T, P = scores.shape
+    S = den.num_states
+    self_pdf = np.zeros(S, np.int32)
+    entry_pdf = np.zeros(S, np.int32)
+    for a in range(len(den.src)):
+        if den.src[a] == den.dst[a]:
+            self_pdf[den.src[a]] = den.pdf[a]
+        else:
+            entry_pdf[den.dst[a]] = den.pdf[a]
+    init = np.exp(den.initial)
+    out = np.zeros(B)
+    for b in range(B):
+        alpha = np.exp(den.initial + np.logaddexp(scores[b, 0, self_pdf],
+                                                  scores[b, 0, entry_pdf]))
+        alpha = alpha + leaky * init * alpha.sum()
+        scale = 0.0
+        for t in range(1, T):
+            new = np.zeros(S)
+            for a in range(len(den.src)):
+                new[den.dst[a]] += alpha[den.src[a]] * math.exp(
+                    den.logw[a] + scores[b, t, den.pdf[a]])
+            alpha = new + leaky * init * new.sum()
+            scale += math.log(alpha.max())
+            alpha = alpha / alpha.max()
+        out[b] = scale + math.log((alpha * np.exp(den.final)).sum())
+    return out
+
+
+def test_leaky_hmm_matches_oracle(rng):
+    """Leaky-HMM: exact match vs a numpy forward oracle; logZ strictly
+    grows with the coefficient (more paths), continuously from 0;
+    occupancies stay proper posteriors (sum to 1)."""
+    den = _tiny_den()
+    T = 8
+    scores = jnp.asarray(rng.standard_normal((2, T, 4)).astype(np.float32))
+    z0 = np.asarray(denominator_logprob(den, scores))
+    z1 = np.asarray(denominator_logprob(den, scores,
+                                        leaky_hmm_coefficient=0.1))
+    ref1 = _numpy_leaky_forward(den, np.asarray(scores), 0.1)
+    np.testing.assert_allclose(z1, ref1, rtol=1e-4, atol=1e-4)
+    z2 = np.asarray(denominator_logprob(den, scores,
+                                        leaky_hmm_coefficient=0.3))
+    zeps = np.asarray(denominator_logprob(den, scores,
+                                          leaky_hmm_coefficient=1e-7))
+    assert np.all(z1 > z0) and np.all(z2 > z1)
+    np.testing.assert_allclose(zeps, z0, atol=1e-4)
+    g = jax.grad(lambda s: jnp.sum(denominator_logprob(
+        den, s, leaky_hmm_coefficient=0.1)))(scores)
+    per_frame = np.asarray(g).sum(axis=2)
+    np.testing.assert_allclose(per_frame, 1.0, atol=1e-4)
+    # occupancies bounded in [0, 1]
+    assert np.asarray(g).min() >= -1e-6
+    assert np.asarray(g).max() <= 1.0 + 1e-6
+
+
+def test_trigram_den_graph_normalized():
+    """Order-3 den graph: per-state outgoing mass (self + cross + final)
+    is exactly 1, states cover every unigram history, and the graph is
+    strictly bigger than the bigram one on the same data."""
+    from kaldi_tpu.am.chain import estimate_phone_lm
+    phones = [1, 2, 3]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    seqs = [[1, 2, 3, 1, 2], [2, 1, 3, 3], [1, 2, 1, 2, 3], [3, 1, 2]]
+    den2 = make_denominator_graph(seqs, tree, topo, order=2)
+    den3 = make_denominator_graph(seqs, tree, topo, order=3)
+    assert den2.num_states == 3
+    assert den3.num_states > den2.num_states
+    for den in (den2, den3):
+        mass = np.zeros(den.num_states)
+        np.add.at(mass, den.src, np.exp(den.logw))
+        mass += np.exp(den.final)
+        np.testing.assert_allclose(mass, 1.0, atol=1e-4)
+        # stationary initial distribution normalized
+        np.testing.assert_allclose(np.exp(den.initial).sum(), 1.0, atol=1e-4)
+    # trigram LM must fit held-in data at least as well as bigram
+    lm2 = estimate_phone_lm(seqs, phones, order=2)
+    lm3 = estimate_phone_lm(seqs, phones, order=3)
+
+    def lm_logprob(lm, seq):
+        st = lm.state_of(seq[:1])
+        lp = 0.0
+        for p in seq[1:]:
+            c = lm.phones.index(p)
+            lp += lm.next_logp[st, c]
+            st = int(lm.next_state[st, c])
+        return lp + lm.final_logp[st]
+
+    tot2 = sum(lm_logprob(lm2, s) for s in seqs)
+    tot3 = sum(lm_logprob(lm3, s) for s in seqs)
+    assert tot3 > tot2 - 1e-6
+
+
+def test_normalization_weights_make_objf_nonpositive(rng):
+    """With normalization-FST weights on the numerator, num ⊆ den as
+    weighted sets, so objf = (num − den)/frames ≤ 0 for ANY scores."""
+    from kaldi_tpu.pipelines.chain import make_chain_egs
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    seqs = [[1, 2, 1], [2, 1, 2], [1, 1, 2]]
+    den = make_denominator_graph(seqs, tree, topo, order=2)
+    runs = {"u0": [(1, 9), (2, 9), (1, 9)], "u1": [(2, 9), (1, 9), (2, 9)]}
+    D = 4
+    feats = {u: rng.standard_normal((27, D)).astype(np.float32)
+             for u in runs}
+    egs = make_chain_egs(feats, runs, tree, topo, chunk_size=27,
+                         subsample=3, den=den)
+    assert egs.entry_w is not None
+    for trial in range(3):
+        scores = jnp.asarray(rng.standard_normal(
+            (egs.feats.shape[0], 9, tree.num_pdfs)).astype(np.float32) * 3)
+        num_graph = (jnp.asarray(egs.entry_pdf), jnp.asarray(egs.self_pdf),
+                     jnp.asarray(egs.num_segs), jnp.asarray(egs.entry_w),
+                     jnp.asarray(egs.self_w), jnp.asarray(egs.init_w),
+                     jnp.asarray(egs.final_w))
+        _, diag = chain_objf(den, scores, None, jnp.asarray(egs.mask),
+                             ChainTrainingOptions(l2_regularize=0.0,
+                                                  leaky_hmm_coefficient=0.0),
+                             num_graph=num_graph)
+        assert float(diag["objf"]) <= 1e-5
