@@ -1,39 +1,52 @@
-"""Vectorized token-passing Viterbi beam decoder for TPU.
+"""Vectorized token-passing Viterbi beam decoder with exact lattice
+generation, for graphs too large to decode densely.
 
 Parity target: src/decoder/lattice-faster-decoder.h
 (LatticeFasterDecoderTpl::{ProcessEmitting, ProcessNonemitting,
-GetBestPath}, LatticeFasterDecoderConfig{beam, max_active}) and the
-fork's GPU decoder (arXiv:1804.03243: per-frame parallel arc expansion
-with atomic-min token recombination).
+GetRawLattice}, LatticeFasterDecoderConfig{beam, max_active,
+lattice_beam}) and the fork's GPU decoder (arXiv:1804.03243 — parallel
+arc expansion with load-balanced work queues, token recombination, and
+exact lattice arc recording on device).
 
-TPU-first design (SURVEY.md §7.4): TPUs have no atomics, so
-recombination uses dense scatter-min over graph states instead of the
-CUDA decoder's packed 64-bit atomicMin:
+TPU-first design. TPUs have no atomics, so the CUDA decoder's two key
+devices are re-expressed with the TPU's fast primitives — sorts and
+prefix sums:
 
   per frame (one lax.scan step, fully data-independent control flow):
-    1. expand   — active tokens (K,) gather their out-arc ranges from
-                  the CSR graph → (K, A) padded candidate matrix;
-                  cost = tok_cost + graph_w − scale·loglike[pdf[tid]]
-    2. prune    — beam mask vs the running best candidate
-    3. recombine— segment-min into a dense (S,) per-state best-cost
-                  array + winner index (two segment_mins)
-    4. top-K    — max-active selection over the dense array → new (K,)
-                  token set (adaptive beam via top_k, replacing
-                  GetCutoff's histogram)
-    5. ε-sweeps — eps_depth repetitions of 1–4 over the ε-CSR (the
-                  graph's ε-DAG depth is measured at pack time, so the
-                  closure is a fixed unrolled loop, not a priority queue)
+    1. load-balance — active tokens' out-arc COUNTS are prefix-summed
+       and a fixed arc budget M is distributed over them with a
+       searchsorted (the CudaFst load-balanced expansion: work items
+       are arcs, not tokens, so a 40-arc word-start state costs no
+       more padding than a 1-arc chain state)
+    2. expand      — candidate cost = tok_cost + graph_w −
+       scale·loglike[pdf[tid]], one gather per field
+    3. recombine   — lax.sort by (next_state, cost): the first
+       candidate of each state run is the surviving token (the
+       atomic-min of cuda-decoder-kernels.cu becomes a sort + segment
+       head test), beam pruning against the running best
+    4. max-active  — second sort by cost over the segment heads keeps
+       the best K states (GetCutoff's histogram → top-K by sort)
+    5. ε-sweeps    — the graph's ε-DAG depth is measured at pack time;
+       that many masked repetitions of 1–4 over the ε arc set replace
+       ProcessNonemitting's priority queue
+    6. lattice     — all candidates within lattice_beam of their
+       state's best whose destination survived are sorted by
+       extra-cost and the first L are written to this frame's slice of
+       a preallocated HBM record buffer (GetRawLattice's ForwardLinks;
+       budget-L emission with extra-cost priority keeps every Viterbi
+       arc, so the best path is always in the lattice)
 
-Backpointers (prev-token index, tid, olabel) are emitted per sweep per
-frame; best-path backtrace runs on host after the scan.  Batching over
-utterances is a vmap over the whole scan with per-utterance frame masks.
+Host-side assembly converts the (T, L) record tensors into a pruned
+raw Lattice with α/β extra-cost pruning — numpy-vectorized per level,
+no per-arc Python loops (the reference's PruneActiveTokens +
+GetRawLattice pass).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +54,7 @@ import numpy as np
 
 from kaldi_tpu.core.logging import KaldiError, get_logger
 from kaldi_tpu.fst.csr import CsrGraph
+from kaldi_tpu.lattice.lattice import Lattice, LatticeArc
 
 log = get_logger(__name__)
 
@@ -51,9 +65,25 @@ INF = jnp.float32(jnp.inf)
 class BeamDecoderConfig:
     """Mirrors LatticeFasterDecoderConfig option names."""
     beam: float = 16.0
-    max_active: int = 512          # K: token capacity (power of 2 helps)
+    max_active: int = 7000         # K: token capacity
     acoustic_scale: float = 0.1
-    # lattice_beam / prune_interval arrive with lattice generation
+    lattice_beam: float = 8.0      # extra-cost beam for lattice arcs
+    # device-side budgets (0 = auto):
+    arc_budget: int = 0            # M: emitting arcs expanded per frame
+    lattice_arcs_per_frame: int = 0   # L: records per emitting sweep;
+    #                                   0 disables lattice generation
+
+
+def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """vals where mask, forward-filled along axis 0 (associative)."""
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    filled, _ = jax.lax.associative_scan(op, (vals, mask))
+    return filled
 
 
 class BeamDecoder:
@@ -64,9 +94,17 @@ class BeamDecoder:
                  config: BeamDecoderConfig = None):
         self.graph = graph
         self.config = config or BeamDecoderConfig()
-        # K may not exceed the state count (top_k over the dense per-state
-        # array requires K <= S).
         self.K = max(1, min(self.config.max_active, graph.num_states))
+        # arc budgets: enough for every arc when the graph is small
+        # (exact mode), else ~8 arcs per token
+        self.M = self.config.arc_budget or min(
+            graph.num_emitting_arcs, max(8 * self.K, 8192))
+        self.Me = min(max(graph.num_eps_arcs, 1), max(4 * self.K, 4096))
+        self.L = self.config.lattice_arcs_per_frame
+        if self.L and self.L < self.K:
+            raise KaldiError("lattice_arcs_per_frame must be >= max_active "
+                             "(every Viterbi arc must fit)")
+        self.Le = max(self.L // 2, min(2 * self.K, self.L)) if self.L else 0
         self.g = {
             "e_off": jnp.asarray(graph.e_offsets, jnp.int32),
             "e_il": jnp.asarray(graph.e_ilabel, jnp.int32),
@@ -88,20 +126,17 @@ class BeamDecoder:
     # device-side pieces
     # ------------------------------------------------------------------
 
-    def _expand_recombine(self, tok_state, tok_cost, use_eps: bool,
-                          loglike=None):
-        """One expand→prune→recombine→top-K sweep.
+    def _sweep(self, tok_state, tok_cost, use_eps: bool, loglike=None):
+        """One load-balance→expand→recombine→top-K sweep.
 
-        Returns (new_state (K,), new_cost (K,), prev_idx (K,), tid (K,),
-        olabel (K,)) — prev_idx = -1 marks empty slots; for ε-sweeps a
-        surviving unchanged token points at itself with tid = olabel = 0.
-        """
+        Returns (new_state, new_cost, vit (prev, tid, ol), records) —
+        records is None when lattice emission is off, else a dict of
+        (L,) arrays with prev == -1 marking empty slots."""
         g = self.g
         K = self.K
         S = self.graph.num_states
-        A = (self.graph.max_eps_degree if use_eps
-             else self.graph.max_emit_degree)
-        A = max(A, 1)
+        M = self.Me if use_eps else self.M
+        L = self.Le if use_eps else self.L
         off = g["n_off"] if use_eps else g["e_off"]
         ns_arr = g["n_ns"] if use_eps else g["e_ns"]
         w_arr = g["n_w"] if use_eps else g["e_w"]
@@ -109,127 +144,212 @@ class BeamDecoder:
 
         valid_tok = tok_state >= 0
         safe_state = jnp.where(valid_tok, tok_state, 0)
-        base = off[safe_state]                              # (K,)
-        count = off[safe_state + 1] - base
-        aidx = base[:, None] + jnp.arange(A, dtype=jnp.int32)[None, :]
-        amask = (jnp.arange(A)[None, :] < count[:, None]) & valid_tok[:, None]
-        aidx = jnp.clip(aidx, 0, max(len(w_arr) - 1, 0))
+        base = off[safe_state]
+        count = jnp.where(valid_tok, off[safe_state + 1] - base, 0)
 
-        ns = ns_arr[aidx]                                   # (K, A)
-        w = w_arr[aidx]
-        ol = ol_arr[aidx]
+        # 1. load-balanced arc distribution (arc-parallel, not token-
+        #    parallel): M work items over the tokens' arc ranges
+        cum = jnp.cumsum(count)
+        j = jnp.arange(M, dtype=jnp.int32)
+        tok_of = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        tok_of = jnp.minimum(tok_of, K - 1)
+        prev_cum = jnp.where(tok_of > 0, cum[tok_of - 1], 0)
+        within = j - prev_cum
+        in_range = j < cum[K - 1]
+        dropped = jnp.maximum(cum[K - 1] - M, 0)   # arc-budget overflow
+        aidx = jnp.clip(base[tok_of] + within, 0,
+                        max(len(w_arr) - 1, 0))
+
+        # 2. expand
+        c_state = ns_arr[aidx]
+        gw = w_arr[aidx]
+        c_ol = ol_arr[aidx]
         if use_eps:
-            il = jnp.zeros_like(ns)
-            ac = 0.0
+            c_il = jnp.zeros(M, jnp.int32)
+            ac = jnp.zeros(M, jnp.float32)
         else:
-            il = g["e_il"][aidx]
-            ac = -self.config.acoustic_scale * loglike[g["tid2pdf"][il]]
-        cost = jnp.where(amask, tok_cost[:, None] + w + ac, INF)
-
-        # flatten candidates; for ε-sweeps, existing tokens are also
-        # candidates for their own state (they may survive unchanged).
-        c_state = ns.reshape(-1)
-        c_cost = cost.reshape(-1)
-        c_prev = jnp.repeat(jnp.arange(K, dtype=jnp.int32), A)
-        c_tid = il.reshape(-1)
-        c_ol = ol.reshape(-1)
+            c_il = g["e_il"][aidx]
+            ac = -self.config.acoustic_scale * loglike[g["tid2pdf"][c_il]]
+        c_cost = jnp.where(in_range, tok_cost[tok_of] + gw + ac, INF)
+        c_prev = tok_of
         if use_eps:
+            # surviving-unchanged candidates (tokens keep their state)
             c_state = jnp.concatenate([c_state, safe_state])
-            c_cost = jnp.concatenate([c_cost, jnp.where(valid_tok, tok_cost, INF)])
+            c_cost = jnp.concatenate(
+                [c_cost, jnp.where(valid_tok, tok_cost, INF)])
             c_prev = jnp.concatenate([c_prev, jnp.arange(K, dtype=jnp.int32)])
-            c_tid = jnp.concatenate([c_tid, jnp.zeros(K, jnp.int32)])
+            c_il = jnp.concatenate([c_il, jnp.zeros(K, jnp.int32)])
             c_ol = jnp.concatenate([c_ol, jnp.zeros(K, jnp.int32)])
+            gw = jnp.concatenate([gw, jnp.zeros(K, jnp.float32)])
+            ac = jnp.concatenate([ac, jnp.zeros(K, jnp.float32)])
+        N = c_cost.shape[0]
 
-        # beam prune against the running best
+        # 3. beam prune + sort-based recombination
         best = jnp.min(c_cost)
-        c_cost = jnp.where(c_cost > best + self.config.beam, INF, c_cost)
-        c_state = jnp.where(jnp.isfinite(c_cost), c_state, 0)
+        fin = c_cost <= best + self.config.beam
+        c_cost = jnp.where(fin, c_cost, INF)
+        sort_state = jnp.where(fin, c_state, S)   # invalid sorts last
+        (st_s, cost_s, prev_s, il_s, ol_s, gw_s, ac_s) = jax.lax.sort(
+            (sort_state, c_cost, c_prev, c_il, c_ol, gw, ac), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
+        head = first & (st_s < S)
+        seg = jnp.cumsum(head.astype(jnp.int32)) - 1     # segment per cand
+        seg_cost = _forward_fill(jnp.where(head, cost_s, 0.0), head)
 
-        # dense recombination: per-state min cost, then winning candidate
-        dense = jnp.full((S,), INF).at[c_state].min(
-            jnp.where(jnp.isfinite(c_cost), c_cost, INF))
-        is_winner = jnp.isfinite(c_cost) & (c_cost <= dense[c_state])
-        ncand = c_cost.shape[0]
-        winner = jnp.full((S,), ncand, jnp.int32).at[c_state].min(
-            jnp.where(is_winner, jnp.arange(ncand, dtype=jnp.int32), ncand))
+        # 4. max-active: best K segment heads by cost
+        key2 = jnp.where(head, cost_s, INF)
+        pos = jnp.arange(N, dtype=jnp.int32)
+        (cost2, st2, prev2, il2, ol2, pos2) = jax.lax.sort(
+            (key2, st_s, prev_s, il_s, ol_s, pos), num_keys=1)
+        ok = jnp.isfinite(cost2[:K])
+        new_state = jnp.where(ok, st2[:K], -1).astype(jnp.int32)
+        new_cost = jnp.where(ok, cost2[:K], INF)
+        vit = (jnp.where(ok, prev2[:K], -1).astype(jnp.int32),
+               jnp.where(ok, il2[:K], 0),
+               jnp.where(ok, ol2[:K], 0))
 
-        # top-K states by cost (max-active)
-        neg, states = jax.lax.top_k(-dense, K)
-        new_cost = -neg
-        ok = jnp.isfinite(new_cost)
-        new_state = jnp.where(ok, states, -1).astype(jnp.int32)
-        widx = winner[jnp.where(ok, states, 0)]
-        widx = jnp.clip(widx, 0, ncand - 1)
-        prev_idx = jnp.where(ok, c_prev[widx], -1).astype(jnp.int32)
-        tid = jnp.where(ok, c_tid[widx], 0)
-        olab = jnp.where(ok, c_ol[widx], 0)
-        return new_state, new_cost, prev_idx, tid, olab
+        if not L:
+            return new_state, new_cost, vit, None, dropped
+
+        # 6. lattice records: candidates within lattice_beam of their
+        #    state's best whose destination token survived
+        kept_seg = jnp.where(ok, seg[pos2[:K]], N)
+        slot_of_seg = jnp.full((N,), -1, jnp.int32).at[kept_seg].set(
+            jnp.arange(K, dtype=jnp.int32), mode="drop")
+        dst_slot = slot_of_seg[seg]
+        extra = cost_s - seg_cost
+        keep = (jnp.isfinite(cost_s) & (extra <= self.config.lattice_beam)
+                & (dst_slot >= 0))
+        key3 = jnp.where(keep, extra, INF)
+        (key3s, rp, ri, ro, rg, ra, rd) = jax.lax.sort(
+            (key3, prev_s, il_s, ol_s, gw_s, ac_s, dst_slot), num_keys=1)
+
+        def fit(x, fill):
+            # small graphs can have fewer candidates than the budget
+            if x.shape[0] >= L:
+                return x[:L]
+            return jnp.concatenate(
+                [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
+
+        key3s, rp, ri, ro, rg, ra, rd = (
+            fit(key3s, jnp.inf), fit(rp, -1), fit(ri, 0), fit(ro, 0),
+            fit(rg, 0.0), fit(ra, 0.0), fit(rd, -1))
+        rvalid = jnp.isfinite(key3s[:L])
+        records = {
+            "prev": jnp.where(rvalid, rp[:L], -1).astype(jnp.int32),
+            "tid": jnp.where(rvalid, ri[:L], 0),
+            "ol": jnp.where(rvalid, ro[:L], 0),
+            "gw": jnp.where(rvalid, rg[:L], 0.0),
+            "ac": jnp.where(rvalid, ra[:L], 0.0),
+            "dst": jnp.where(rvalid, rd[:L], -1),
+        }
+        return new_state, new_cost, vit, records, dropped
+
+    @staticmethod
+    def _identity_vit(K: int):
+        return (jnp.arange(K, dtype=jnp.int32), jnp.zeros(K, jnp.int32),
+                jnp.zeros(K, jnp.int32))
+
+    @staticmethod
+    def _identity_records(K: int, L: int):
+        idn = jnp.arange(K, dtype=jnp.int32)
+        pad = jnp.full((L - K,), -1, jnp.int32)
+        z = jnp.zeros(L, jnp.int32)
+        return {
+            "prev": jnp.concatenate([idn, pad]),
+            "tid": z, "ol": z,
+            "gw": jnp.zeros(L, jnp.float32), "ac": jnp.zeros(L, jnp.float32),
+            "dst": jnp.concatenate([idn, pad]),
+        }
 
     def _frame_step(self, carry, xs):
         tok_state, tok_cost = carry
-        loglike, active = xs          # active: bool, frame < utt length
+        loglike, active = xs
         E = self.graph.eps_depth
-        records = []
-        s, c, p, t, o = self._expand_recombine(tok_state, tok_cost, False,
-                                               loglike)
-        records.append((p, t, o))
+        K = self.K
+        sweeps = []
+        s, c, vit, rec, dropped = self._sweep(tok_state, tok_cost, False,
+                                              loglike)
+        sweeps.append((vit, rec, self.L))
         for _ in range(E):
-            s, c, p, t, o = self._expand_recombine(s, c, True)
-            records.append((p, t, o))
+            s, c, vit, rec, drop_e = self._sweep(s, c, True)
+            sweeps.append((vit, rec, self.Le))
+            dropped = dropped + drop_e
         # identity step for padded frames
-        idn = jnp.arange(self.K, dtype=jnp.int32)
         s = jnp.where(active, s, tok_state)
         c = jnp.where(active, c, tok_cost)
-        out = []
-        for (p, t, o) in records:
-            out.append((jnp.where(active, p, idn),
-                        jnp.where(active, t, 0),
-                        jnp.where(active, o, 0)))
-        prev = jnp.stack([r[0] for r in out])    # (E+1, K)
-        tids = jnp.stack([r[1] for r in out])
-        ols = jnp.stack([r[2] for r in out])
-        return (s, c), (prev, tids, ols)
+        idv = self._identity_vit(K)
+        vit_out = []
+        rec_out = []
+        for vit, rec, L in sweeps:
+            vit_out.append(tuple(
+                jnp.where(active, v, d) for v, d in zip(vit, idv)))
+            if rec is not None:
+                idr = self._identity_records(K, L)
+                rec_out.append({k: jnp.where(active, rec[k], idr[k])
+                                for k in rec})
+        prev = jnp.stack([v[0] for v in vit_out])      # (E+1, K)
+        tids = jnp.stack([v[1] for v in vit_out])
+        ols = jnp.stack([v[2] for v in vit_out])
+        out = (prev, tids, ols, jnp.where(active, dropped, 0))
+        if rec_out:
+            emit_rec = rec_out[0]
+            eps_rec = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *rec_out[1:]) if E else None
+            out = out + (emit_rec, eps_rec)
+        return (s, c), out
 
     def _decode_scan(self, loglikes, num_frames):
         """loglikes: (T_pad, P); num_frames: scalar int."""
         K = self.K
         tok_state = jnp.full((K,), -1, jnp.int32).at[0].set(self.graph.start)
         tok_cost = jnp.full((K,), INF).at[0].set(0.0)
-        # initial ε-closure (frame 0 tokens before first ProcessEmitting)
-        init_records = []
+        init_vit = []
+        init_rec = []
         for _ in range(self.graph.eps_depth):
-            tok_state, tok_cost, p, t, o = self._expand_recombine(
+            tok_state, tok_cost, vit, rec, _ = self._sweep(
                 tok_state, tok_cost, True)
-            init_records.append((p, t, o))
+            init_vit.append(vit)
+            if rec is not None:
+                init_rec.append(rec)
         T_pad = loglikes.shape[0]
         active = jnp.arange(T_pad) < num_frames
-        (fs, fc), (prev, tids, ols) = jax.lax.scan(
-            self._frame_step, (tok_state, tok_cost),
-            (loglikes, active))
+        (fs, fc), scanned = jax.lax.scan(
+            self._frame_step, (tok_state, tok_cost), (loglikes, active))
+        prev, tids, ols, dropped = scanned[:4]
         # final costs
-        ok = fs >= 0
-        fin = self.g["final"][jnp.where(ok, fs, 0)]
-        total = jnp.where(ok, fc + fin, INF)
+        okf = fs >= 0
+        fin = self.g["final"][jnp.where(okf, fs, 0)]
+        total = jnp.where(okf, fc + fin, INF)
         any_final = jnp.isfinite(total).any()
-        # fall back to best non-final token if nothing reached a final state
-        fallback = jnp.where(ok, fc, INF)
+        fallback = jnp.where(okf, fc, INF)
         use = jnp.where(any_final, total, fallback)
         best_idx = jnp.argmin(use)
-        best_cost = use[best_idx]
-        if init_records:
-            iprev = jnp.stack([r[0] for r in init_records])
-            itid = jnp.stack([r[1] for r in init_records])
-            iol = jnp.stack([r[2] for r in init_records])
-        else:
-            iprev = jnp.zeros((0, K), jnp.int32)
-            itid = jnp.zeros((0, K), jnp.int32)
-            iol = jnp.zeros((0, K), jnp.int32)
-        return {
+        out = {
             "prev": prev, "tids": tids, "ols": ols,
-            "init_prev": iprev, "init_tid": itid, "init_ol": iol,
-            "best_idx": best_idx, "best_cost": best_cost,
-            "final_cost": fin[best_idx], "tok_cost": fc,
+            "dropped_arcs": jnp.sum(dropped),
+            "best_idx": best_idx, "best_cost": use[best_idx],
+            "final_cost": jnp.where(any_final, fin[best_idx], 0.0),
+            "tok_state": fs, "tok_cost": fc, "tok_final": fin,
         }
+        if init_vit:
+            out["init_prev"] = jnp.stack([v[0] for v in init_vit])
+            out["init_tid"] = jnp.stack([v[1] for v in init_vit])
+            out["init_ol"] = jnp.stack([v[2] for v in init_vit])
+        else:
+            z = jnp.zeros((0, K), jnp.int32)
+            out["init_prev"] = z
+            out["init_tid"] = z
+            out["init_ol"] = z
+        if self.L:
+            out["emit_rec"] = scanned[4]            # (T, L) fields
+            if self.graph.eps_depth:
+                out["eps_rec"] = scanned[5]         # (T, E, Le) fields
+            if init_rec:
+                out["init_rec"] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *init_rec)
+        return out
 
     # ------------------------------------------------------------------
     # host-side API
@@ -256,12 +376,38 @@ class BeamDecoder:
             results.append(self._backtrace(one, int(num_frames[b])))
         return results
 
+    def decode_lattice(self, loglikes: np.ndarray) -> Lattice:
+        """Single utterance → pruned raw Lattice (GetRawLattice +
+        lattice-beam pruning).  Requires lattice_arcs_per_frame > 0."""
+        if not self.L:
+            raise KaldiError("decode_lattice needs lattice_arcs_per_frame")
+        T = loglikes.shape[0]
+        out = self._decode_jit(jnp.asarray(loglikes, jnp.float32),
+                               jnp.int32(T))
+        return self._build_lattice(
+            jax.tree_util.tree_map(np.asarray, out), T)
+
+    def decode_lattice_batch(self, loglikes_padded: np.ndarray,
+                             num_frames: np.ndarray) -> List[Lattice]:
+        if not self.L:
+            raise KaldiError("decode_lattice needs lattice_arcs_per_frame")
+        out = self._decode_batch_jit(
+            jnp.asarray(loglikes_padded, jnp.float32),
+            jnp.asarray(num_frames, jnp.int32))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return [self._build_lattice(
+            jax.tree_util.tree_map(lambda x: x[b], out),
+            int(num_frames[b]))
+            for b in range(loglikes_padded.shape[0])]
+
+    # -- Viterbi backtrace -------------------------------------------------
+
     def _backtrace(self, out, T: int):
         best_cost = float(out["best_cost"])
         if not np.isfinite(best_cost):
             raise KaldiError("BeamDecoder: no tokens survived")
         idx = int(out["best_idx"])
-        E1 = out["prev"].shape[1]     # E+1 sweeps per frame
+        E1 = out["prev"].shape[1]
         rev_tids: List[int] = []
         rev_ols: List[int] = []
         for t in range(T - 1, -1, -1):
@@ -283,3 +429,114 @@ class BeamDecoder:
         rev_tids.reverse()
         rev_ols.reverse()
         return rev_tids, rev_ols, best_cost
+
+    # -- lattice assembly (vectorized, no per-arc Python) ------------------
+
+    def _level_records(self, out, T: int):
+        """Yield per-level record dicts in topological order."""
+        E = self.graph.eps_depth
+        if "init_rec" in out:
+            for e in range(E):
+                yield {k: out["init_rec"][k][e] for k in out["init_rec"]}
+        for t in range(T):
+            yield {k: out["emit_rec"][k][t] for k in out["emit_rec"]}
+            if E:
+                for e in range(E):
+                    yield {k: out["eps_rec"][k][t, e]
+                           for k in out["eps_rec"]}
+
+    def _build_lattice(self, out, T: int) -> Lattice:
+        K = self.K
+        beam = self.config.lattice_beam
+
+        # pass 1: assign state ids level by level; collect arc arrays
+        cur = np.full(K, -1, np.int64)
+        cur[0] = 0
+        n_states = 1
+        arcs_src: List[np.ndarray] = []
+        arcs_dst: List[np.ndarray] = []
+        arcs_il: List[np.ndarray] = []
+        arcs_ol: List[np.ndarray] = []
+        arcs_gw: List[np.ndarray] = []
+        arcs_ac: List[np.ndarray] = []
+        level_sizes: List[int] = []
+        for rec in self._level_records(out, T):
+            prev = rec["prev"]
+            valid = prev >= 0
+            valid[valid] &= cur[prev[valid]] >= 0
+            dst = rec["dst"][valid]
+            uniq = np.unique(dst)
+            new = np.full(K, -1, np.int64)
+            new[uniq] = n_states + np.arange(len(uniq))
+            n_states += len(uniq)
+            arcs_src.append(cur[prev[valid]])
+            arcs_dst.append(new[dst])
+            arcs_il.append(rec["tid"][valid])
+            arcs_ol.append(rec["ol"][valid])
+            arcs_gw.append(rec["gw"][valid])
+            arcs_ac.append(rec["ac"][valid])
+            level_sizes.append(int(valid.sum()))
+            cur = new
+        src = np.concatenate(arcs_src)
+        dst = np.concatenate(arcs_dst)
+        il = np.concatenate(arcs_il)
+        ol = np.concatenate(arcs_ol)
+        gw = np.concatenate(arcs_gw).astype(np.float64)
+        ac = np.concatenate(arcs_ac).astype(np.float64)
+        w = gw + ac
+
+        # finals (graph final weight on surviving last-level tokens)
+        fin_slots = np.nonzero((cur >= 0)
+                               & np.isfinite(out["tok_final"]))[0]
+        fin_states = cur[fin_slots]
+        fin_w = out["tok_final"][fin_slots].astype(np.float64)
+        if len(fin_states) == 0:   # no token reached a final state
+            fin_states = cur[np.nonzero(cur >= 0)[0]]
+            fin_w = np.zeros(len(fin_states))
+
+        # pass 2: α/β over the level-ordered DAG (vectorized per level)
+        alpha = np.full(n_states, np.inf)
+        alpha[0] = 0.0
+        pos = 0
+        for n in level_sizes:
+            sl = slice(pos, pos + n)
+            np.minimum.at(alpha, dst[sl], alpha[src[sl]] + w[sl])
+            pos += n
+        beta = np.full(n_states, np.inf)
+        np.minimum.at(beta, fin_states, fin_w)
+        pos = len(src)
+        for n in reversed(level_sizes):
+            sl = slice(pos - n, pos)
+            np.minimum.at(beta, src[sl], w[sl] + beta[dst[sl]])
+            pos -= n
+        best = alpha[fin_states] + fin_w
+        if not len(best) or not np.isfinite(best.min()):
+            raise KaldiError("BeamDecoder: empty lattice")
+        bound = best.min() + beam
+
+        keep_arc = alpha[src] + w + beta[dst] <= bound
+        keep_state = np.zeros(n_states, bool)
+        keep_state[0] = True
+        keep_state[src[keep_arc]] = True
+        keep_state[dst[keep_arc]] = True
+        remap = np.cumsum(keep_state) - 1
+
+        lat = Lattice()
+        n_kept = int(keep_state.sum())
+        for _ in range(n_kept):
+            lat.add_state()
+        lat.start = 0
+        ks = remap[src[keep_arc]]
+        kd = remap[dst[keep_arc]]
+        kil = il[keep_arc]
+        kol = ol[keep_arc]
+        kgw = gw[keep_arc]
+        kac = ac[keep_arc]
+        for i in range(len(ks)):
+            lat.arcs[ks[i]].append(LatticeArc(
+                int(kil[i]), int(kol[i]), float(kgw[i]), float(kac[i]),
+                int(kd[i])))
+        fk = keep_state[fin_states] & (alpha[fin_states] + fin_w <= bound)
+        for s, wgt in zip(fin_states[fk], fin_w[fk]):
+            lat.set_final(int(remap[s]), float(wgt), 0.0)
+        return lat

@@ -153,6 +153,93 @@ def arpa_to_fst(model: ArpaModel, words: SymbolTable,
     return fst.arcsort("ilabel")
 
 
+def estimate_arpa(texts: Sequence[Sequence[str]], order: int = 3,
+                  prune_count: int = 1,
+                  vocab: Optional[Sequence[str]] = None,
+                  bos: str = "<s>", eos: str = "</s>") -> ArpaModel:
+    """Estimate a backoff n-gram LM from tokenized sentences and return
+    it as an ArpaModel (the role of the reference's train_lm.sh /
+    kaldi_lm pipeline producing the ARPA that format_lm.sh compiles).
+
+    Witten–Bell interpolation with count-pruning of higher orders:
+    n-grams (n ≥ 2) with count < prune_count are dropped, and their
+    probability mass reaches the model through the backoff weights,
+    which are renormalized exactly:  bow(h) = (1 − Σ_kept p(w|h)) /
+    (1 − Σ_kept p(w|h′)).
+    """
+    counts: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    for sent in texts:
+        toks = [bos] + list(sent) + [eos]
+        for i in range(1, len(toks)):
+            for n in range(1, order + 1):
+                if i - n + 1 < 0:
+                    continue
+                ng = tuple(toks[i - n + 1:i + 1])
+                counts[n - 1][ng] = counts[n - 1].get(ng, 0.0) + 1.0
+    # <s> needs a unigram entry (prob is conventionally -99) and history
+    counts[0].setdefault((bos,), 0.0)
+    # closed-vocabulary floor: every vocab word gets a unigram even if
+    # unseen (its probability comes from the smoothing floor below)
+    if vocab is not None:
+        for w in vocab:
+            counts[0].setdefault((w,), 0.0)
+
+    # Witten–Bell interpolated probabilities, lowest order first
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order)]
+    uni_tot = sum(c for ng, c in counts[0].items() if ng != (bos,))
+    V = max(len(counts[0]) - 1, 1)
+    for ng, c in counts[0].items():
+        # add-one-ish floor keeps every word reachable
+        probs[0][ng] = (c + 0.5) / (uni_tot + 0.5 * V) if ng != (bos,) else 1e-30
+    for n in range(2, order + 1):
+        hist_tot: Dict[Tuple[str, ...], float] = {}
+        hist_uniq: Dict[Tuple[str, ...], int] = {}
+        for ng, c in counts[n - 1].items():
+            h = ng[:-1]
+            hist_tot[h] = hist_tot.get(h, 0.0) + c
+            hist_uniq[h] = hist_uniq.get(h, 0) + 1
+        for ng, c in counts[n - 1].items():
+            h = ng[:-1]
+            lam = hist_tot[h] / (hist_tot[h] + hist_uniq[h])
+            probs[n - 1][ng] = (lam * c / hist_tot[h]
+                                + (1 - lam) * probs[n - 2][ng[1:]])
+
+    # prune higher orders by raw count
+    kept: List[Dict[Tuple[str, ...], float]] = [probs[0]]
+    for n in range(2, order + 1):
+        kept.append({ng: p for ng, p in probs[n - 1].items()
+                     if counts[n - 1][ng] >= prune_count})
+    # histories must themselves be kept n-grams (ARPA well-formedness)
+    for n in range(order, 1, -1):
+        for ng in list(kept[n - 1]):
+            h = ng[:-1]
+            if len(h) >= 2 and h not in kept[len(h) - 1] and h[-1] != eos:
+                kept[len(h) - 1][h] = probs[len(h) - 1][h]
+
+    # backoff weights: renormalize pruned mass, lowest order first so the
+    # denominator can resolve lower-order probabilities recursively
+    model = ArpaModel()
+    model.ngrams = [dict() for _ in range(order)]
+    for n in range(1, order + 1):
+        for ng, p in kept[n - 1].items():
+            model.ngrams[n - 1][ng] = (math.log(max(p, 1e-30)), 0.0)
+    for n in range(1, order):
+        by_hist: Dict[Tuple[str, ...], List[Tuple[str, ...]]] = {}
+        for ng in kept[n]:
+            by_hist.setdefault(ng[:-1], []).append(ng)
+        for h, cont in by_hist.items():
+            if h not in model.ngrams[n - 1]:
+                continue
+            num = 1.0 - sum(kept[n][ng] for ng in cont)
+            # lower-order (already backoff-complete) probabilities
+            den = 1.0 - sum(
+                math.exp(model.score(ng[1:-1], ng[-1])) for ng in cont)
+            bow = max(num, 1e-10) / max(den, 1e-10)
+            lp = model.ngrams[n - 1][h][0]
+            model.ngrams[n - 1][h] = (lp, math.log(bow))
+    return model
+
+
 def make_unigram_arpa(word_probs: Dict[str, float]) -> str:
     """Tiny helper: unigram ARPA text from a word → prob dict (used by
     recipe tests the way egs/yesno's local/prepare_lm.sh builds its LM)."""

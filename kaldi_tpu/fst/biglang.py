@@ -1,0 +1,541 @@
+"""Direct construction of large decode graphs (H ∘ det(L ∘ G)).
+
+Parity target: the OUTPUT contract of egs/wsj/s5/utils/mkgraph.sh —
+an HCLG over transition-ids with LM/lexicon/topology weights — at
+realistic scale (tens of thousands of words, 10⁵–10⁶ states), which
+the generic pipeline in fst/hclg.py (compose → determinize-star →
+minimize over Python object FSTs) cannot reach in reasonable time.
+The reference pays this cost once per graph in C++
+(fstdeterminizestar on L∘G); here the determinized result is
+constructed DIRECTLY, vectorized in numpy:
+
+  * G's states are the ARPA histories (arpa-lm-compiler semantics:
+    explicit word arcs for seen n-grams, #0/ε backoff arcs to the
+    suffix history).
+  * det(L∘G) is materialized per LM state as a phone PREFIX TREE over
+    that state's explicit continuation words (exactly what
+    determinization of L∘G produces: the per-state word fan-out
+    becomes phone fan-out ≤ |phones|), with LM weights PUSHED toward
+    the root (min-weight prefix pushing, the mkgraph push step) and
+    word olabels emitted at the pronunciation end (where the
+    determinized graph's disambiguation-symbol arcs become ε).
+  * H expansion is arc-local: every phone arc's destination is
+    phone-unique by construction (trie nodes), so HMM self-loops in
+    the reorder=true convention attach directly to existing states —
+    no AddSelfLoops state-splitting pass is needed.  Weight convention
+    matches fst/hclg.py make_h_transducer/add_self_loops exactly, so
+    small graphs built both ways are path-weight-identical (tested).
+  * Optional inter-word silence mirrors make_lexicon_fst.pl: each
+    word-end chooses no-sil (cost −log(1−p)) or sil (cost −log p,
+    then the SIL phone) before the next word; double silence is
+    impossible (the post-silence word-choice state has no SIL arc).
+
+Output is a decode-ready CsrGraph (fst/csr.py) — numpy arrays that
+upload straight to TPU HBM, never a Python object FST.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.core.logging import KaldiError, Timer, get_logger
+from kaldi_tpu.fst.arpa import ArpaModel
+from kaldi_tpu.fst.csr import CsrGraph
+from kaldi_tpu.fst.fst import SymbolTable
+from kaldi_tpu.am.topology import NO_PDF
+from kaldi_tpu.am.transitions import TransitionModel
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class BigGraph:
+    """A decode-ready graph plus its symbol tables."""
+    csr: CsrGraph
+    words: SymbolTable
+    phones: SymbolTable
+    num_lm_states: int
+
+
+def make_symbol_tables(entries: Sequence[Tuple[str, Sequence[str]]],
+                       sil_phone: str = "SIL"
+                       ) -> Tuple[SymbolTable, SymbolTable]:
+    """(words, phones) tables with the prepare_lang numbering
+    conventions (<eps>=0, SIL=1; word table ends with #0/<s>/</s>)."""
+    phones = SymbolTable()
+    phones.add("<eps>", 0)
+    phones.add(sil_phone, 1)
+    for p in sorted({p for _, pron in entries for p in pron}):
+        if p != sil_phone:
+            phones.add(p)
+    words = SymbolTable()
+    words.add("<eps>", 0)
+    for w in sorted({w for w, _ in entries}):
+        words.add(w)
+    words.add("#0")
+    words.add("<s>")
+    words.add("</s>")
+    return words, phones
+
+
+def _hmm_tables(tm: TransitionModel, phones: SymbolTable,
+                transition_scale: float, self_loop_scale: float):
+    """Per-phone linear-HMM expansion tables.
+
+    Returns (E, fwd_tid, fwd_w, self_tid, self_w): E[p] = number of
+    emitting states of phone p; fwd_tid[p, i] / fwd_w[p, i] = the
+    transition-id and graph cost of the (reordered) arc that ENTERS
+    hmm-state i; self_tid/self_w the state's self-loop.  Weights follow
+    fst/hclg.py: w_fwd = −ts·(logp − log(1−p_self)) − sls·log(1−p_self),
+    w_self = −sls·logp_self."""
+    tree = tm.tree
+    pids = [p for p in phones.ids() if p != 0]
+    maxp = max(pids) + 1
+    real = [p for p in pids if p in tm.topo.phones]
+    Emax = 0
+    for p in real:
+        Emax = max(Emax, sum(
+            1 for st in tm.topo.topology_for_phone(p)
+            if st.forward_pdf_class != NO_PDF))
+    E = np.zeros(maxp, np.int32)
+    fwd_tid = np.zeros((maxp, Emax), np.int32)
+    fwd_w = np.zeros((maxp, Emax), np.float32)
+    self_tid = np.zeros((maxp, Emax), np.int32)
+    self_w = np.zeros((maxp, Emax), np.float32)
+    for p in real:
+        entry = tm.topo.topology_for_phone(p)
+        window = [0] * tree.context_width
+        window[tree.central_position] = p
+        i_emit = 0
+        for hmm_state, st in enumerate(entry):
+            if st.forward_pdf_class == NO_PDF:
+                continue
+            fwd_pdf = tree.compute(window, st.forward_pdf_class)
+            slf_pdf = tree.compute(window, st.self_loop_pdf_class)
+            ts = tm.tuple_to_transition_state(p, hmm_state, fwd_pdf, slf_pdf)
+            stid = tm.self_loop_of(ts)
+            log_1mp = tm.get_non_self_loop_log_prob(ts) if stid else 0.0
+            fwd = [i for i, (ns, _) in enumerate(st.transitions)
+                   if ns != hmm_state]
+            if len(fwd) != 1:
+                raise KaldiError(
+                    "biglang supports linear (Bakis, no-skip) topologies; "
+                    f"phone {p} state {hmm_state} has {len(fwd)} forward arcs")
+            tid = tm.pair_to_transition_id(ts, fwd[0])
+            fwd_tid[p, i_emit] = tid
+            fwd_w[p, i_emit] = (-transition_scale
+                                * (tm.get_log_prob(tid) - log_1mp)
+                                - self_loop_scale * log_1mp)
+            if stid:
+                self_tid[p, i_emit] = stid
+                self_w[p, i_emit] = -self_loop_scale * tm.get_log_prob(stid)
+            E[p] += 1
+            i_emit += 1
+    return E, fwd_tid, fwd_w, self_tid, self_w
+
+
+def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
+                    arpa: ArpaModel,
+                    tm: TransitionModel,
+                    words: SymbolTable,
+                    phones: SymbolTable,
+                    sil_phone: str = "SIL",
+                    sil_prob: float = 0.5,
+                    optional_sil: bool = True,
+                    transition_scale: float = 1.0,
+                    self_loop_scale: float = 0.1,
+                    bos: str = "<s>", eos: str = "</s>") -> BigGraph:
+    """Build the decode graph directly into CSR arrays.  See module
+    docstring for the construction; ~seconds for 20k words / 10⁶
+    states where the generic mkgraph pipeline would take hours."""
+    timer = Timer()
+    order = arpa.order
+
+    # ------------------------------------------------------------------
+    # 1. LM states (histories) and explicit word arcs, arpa_to_fst style
+    # ------------------------------------------------------------------
+    state_of: Dict[Tuple[str, ...], int] = {}
+
+    def canon(hist: Tuple[str, ...]) -> Tuple[str, ...]:
+        hist = hist[-(order - 1):] if order > 1 else ()
+        while hist and hist not in arpa.ngrams[len(hist) - 1]:
+            hist = hist[1:]
+        return hist
+
+    def get_state(hist: Tuple[str, ...]) -> int:
+        hist = canon(hist)
+        if hist not in state_of:
+            state_of[hist] = len(state_of)
+        return state_of[hist]
+
+    null_state = get_state(())
+    start_lm = get_state((bos,))
+
+    arc_h: List[int] = []          # src LM state
+    arc_w: List[int] = []          # word symbol id
+    arc_cost: List[float] = []     # −logprob
+    arc_dst: List[int] = []        # dst LM state
+    lm_final: Dict[int, float] = {}
+    for n in range(1, order + 1):
+        for ng, (logp, _bo) in arpa.ngrams[n - 1].items():
+            word = ng[-1]
+            hist = ng[:-1]
+            if word == bos:
+                continue
+            if hist and hist != canon(hist):
+                continue              # unreachable pruned history
+            src = get_state(hist)
+            if word == eos:
+                prev = lm_final.get(src, np.inf)
+                lm_final[src] = min(prev, -logp)
+                continue
+            if word not in words:
+                continue
+            arc_h.append(src)
+            arc_w.append(words[word])
+            arc_cost.append(-logp)
+            arc_dst.append(get_state(ng))
+    backoff_src: List[int] = []
+    backoff_dst: List[int] = []
+    backoff_w: List[float] = []
+    for hist, sid in list(state_of.items()):
+        if not hist:
+            continue
+        _, bo = arpa.ngrams[len(hist) - 1].get(hist, (0.0, 0.0))
+        backoff_src.append(sid)
+        backoff_dst.append(get_state(hist[1:]))
+        backoff_w.append(-bo)
+    H = len(state_of)
+    log.info("biglang: %d LM states, %d word arcs, %d backoff arcs (%.1fs)",
+             H, len(arc_h), len(backoff_src), timer.elapsed())
+
+    # ------------------------------------------------------------------
+    # 2. pronunciation trie over lexicon entries
+    # ------------------------------------------------------------------
+    children: List[Dict[int, int]] = [dict()]
+    node_parent: List[int] = [-1]
+    node_phone: List[int] = [0]
+    entry_end: List[int] = []
+    Lmax = max(len(pron) for _, pron in entries)
+    entry_path = np.full((len(entries), Lmax), -1, np.int64)
+    word_entries: Dict[int, List[int]] = {}
+    for ei, (word, pron) in enumerate(entries):
+        if word not in words:
+            raise KaldiError(f"lexicon word {word!r} missing from table")
+        node = 0
+        for d, p in enumerate(pron):
+            pid = phones[p]
+            nxt = children[node].get(pid)
+            if nxt is None:
+                nxt = len(children)
+                children[node][pid] = nxt
+                children.append(dict())
+                node_parent.append(node)
+                node_phone.append(pid)
+            node = nxt
+            entry_path[ei, d] = node
+        entry_end.append(node)
+        word_entries.setdefault(words[word], []).append(ei)
+    NN = len(children)
+    node_parent = np.asarray(node_parent, np.int64)
+    node_phone = np.asarray(node_phone, np.int32)
+    entry_end = np.asarray(entry_end, np.int64)
+    log.info("biglang: trie %d nodes over %d entries (%.1fs)",
+             NN, len(entries), timer.elapsed())
+
+    # ------------------------------------------------------------------
+    # 3. expand LM word arcs over pronunciations; active (h, node) pairs
+    # ------------------------------------------------------------------
+    arc_h = np.asarray(arc_h, np.int64)
+    arc_w = np.asarray(arc_w, np.int64)
+    arc_cost = np.asarray(arc_cost, np.float32)
+    arc_dst = np.asarray(arc_dst, np.int64)
+    n_prons = np.asarray([len(word_entries.get(int(w), [])) for w in arc_w],
+                         np.int64)
+    if (n_prons == 0).any():
+        miss = arc_w[n_prons == 0][:5]
+        log.warning("biglang: %d LM words lack pronunciations (e.g. %s); "
+                    "their arcs are dropped",
+                    int((n_prons == 0).sum()),
+                    [words.find(int(w)) for w in miss])
+        keep = n_prons > 0
+        arc_h, arc_w, arc_cost, arc_dst, n_prons = (
+            arc_h[keep], arc_w[keep], arc_cost[keep], arc_dst[keep],
+            n_prons[keep])
+    # expanded arc list: one row per (LM arc, pronunciation)
+    x_arc = np.repeat(np.arange(len(arc_h)), n_prons)
+    x_entry = np.concatenate(
+        [word_entries[int(w)] for w in arc_w]).astype(np.int64) \
+        if len(arc_w) else np.zeros(0, np.int64)
+    x_h = arc_h[x_arc]
+    x_cost = arc_cost[x_arc]
+    x_dst = arc_dst[x_arc]
+    x_w = arc_w[x_arc]
+    NX = len(x_arc)
+
+    # active (h, node) pairs: every node on every expanded pronunciation
+    pathm = entry_path[x_entry]                     # (NX, Lmax)
+    valid = pathm >= 0
+    pair_keys = (x_h[:, None] * NN + pathm)[valid]  # int64 packed
+    pair_keys = np.unique(pair_keys)
+    NP = len(pair_keys)
+
+    def pair_id(h, node):
+        return np.searchsorted(pair_keys, h * NN + node)
+
+    # pushed weights: W_min(h, n) = min arc cost through (h, n)
+    wmin = np.full(NP, np.float32(np.inf))
+    flat_pairs = (x_h[:, None] * NN + pathm)[valid]
+    flat_cost = np.broadcast_to(x_cost[:, None], pathm.shape)[valid]
+    np.minimum.at(wmin, np.searchsorted(pair_keys, flat_pairs), flat_cost)
+
+    pr_h = pair_keys // NN
+    pr_node = pair_keys % NN
+    pr_phone = node_phone[pr_node]
+    pr_parent = node_parent[pr_node]
+    log.info("biglang: %d expanded arcs, %d (lm-state, trie-node) pairs "
+             "(%.1fs)", NX, NP, timer.elapsed())
+
+    # ------------------------------------------------------------------
+    # 4. phone-level states & arcs
+    #    layout: 0 start_pre | roots | silst | sil_done | pairs
+    # ------------------------------------------------------------------
+    SIL = phones[sil_phone]
+    root0 = 1
+    silst0 = root0 + H
+    sildone0 = silst0 + H
+    pairs0 = sildone0 + H
+    S_phone = pairs0 + NP
+
+    no_sil_cost = -math.log(1.0 - sil_prob) if optional_sil else 0.0
+    sil_cost = -math.log(sil_prob) if optional_sil else np.inf
+
+    ph_src: List[np.ndarray] = []
+    ph_dst: List[np.ndarray] = []
+    ph_lab: List[np.ndarray] = []   # phone (0 = ε)
+    ph_ol: List[np.ndarray] = []
+    ph_wt: List[np.ndarray] = []
+
+    def add(src, dst, lab, ol, wt):
+        n = len(src)
+        ph_src.append(np.asarray(src, np.int64))
+        ph_dst.append(np.asarray(dst, np.int64))
+        ph_lab.append(np.broadcast_to(np.asarray(lab, np.int32), (n,)))
+        ph_ol.append(np.broadcast_to(np.asarray(ol, np.int32), (n,)))
+        ph_wt.append(np.broadcast_to(np.asarray(wt, np.float32), (n,)))
+
+    # trie arcs
+    first = pr_parent == 0
+    fsrc_root = root0 + pr_h[first]
+    fdst = pairs0 + np.nonzero(first)[0]
+    fw = wmin[first]
+    add(fsrc_root, fdst, pr_phone[first], 0, fw)
+    if optional_sil:
+        add(sildone0 + pr_h[first], fdst, pr_phone[first], 0, fw)
+    deep = ~first
+    dsrc = pairs0 + pair_id(pr_h[deep], pr_parent[deep])
+    ddst = pairs0 + np.nonzero(deep)[0]
+    add(dsrc, ddst, pr_phone[deep],
+        0, wmin[deep] - wmin[pair_id(pr_h[deep], pr_parent[deep])])
+
+    # completion ε arcs (word olabel), with the sil / no-sil choice
+    x_end_pair = pair_id(x_h, entry_end[x_entry])
+    res_cost = x_cost - wmin[x_end_pair]
+    add(pairs0 + x_end_pair, root0 + x_dst, 0, x_w, res_cost + no_sil_cost)
+    if optional_sil:
+        add(pairs0 + x_end_pair, silst0 + x_dst, 0, x_w, res_cost + sil_cost)
+        # SIL phone arc, then word choice with no second silence
+        hh = np.arange(H, dtype=np.int64)
+        add(silst0 + hh, sildone0 + hh, SIL, 0, 0.0)
+
+    # backoff ε arcs (on both word-choice variants)
+    bsrc = np.asarray(backoff_src, np.int64)
+    bdst = np.asarray(backoff_dst, np.int64)
+    bw = np.asarray(backoff_w, np.float32)
+    add(root0 + bsrc, root0 + bdst, 0, 0, bw)
+    if optional_sil:
+        add(sildone0 + bsrc, sildone0 + bdst, 0, 0, bw)
+
+    # start: optional initial silence
+    add([0], [root0 + start_lm], 0, 0, no_sil_cost)
+    if optional_sil:
+        add([0], [silst0 + start_lm], 0, 0, sil_cost)
+
+    ph_src = np.concatenate(ph_src)
+    ph_dst = np.concatenate(ph_dst)
+    ph_lab = np.concatenate(ph_lab)
+    ph_ol = np.concatenate(ph_ol)
+    ph_wt = np.concatenate(ph_wt)
+
+    # finals (explicit </s>; backoff reaches the rest through ε)
+    final_phone = np.full(S_phone, np.float32(np.inf))
+    for sid, c in lm_final.items():
+        final_phone[root0 + sid] = c
+        if optional_sil:
+            final_phone[sildone0 + sid] = c
+
+    # per-state phone identity (for self-loops): trie pairs + sil_done
+    state_phone = np.zeros(S_phone, np.int32)
+    state_phone[pairs0:pairs0 + NP] = pr_phone
+    if optional_sil:
+        state_phone[sildone0:sildone0 + H] = SIL
+    log.info("biglang: %d phone-level states, %d arcs (%.1fs)",
+             S_phone, len(ph_src), timer.elapsed())
+
+    # ------------------------------------------------------------------
+    # 5. H expansion: phone arcs → tid arcs (+ chain states for E>1),
+    #    self-loops on phone-unique states (reorder=true)
+    # ------------------------------------------------------------------
+    E, fwd_tid, fwd_w, stid, sw = _hmm_tables(
+        tm, phones, transition_scale, self_loop_scale)
+
+    emit = ph_lab > 0
+    nE = E[ph_lab[emit]]
+    if (nE == 0).any():
+        raise KaldiError("biglang: arc phone missing from topology")
+    extra = nE - 1                              # intermediates per arc
+    n_extra = int(extra.sum())
+    inter0 = S_phone
+    S_tot = S_phone + n_extra
+
+    e_src: List[np.ndarray] = []
+    e_dst: List[np.ndarray] = []
+    e_il: List[np.ndarray] = []
+    e_ol: List[np.ndarray] = []
+    e_wt: List[np.ndarray] = []
+
+    em_src = ph_src[emit]
+    em_dst = ph_dst[emit]
+    em_ph = ph_lab[emit]
+    em_ol = ph_ol[emit]
+    em_wt = ph_wt[emit]
+    if n_extra == 0:
+        e_src.append(em_src)
+        e_dst.append(em_dst)
+        e_il.append(fwd_tid[em_ph, 0])
+        e_ol.append(em_ol)
+        e_wt.append(em_wt + fwd_w[em_ph, 0])
+        inter_phone = np.zeros(0, np.int32)
+        inter_state = np.zeros(0, np.int32)
+    else:
+        # chain states per arc: src → m_1 → … → m_{E−1} → dst
+        offs = np.concatenate([[0], np.cumsum(extra)])
+        inter_phone = np.repeat(em_ph, extra)
+        inter_state = np.concatenate(
+            [np.arange(k, dtype=np.int32) for k in extra]) \
+            if n_extra else np.zeros(0, np.int32)
+        Emax = fwd_tid.shape[1]
+        for i in range(Emax):
+            sel = nE > i
+            n_sel = int(sel.sum())
+            if n_sel == 0:
+                break
+            src_i = np.where(
+                i == 0, em_src,
+                inter0 + offs[:-1] + (i - 1))[sel]
+            dst_i = np.where(
+                i == nE - 1, em_dst,
+                inter0 + offs[:-1] + i)[sel]
+            e_src.append(src_i)
+            e_dst.append(dst_i)
+            e_il.append(fwd_tid[em_ph[sel], i])
+            e_ol.append(np.where(i == 0, em_ol, 0)[sel])
+            e_wt.append(np.where(i == 0, em_wt, 0.0)[sel]
+                        + fwd_w[em_ph[sel], i])
+
+    # self-loops: state s entered by the arc of (phone p, emit-state i)
+    # gets that state's self-loop.  Trie/sil_done states are entered at
+    # emit-state E[p]−1; intermediates at their chain position.
+    sl_state = np.nonzero(state_phone > 0)[0]
+    sl_phone = state_phone[sl_state]
+    sl_pos = E[sl_phone] - 1
+    if n_extra:
+        sl_state = np.concatenate(
+            [sl_state, inter0 + np.arange(n_extra)])
+        sl_phone = np.concatenate([sl_phone, inter_phone])
+        sl_pos = np.concatenate([sl_pos, inter_state])
+    has_loop = stid[sl_phone, sl_pos] > 0
+    e_src.append(sl_state[has_loop])
+    e_dst.append(sl_state[has_loop])
+    e_il.append(stid[sl_phone, sl_pos][has_loop])
+    e_ol.append(np.zeros(int(has_loop.sum()), np.int32))
+    e_wt.append(sw[sl_phone, sl_pos][has_loop])
+
+    e_src = np.concatenate(e_src).astype(np.int64)
+    e_dst = np.concatenate(e_dst).astype(np.int64)
+    e_il = np.concatenate(e_il).astype(np.int32)
+    e_ol = np.concatenate(e_ol).astype(np.int32)
+    e_wt = np.concatenate(e_wt).astype(np.float32)
+
+    n_src = ph_src[~emit]
+    n_dst = ph_dst[~emit]
+    n_ol = ph_ol[~emit]
+    n_wt = ph_wt[~emit]
+
+    final = np.full(S_tot, np.float32(np.inf))
+    final[:S_phone] = final_phone
+    csr = csr_from_arrays(S_tot, 0, e_src, e_dst, e_il, e_ol, e_wt,
+                          n_src, n_dst, n_ol, n_wt, final)
+    log.info("biglang: HCLG %d states, %d emitting + %d ε arcs, "
+             "ε-depth %d (%.1fs total)", S_tot, csr.num_emitting_arcs,
+             csr.num_eps_arcs, csr.eps_depth, timer.elapsed())
+    return BigGraph(csr=csr, words=words, phones=phones, num_lm_states=H)
+
+
+def csr_from_arrays(S: int, start: int,
+                    e_src, e_dst, e_il, e_ol, e_wt,
+                    n_src, n_dst, n_ol, n_wt,
+                    final: np.ndarray) -> CsrGraph:
+    """Assemble a CsrGraph from flat arc arrays (vectorized — the
+    object-FST path goes through fst/csr.py pack_fst instead)."""
+    eo = np.argsort(e_src, kind="stable")
+    no = np.argsort(n_src, kind="stable")
+    e_off = np.zeros(S + 1, np.int64)
+    np.add.at(e_off, e_src + 1, 1)
+    e_off = np.cumsum(e_off)
+    n_off = np.zeros(S + 1, np.int64)
+    np.add.at(n_off, n_src + 1, 1)
+    n_off = np.cumsum(n_off)
+
+    n_ns = n_dst[no].astype(np.int32)
+    depth = _eps_depth_vec(S, n_src[no].astype(np.int64),
+                           n_ns.astype(np.int64))
+    e_deg = np.diff(e_off)
+    n_deg = np.diff(n_off)
+    return CsrGraph(
+        num_states=S,
+        start=start,
+        e_offsets=e_off.astype(np.int32),
+        e_ilabel=e_il[eo].astype(np.int32),
+        e_olabel=e_ol[eo].astype(np.int32),
+        e_weight=e_wt[eo].astype(np.float32),
+        e_nextstate=e_dst[eo].astype(np.int32),
+        n_offsets=n_off.astype(np.int32),
+        n_olabel=n_ol[no].astype(np.int32),
+        n_weight=n_wt[no].astype(np.float32),
+        n_nextstate=n_ns,
+        final_costs=final.astype(np.float32),
+        max_emit_degree=int(e_deg.max(initial=0)),
+        max_eps_degree=int(n_deg.max(initial=0)),
+        eps_depth=depth,
+    )
+
+
+def _eps_depth_vec(S: int, src: np.ndarray, dst: np.ndarray,
+                   max_depth: int = 64) -> int:
+    """Longest ε-path length, by vectorized relaxation (numpy
+    maximum.at per round; rounds = depth+1 ≤ max_depth or raise)."""
+    if len(src) == 0:
+        return 0
+    depth = np.zeros(S, np.int64)
+    for _ in range(max_depth + 1):
+        new = depth.copy()
+        np.maximum.at(new, dst, depth[src] + 1)
+        if (new == depth).all():
+            return int(depth.max())
+        depth = new
+    raise KaldiError("ε-depth exceeds bound (cycle?)")

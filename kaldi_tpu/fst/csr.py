@@ -114,6 +114,26 @@ def pack_fst(fst: VectorFst) -> CsrGraph:
     )
 
 
+def csr_to_vector_fst(g: CsrGraph) -> VectorFst:
+    """Inverse of pack_fst (for oracle decoding / inspection of graphs
+    built directly into CSR form — small graphs only)."""
+    from kaldi_tpu.fst.fst import Arc
+    fst = VectorFst()
+    for _ in range(g.num_states):
+        fst.add_state()
+    fst.set_start(g.start)
+    for s in range(g.num_states):
+        for i in range(g.e_offsets[s], g.e_offsets[s + 1]):
+            fst.add_arc(s, Arc(int(g.e_ilabel[i]), int(g.e_olabel[i]),
+                               float(g.e_weight[i]), int(g.e_nextstate[i])))
+        for i in range(g.n_offsets[s], g.n_offsets[s + 1]):
+            fst.add_arc(s, Arc(EPS, int(g.n_olabel[i]),
+                               float(g.n_weight[i]), int(g.n_nextstate[i])))
+        if np.isfinite(g.final_costs[s]):
+            fst.set_final(s, float(g.final_costs[s]))
+    return fst
+
+
 def _eps_depth(S: int, n_off: np.ndarray, n_ns: np.ndarray) -> int:
     """Longest path length in the ε-subgraph (raises on ε-cycles)."""
     if len(n_ns) == 0:
