@@ -96,31 +96,48 @@ class BeamDecoder:
         self.config = config or BeamDecoderConfig()
         self.K = max(1, min(self.config.max_active, graph.num_states))
         # arc budgets: enough for every arc when the graph is small
-        # (exact mode), else ~8 arcs per token
+        # (exact mode), else ~2 arcs per token (typical large-graph
+        # average out-degree is ~1.5; the load balancer fills budget
+        # slots best-token-first so overflow drops the worst tokens'
+        # arcs, and dropped_arcs reports it)
         self.M = self.config.arc_budget or min(
-            graph.num_emitting_arcs, max(8 * self.K, 8192))
-        self.Me = min(max(graph.num_eps_arcs, 1), max(4 * self.K, 4096))
+            graph.num_emitting_arcs, max(2 * self.K, 8192))
+        self.Me = min(max(graph.num_eps_arcs, 1), max(2 * self.K, 4096))
         self.L = self.config.lattice_arcs_per_frame
         if self.L and self.L < self.K:
             raise KaldiError("lattice_arcs_per_frame must be >= max_active "
                              "(every Viterbi arc must fit)")
         self.Le = max(self.L // 2, min(2 * self.K, self.L)) if self.L else 0
-        self.g = {
-            "e_off": jnp.asarray(graph.e_offsets, jnp.int32),
-            "e_il": jnp.asarray(graph.e_ilabel, jnp.int32),
-            "e_ol": jnp.asarray(graph.e_olabel, jnp.int32),
-            "e_w": jnp.asarray(graph.e_weight, jnp.float32),
-            "e_ns": jnp.asarray(graph.e_nextstate, jnp.int32),
-            "n_off": jnp.asarray(graph.n_offsets, jnp.int32),
-            "n_ol": jnp.asarray(graph.n_olabel, jnp.int32),
-            "n_w": jnp.asarray(graph.n_weight, jnp.float32),
-            "n_ns": jnp.asarray(graph.n_nextstate, jnp.int32),
-            "final": jnp.asarray(graph.final_costs, jnp.float32),
-            "tid2pdf": jnp.asarray(tid_to_pdf, jnp.int32),
+        # The graph is passed to the jitted decode as an ARGUMENT pytree,
+        # never captured as a closure constant: embedded multi-megabyte
+        # literals blow up both MLIR lowering (device-committed constants
+        # get fetched back across the device transport — minutes on the
+        # tunneled TPU) and XLA compile time, and would re-compile per
+        # graph.  As arguments, the arrays upload once (device_put) and
+        # one compiled decoder serves any graph of the same shape.
+        self._g_host = {
+            "e_off": np.asarray(graph.e_offsets, np.int32),
+            "e_il": np.asarray(graph.e_ilabel, np.int32),
+            "e_ol": np.asarray(graph.e_olabel, np.int32),
+            "e_w": np.asarray(graph.e_weight, np.float32),
+            "e_ns": np.asarray(graph.e_nextstate, np.int32),
+            "n_off": np.asarray(graph.n_offsets, np.int32),
+            "n_ol": np.asarray(graph.n_olabel, np.int32),
+            "n_w": np.asarray(graph.n_weight, np.float32),
+            "n_ns": np.asarray(graph.n_nextstate, np.int32),
+            "final": np.asarray(graph.final_costs, np.float32),
+            "tid2pdf": np.asarray(tid_to_pdf, np.int32),
         }
+        self.g = None   # bound to the argument pytree inside _decode_scan
+        self._g_dev = None   # uploaded lazily on first decode
         self._decode_jit = jax.jit(self._decode_scan)
         self._decode_batch_jit = jax.jit(
-            jax.vmap(self._decode_scan, in_axes=(0, 0)))
+            jax.vmap(self._decode_scan, in_axes=(None, 0, 0)))
+
+    def _graph_arrays(self):
+        if self._g_dev is None:
+            self._g_dev = jax.device_put(self._g_host)
+        return self._g_dev
 
     # ------------------------------------------------------------------
     # device-side pieces
@@ -148,49 +165,81 @@ class BeamDecoder:
         count = jnp.where(valid_tok, off[safe_state + 1] - base, 0)
 
         # 1. load-balanced arc distribution (arc-parallel, not token-
-        #    parallel): M work items over the tokens' arc ranges
+        #    parallel): M work items over the tokens' arc ranges.
+        #    Token k's range starts at slot cum[k-1]; scatter each
+        #    token's id at its range start and forward-fill — this is
+        #    searchsorted without the binary-search while-loop, which
+        #    profiles at ~11 ms per call on TPU vs ~0.1 ms for
+        #    scatter+associative-scan.
         cum = jnp.cumsum(count)
         j = jnp.arange(M, dtype=jnp.int32)
-        tok_of = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-        tok_of = jnp.minimum(tok_of, K - 1)
-        prev_cum = jnp.where(tok_of > 0, cum[tok_of - 1], 0)
-        within = j - prev_cum
+        starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
+        pos_k = jnp.where(count > 0, starts, M)    # empty ranges dropped
+        seed_tok = jnp.full((M,), -1, jnp.int32).at[pos_k].set(
+            jnp.arange(K, dtype=jnp.int32), mode="drop")
+        tok_of = _forward_fill(seed_tok, seed_tok >= 0)
+        tok_of = jnp.clip(tok_of, 0, K - 1)
+        seed_start = jnp.zeros((M,), cum.dtype).at[pos_k].set(
+            starts, mode="drop")
+        range_start = _forward_fill(seed_start, seed_tok >= 0)
+        within = j - range_start
         in_range = j < cum[K - 1]
         dropped = jnp.maximum(cum[K - 1] - M, 0)   # arc-budget overflow
         aidx = jnp.clip(base[tok_of] + within, 0,
                         max(len(w_arr) - 1, 0))
 
-        # 2. expand
+        # 2. expand.  Only (state, cost, position) travel through the
+        #    sorts; labels/weights are re-gathered from the arc arrays
+        #    by candidate position after selection (cheaper than
+        #    carrying 4 extra sort operands on the TPU).
         c_state = ns_arr[aidx]
         gw = w_arr[aidx]
-        c_ol = ol_arr[aidx]
         if use_eps:
-            c_il = jnp.zeros(M, jnp.int32)
             ac = jnp.zeros(M, jnp.float32)
         else:
-            c_il = g["e_il"][aidx]
-            ac = -self.config.acoustic_scale * loglike[g["tid2pdf"][c_il]]
+            il = g["e_il"][aidx]
+            ac = -self.config.acoustic_scale * loglike[g["tid2pdf"][il]]
         c_cost = jnp.where(in_range, tok_cost[tok_of] + gw + ac, INF)
         c_prev = tok_of
+        c_aidx = aidx + 1                  # 0 marks ε-identity candidates
         if use_eps:
             # surviving-unchanged candidates (tokens keep their state)
             c_state = jnp.concatenate([c_state, safe_state])
             c_cost = jnp.concatenate(
                 [c_cost, jnp.where(valid_tok, tok_cost, INF)])
             c_prev = jnp.concatenate([c_prev, jnp.arange(K, dtype=jnp.int32)])
-            c_il = jnp.concatenate([c_il, jnp.zeros(K, jnp.int32)])
-            c_ol = jnp.concatenate([c_ol, jnp.zeros(K, jnp.int32)])
-            gw = jnp.concatenate([gw, jnp.zeros(K, jnp.float32)])
-            ac = jnp.concatenate([ac, jnp.zeros(K, jnp.float32)])
+            c_aidx = jnp.concatenate([c_aidx, jnp.zeros(K, jnp.int32)])
         N = c_cost.shape[0]
+
+        def labels_of(pos_sel, valid):
+            """(prev, aidx, il, ol, gw, ac) for selected candidates."""
+            p = jnp.where(valid, c_prev[pos_sel], -1)
+            a = jnp.where(valid, c_aidx[pos_sel], 0)
+            ai = jnp.maximum(a - 1, 0)
+            real = a > 0
+            o = jnp.where(real, ol_arr[ai], 0)
+            if use_eps:
+                i = jnp.zeros_like(o)
+            else:
+                i = jnp.where(real, g["e_il"][ai], 0)
+            gww = jnp.where(real, w_arr[ai], 0.0)
+            if use_eps:
+                acc = jnp.zeros_like(gww)
+            else:
+                acc = jnp.where(
+                    real,
+                    -self.config.acoustic_scale * loglike[g["tid2pdf"][i]],
+                    0.0)
+            return p, i, o, gww, acc
 
         # 3. beam prune + sort-based recombination
         best = jnp.min(c_cost)
         fin = c_cost <= best + self.config.beam
         c_cost = jnp.where(fin, c_cost, INF)
         sort_state = jnp.where(fin, c_state, S)   # invalid sorts last
-        (st_s, cost_s, prev_s, il_s, ol_s, gw_s, ac_s) = jax.lax.sort(
-            (sort_state, c_cost, c_prev, c_il, c_ol, gw, ac), num_keys=2)
+        pos0 = jnp.arange(N, dtype=jnp.int32)
+        st_s, cost_s, pos_s = jax.lax.sort(
+            (sort_state, c_cost, pos0), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
@@ -200,14 +249,12 @@ class BeamDecoder:
         # 4. max-active: best K segment heads by cost
         key2 = jnp.where(head, cost_s, INF)
         pos = jnp.arange(N, dtype=jnp.int32)
-        (cost2, st2, prev2, il2, ol2, pos2) = jax.lax.sort(
-            (key2, st_s, prev_s, il_s, ol_s, pos), num_keys=1)
+        cost2, st2, pos2 = jax.lax.sort((key2, st_s, pos), num_keys=1)
         ok = jnp.isfinite(cost2[:K])
         new_state = jnp.where(ok, st2[:K], -1).astype(jnp.int32)
         new_cost = jnp.where(ok, cost2[:K], INF)
-        vit = (jnp.where(ok, prev2[:K], -1).astype(jnp.int32),
-               jnp.where(ok, il2[:K], 0),
-               jnp.where(ok, ol2[:K], 0))
+        vp, vi, vo, _, _ = labels_of(pos_s[pos2[:K]], ok)
+        vit = (vp.astype(jnp.int32), vi, vo)
 
         if not L:
             return new_state, new_cost, vit, None, dropped
@@ -222,8 +269,7 @@ class BeamDecoder:
         keep = (jnp.isfinite(cost_s) & (extra <= self.config.lattice_beam)
                 & (dst_slot >= 0))
         key3 = jnp.where(keep, extra, INF)
-        (key3s, rp, ri, ro, rg, ra, rd) = jax.lax.sort(
-            (key3, prev_s, il_s, ol_s, gw_s, ac_s, dst_slot), num_keys=1)
+        key3s, pos3, rd = jax.lax.sort((key3, pos_s, dst_slot), num_keys=1)
 
         def fit(x, fill):
             # small graphs can have fewer candidates than the budget
@@ -232,17 +278,16 @@ class BeamDecoder:
             return jnp.concatenate(
                 [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
-        key3s, rp, ri, ro, rg, ra, rd = (
-            fit(key3s, jnp.inf), fit(rp, -1), fit(ri, 0), fit(ro, 0),
-            fit(rg, 0.0), fit(ra, 0.0), fit(rd, -1))
-        rvalid = jnp.isfinite(key3s[:L])
+        key3s, pos3, rd = fit(key3s, jnp.inf), fit(pos3, 0), fit(rd, -1)
+        rvalid = jnp.isfinite(key3s)
+        rp, ri, ro, rg, ra = labels_of(pos3, rvalid)
         records = {
-            "prev": jnp.where(rvalid, rp[:L], -1).astype(jnp.int32),
-            "tid": jnp.where(rvalid, ri[:L], 0),
-            "ol": jnp.where(rvalid, ro[:L], 0),
-            "gw": jnp.where(rvalid, rg[:L], 0.0),
-            "ac": jnp.where(rvalid, ra[:L], 0.0),
-            "dst": jnp.where(rvalid, rd[:L], -1),
+            "prev": rp.astype(jnp.int32),
+            "tid": ri,
+            "ol": ro,
+            "gw": rg,
+            "ac": ra,
+            "dst": jnp.where(rvalid, rd, -1),
         }
         return new_state, new_cost, vit, records, dropped
 
@@ -266,7 +311,7 @@ class BeamDecoder:
     def _frame_step(self, carry, xs):
         tok_state, tok_cost = carry
         loglike, active = xs
-        E = self.graph.eps_depth
+        E = self.graph.num_sweeps
         K = self.K
         sweeps = []
         s, c, vit, rec, dropped = self._sweep(tok_state, tok_cost, False,
@@ -300,14 +345,21 @@ class BeamDecoder:
             out = out + (emit_rec, eps_rec)
         return (s, c), out
 
-    def _decode_scan(self, loglikes, num_frames):
-        """loglikes: (T_pad, P); num_frames: scalar int."""
+    def _decode_scan(self, g, loglikes, num_frames):
+        """g: graph array pytree; loglikes: (T_pad, P); num_frames: int."""
         K = self.K
-        tok_state = jnp.full((K,), -1, jnp.int32).at[0].set(self.graph.start)
-        tok_cost = jnp.full((K,), INF).at[0].set(0.0)
+        self.g = g
+        # tie the initial tokens to a runtime value: XLA would otherwise
+        # CONSTANT-FOLD the unrolled initial ε-closure (sorts over tens
+        # of thousands of elements in the slow folding interpreter),
+        # blowing compile time from seconds to minutes
+        rt_zero = jnp.minimum(num_frames, 0)
+        tok_state = jnp.full((K,), -1, jnp.int32).at[0].set(
+            self.graph.start + rt_zero)
+        tok_cost = jnp.full((K,), INF).at[0].set(rt_zero.astype(jnp.float32))
         init_vit = []
         init_rec = []
-        for _ in range(self.graph.eps_depth):
+        for _ in range(self.graph.num_sweeps):
             tok_state, tok_cost, vit, rec, _ = self._sweep(
                 tok_state, tok_cost, True)
             init_vit.append(vit)
@@ -344,7 +396,7 @@ class BeamDecoder:
             out["init_ol"] = z
         if self.L:
             out["emit_rec"] = scanned[4]            # (T, L) fields
-            if self.graph.eps_depth:
+            if self.graph.num_sweeps:
                 out["eps_rec"] = scanned[5]         # (T, E, Le) fields
             if init_rec:
                 out["init_rec"] = jax.tree_util.tree_map(
@@ -359,7 +411,8 @@ class BeamDecoder:
                ) -> Tuple[List[int], List[int], float]:
         """Single utterance → (tid alignment, olabel seq, total cost)."""
         T = loglikes.shape[0]
-        out = self._decode_jit(jnp.asarray(loglikes, jnp.float32),
+        out = self._decode_jit(self._graph_arrays(),
+                               jnp.asarray(loglikes, jnp.float32),
                                jnp.int32(T))
         return self._backtrace(jax.tree_util.tree_map(np.asarray, out), T)
 
@@ -367,6 +420,7 @@ class BeamDecoder:
                      num_frames: np.ndarray):
         """(B, T_pad, P) + (B,) → list of (tids, olabels, cost)."""
         out = self._decode_batch_jit(
+            self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
         out = jax.tree_util.tree_map(np.asarray, out)
@@ -382,7 +436,8 @@ class BeamDecoder:
         if not self.L:
             raise KaldiError("decode_lattice needs lattice_arcs_per_frame")
         T = loglikes.shape[0]
-        out = self._decode_jit(jnp.asarray(loglikes, jnp.float32),
+        out = self._decode_jit(self._graph_arrays(),
+                               jnp.asarray(loglikes, jnp.float32),
                                jnp.int32(T))
         return self._build_lattice(
             jax.tree_util.tree_map(np.asarray, out), T)
@@ -392,6 +447,7 @@ class BeamDecoder:
         if not self.L:
             raise KaldiError("decode_lattice needs lattice_arcs_per_frame")
         out = self._decode_batch_jit(
+            self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
         out = jax.tree_util.tree_map(np.asarray, out)
@@ -434,7 +490,7 @@ class BeamDecoder:
 
     def _level_records(self, out, T: int):
         """Yield per-level record dicts in topological order."""
-        E = self.graph.eps_depth
+        E = self.graph.num_sweeps
         if "init_rec" in out:
             for e in range(E):
                 yield {k: out["init_rec"][k][e] for k in out["init_rec"]}

@@ -525,6 +525,93 @@ def csr_from_arrays(S: int, start: int,
     )
 
 
+def eps_close(g: CsrGraph) -> CsrGraph:
+    """Transitively close the ε arc set so the ε-DAG depth becomes 1 —
+    the decoder then needs ONE ε sweep per frame instead of depth-many
+    (the dominant per-frame cost at depth 3).  Each ε path in these
+    graphs carries at most one olabel (word-completion arcs originate at
+    trie leaves, which are never ε-destinations; backoff chains carry
+    none), so every closed path is representable as a single arc.
+    Viterbi and lattice semantics are preserved exactly: with one sweep,
+    each original ε path corresponds to exactly one closure arc."""
+    src = []
+    dst = []
+    w = []
+    ol = []
+    for s in range(g.num_states):
+        lo, hi = g.n_offsets[s], g.n_offsets[s + 1]
+        if hi > lo:
+            src.append(np.full(hi - lo, s, np.int64))
+            dst.append(g.n_nextstate[lo:hi].astype(np.int64))
+            w.append(g.n_weight[lo:hi].astype(np.float64))
+            ol.append(g.n_olabel[lo:hi].astype(np.int64))
+    src = np.concatenate(src) if src else np.zeros(0, np.int64)
+    dst = np.concatenate(dst) if dst else np.zeros(0, np.int64)
+    w = np.concatenate(w) if w else np.zeros(0)
+    ol = np.concatenate(ol) if ol else np.zeros(0, np.int64)
+
+    # one-step arcs indexed by source for the join
+    order_idx = np.argsort(src, kind="stable")
+    s_sorted = src[order_idx]
+    bounds = np.searchsorted(s_sorted, np.arange(g.num_states + 1))
+    all_src, all_dst, all_w, all_ol = [src], [dst], [w], [ol]
+    cur_src, cur_dst, cur_w, cur_ol = src, dst, w, ol
+    for _ in range(64):
+        # join current paths with one more ε step
+        lo = bounds[cur_dst]
+        hi = bounds[cur_dst + 1]
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        rep = np.repeat(np.arange(len(cur_src)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        step = order_idx[lo[rep] + within]
+        new_src = cur_src[rep]
+        new_dst = dst[step]
+        new_w = cur_w[rep] + w[step]
+        if (ol[step][cur_ol[rep] > 0] > 0).any():
+            raise KaldiError("eps_close: two olabels on one ε path")
+        new_ol = np.maximum(cur_ol[rep], ol[step])
+        all_src.append(new_src)
+        all_dst.append(new_dst)
+        all_w.append(new_w)
+        all_ol.append(new_ol)
+        cur_src, cur_dst, cur_w, cur_ol = new_src, new_dst, new_w, new_ol
+    else:
+        raise KaldiError("eps_close: ε-cycle")
+
+    n_src = np.concatenate(all_src)
+    n_dst = np.concatenate(all_dst)
+    n_w = np.concatenate(all_w).astype(np.float32)
+    n_ol = np.concatenate(all_ol).astype(np.int32)
+    # dedupe (src, dst, olabel) keeping min weight (tropical)
+    key = (n_src * g.num_states + n_dst) * (n_ol.max() + 1 if len(n_ol)
+                                            else 1) + n_ol
+    uk, inv = np.unique(key, return_inverse=True)
+    wmin = np.full(len(uk), np.float32(np.inf))
+    np.minimum.at(wmin, inv, n_w)
+    first = np.zeros(len(uk), np.int64)
+    seen = np.full(len(uk), -1, np.int64)
+    np.maximum.at(seen, inv, np.arange(len(inv)))
+    first = seen
+    n_src, n_dst, n_ol, n_w = (n_src[first], n_dst[first], n_ol[first],
+                               wmin)
+
+    e_src = np.repeat(np.arange(g.num_states, dtype=np.int64),
+                      np.diff(g.e_offsets))
+    out = csr_from_arrays(
+        g.num_states, g.start,
+        e_src, g.e_nextstate.astype(np.int64), g.e_ilabel, g.e_olabel,
+        g.e_weight,
+        n_src, n_dst, n_ol, n_w, g.final_costs)
+    out.eps_sweeps = 1 if out.num_eps_arcs else 0
+    log.info("eps_close: %d → %d ε arcs, sweeps %d → %d",
+             g.num_eps_arcs, out.num_eps_arcs, g.num_sweeps,
+             out.num_sweeps)
+    return out
+
+
 def _eps_depth_vec(S: int, src: np.ndarray, dst: np.ndarray,
                    max_depth: int = 64) -> int:
     """Longest ε-path length, by vectorized relaxation (numpy

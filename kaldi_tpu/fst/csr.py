@@ -50,6 +50,14 @@ class CsrGraph:
     max_emit_degree: int
     max_eps_degree: int
     eps_depth: int
+    # decoder ε sweeps per frame; 0 = use eps_depth.  Transitively
+    # closed graphs (biglang.eps_close) need only 1 even though the
+    # closed arc set's structural depth is unchanged.
+    eps_sweeps: int = 0
+
+    @property
+    def num_sweeps(self) -> int:
+        return self.eps_sweeps or self.eps_depth
 
     @property
     def num_emitting_arcs(self) -> int:

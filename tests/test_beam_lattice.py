@@ -241,3 +241,49 @@ def test_biglang_midscale_beam_matches_simple():
     lat = dec.decode_lattice(ll)
     lw, ltids, lcost = lat.best_path()[1], None, lat.best_path()[2]
     assert abs(lcost - cost) < 1e-2
+
+
+def test_eps_close_equivalent():
+    """Transitive ε-closure (1 sweep/frame) decodes identically —
+    best path AND lattice contents (on a biglang graph, which has
+    completion + backoff ε chains of depth ≥ 2)."""
+    from kaldi_tpu.fst.biglang import eps_close
+    rng = np.random.default_rng(17)
+    entries = sorted(_random_lexicon(rng, 15, 4))
+    texts = _corpus(rng, entries, 120)
+    arpa = estimate_arpa(texts, order=2, prune_count=1,
+                         vocab=[w for w, _ in entries])
+    lex = Lexicon(list(entries))
+    lang = Lang(lex)
+    pl = lang.phone_list()
+    topo = HmmTopology.chain(pl)
+    tree = MonophoneContextDependency(pl, topo)
+    tm = TransitionModel(topo, tree)
+    big = build_big_graph(entries, arpa, tm, lang.words, lang.phones,
+                          self_loop_scale=1.0)
+    csr = big.csr
+    assert csr.num_sweeps >= 2
+    closed = eps_close(csr)
+    assert closed.num_sweeps == 1
+    rng = np.random.default_rng(3)
+    for seed in range(3):
+        ll = rng.standard_normal((12, tm.num_pdfs)).astype(np.float32)
+        cfg = BeamDecoderConfig(beam=1e9, max_active=csr.num_states,
+                                acoustic_scale=1.0, lattice_beam=6.0,
+                                lattice_arcs_per_frame=4 * csr.num_states)
+        d1 = BeamDecoder(csr, tm.tid_to_pdf_array, cfg)
+        d2 = BeamDecoder(closed, tm.tid_to_pdf_array, cfg)
+        t1, o1, c1 = d1.decode(ll)
+        t2, o2, c2 = d2.decode(ll)
+        assert abs(c1 - c2) < 1e-3 and t1 == t2 and o1 == o2
+        p1 = _lattice_paths(d1.decode_lattice(ll))
+        p2 = _lattice_paths(d2.decode_lattice(ll))
+        # identical well inside the lattice beam (paths at the exact
+        # beam boundary may differ by float summation order)
+        margin = 0.5
+        best = min(p1.values())
+        core1 = {k for k, c in p1.items() if c <= best + 6.0 - margin}
+        core2 = {k for k, c in p2.items() if c <= best + 6.0 - margin}
+        assert core1 == core2
+        for k in core1:
+            assert abs(p1[k] - p2[k]) < 1e-3
