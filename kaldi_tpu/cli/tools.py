@@ -10,6 +10,7 @@ Tool names keep the Kaldi spelling so recipe translations are 1:1.
 
 from __future__ import annotations
 
+import struct
 import sys
 from typing import Callable, Dict, List
 
@@ -253,15 +254,22 @@ def gmm_latgen_faster(argv):
     from kaldi_tpu.fst.fst import VectorFst
     from kaldi_tpu.lattice import determinize_lattice
     po = ParseOptions(
-        "gmm-latgen-faster [opts] <model> <fst-txt> <feats-rspec> "
-        "<lattice-wspec> [<words-wspec>]")
+        "gmm-latgen-faster [opts] <model> <fst> <feats-rspec> "
+        "<lattice-wspec> [<words-wspec>]\n"
+        "<fst> may be a text FST or a binary OpenFst vector/const file")
     po.register("beam", float, 13.0, "decoding beam")
     po.register("lattice-beam", float, 6.0, "lattice beam")
     po.register("acoustic-scale", float, 0.1, "acoustic scale")
     po.register("word-symbol-table", str, "", "words.txt for text output")
     args = po.read(argv)
     tm, am = read_mdl(args[0])
-    HCLG = VectorFst.read_text(args[1])
+    with open(args[1], "rb") as _fh:
+        _is_binary = _fh.read(4) == struct.pack("<i", 2125659606)
+    if _is_binary:
+        from kaldi_tpu.fst.openfst_io import read_fst_path
+        HCLG = read_fst_path(args[1])
+    else:
+        HCLG = VectorFst.read_text(args[1])
     dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
                        DenseDecoderConfig(beam=po["beam"],
                                           lattice_beam=po["lattice-beam"],

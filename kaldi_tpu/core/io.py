@@ -250,17 +250,134 @@ def write_matrix(f: BinaryIO, mat: np.ndarray, dtype: str = "float32") -> None:
 
 def read_matrix(f: BinaryIO) -> np.ndarray:
     tok = read_token(f)
+    if tok in ("CM", "CM2", "CM3"):
+        return _read_compressed_body(f, tok)
     if tok == "FM":
         itemsize, dt = 4, "<f4"
     elif tok == "DM":
         itemsize, dt = 8, "<f8"
     else:
-        raise KaldiError(f"Expected FM/DM token, got '{tok}' "
-                         "(compressed matrices: see read_compressed_matrix)")
+        raise KaldiError(f"Expected FM/DM/CM token, got '{tok}'")
     rows = read_basic_int32(f)
     cols = read_basic_int32(f)
     buf = f.read(itemsize * rows * cols)
     return np.frombuffer(buf, dtype=dt).reshape(rows, cols).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# CompressedMatrix (compressed-matrix.cc) — the format feature archives
+# use (--compress=true in steps/make_mfcc.sh writes "CM" entries).
+#
+# Layout (from the public compressed-matrix.cc; the empty reference
+# mount — SURVEY.md §0 — means this is round-trip-tested but not yet
+# byte-verified against an upstream ark):
+#   token "CM" (per-column uint8) | "CM2" (uint16) | "CM3" (flat uint8)
+#   GlobalHeader raw struct: float32 min_value, float32 range,
+#                            int32 num_rows, int32 num_cols
+#   CM:  PerColHeader {uint16 p0,p25,p75,p100} × cols, then uint8 data
+#        column-major; elements piecewise-linear within the percentile
+#        bands [p0,p25]→[0,64], [p25,p75]→[64,192], [p75,p100]→[192,255]
+#   CM2: uint16 row-major, value = min + range·code/65535
+#   CM3: uint8 row-major, value = min + range·code/255
+# ---------------------------------------------------------------------------
+
+def _u16_to_float(g_min, g_range, codes):
+    return g_min + g_range * codes.astype(np.float64) / 65535.0
+
+
+def _float_to_u16(g_min, g_range, vals):
+    f = np.clip((vals - g_min) / max(g_range, 1e-20), 0.0, 1.0)
+    return (f * 65535 + 0.499).astype(np.uint16)
+
+
+def _char_to_float(p0, p25, p75, p100, codes):
+    c = codes.astype(np.float64)
+    lo = p0 + (p25 - p0) * (c / 64.0)
+    mid = p25 + (p75 - p25) * ((c - 64.0) / 128.0)
+    hi = p75 + (p100 - p75) * ((c - 192.0) / 63.0)
+    return np.where(c <= 64, lo, np.where(c <= 192, mid, hi))
+
+
+def _float_to_char(p0, p25, p75, p100, vals):
+    out = np.empty(vals.shape, np.uint8)
+    lo = vals < p25
+    hi = vals >= p75
+    mid = ~lo & ~hi
+    f = (vals - p0) / np.maximum(p25 - p0, 1e-20)
+    out_lo = np.clip(f * 64 + 0.5, 0, 64).astype(np.uint8)
+    f = (vals - p25) / np.maximum(p75 - p25, 1e-20)
+    out_mid = np.clip(64 + f * 128 + 0.5, 64, 192).astype(np.uint8)
+    f = (vals - p75) / np.maximum(p100 - p75, 1e-20)
+    out_hi = np.clip(192 + f * 63 + 0.5, 192, 255).astype(np.uint8)
+    out[lo] = out_lo[lo]
+    out[mid] = out_mid[mid]
+    out[hi] = out_hi[hi]
+    return out
+
+
+def write_compressed_matrix(f: BinaryIO, mat: np.ndarray,
+                            fmt: str = "CM") -> None:
+    mat = np.asarray(mat, np.float64)
+    rows, cols = mat.shape
+    g_min = float(mat.min()) if mat.size else 0.0
+    g_range = float(mat.max() - g_min) if mat.size else 1.0
+    g_range = max(g_range, 1e-10)
+    write_token(f, fmt)
+    f.write(struct.pack("<ffii", g_min, g_range, rows, cols))
+    if fmt == "CM2":
+        codes = _float_to_u16(g_min, g_range, mat)
+        f.write(codes.astype("<u2").tobytes())
+        return
+    if fmt == "CM3":
+        fr = np.clip((mat - g_min) / g_range, 0, 1)
+        f.write((fr * 255 + 0.5).astype(np.uint8).tobytes())
+        return
+    if fmt != "CM":
+        raise KaldiError(f"bad compressed format {fmt}")
+    headers = np.empty((cols, 4), "<u2")
+    data = np.empty((cols, rows), np.uint8)
+    for c in range(cols):
+        col = np.sort(mat[:, c])
+        qs = [col[0],
+              col[min(rows - 1, rows // 4)],
+              col[min(rows - 1, (3 * rows) // 4)],
+              col[-1]]
+        codes = _float_to_u16(g_min, g_range, np.asarray(qs))
+        codes = np.maximum.accumulate(codes)   # monotone percentiles
+        headers[c] = codes
+        p0, p25, p75, p100 = _u16_to_float(g_min, g_range, codes)
+        p25 = max(p25, p0 + 1e-10)
+        p75 = max(p75, p25 + 1e-10)
+        p100 = max(p100, p75 + 1e-10)
+        data[c] = _float_to_char(p0, p25, p75, p100, mat[:, c])
+    f.write(headers.tobytes())
+    f.write(data.tobytes())
+
+
+def _read_compressed_body(f: BinaryIO, tok: str) -> np.ndarray:
+    g_min, g_range, rows, cols = struct.unpack("<ffii", f.read(16))
+    if tok == "CM2":
+        codes = np.frombuffer(f.read(2 * rows * cols), "<u2")
+        return _u16_to_float(g_min, g_range, codes).reshape(
+            rows, cols).astype(np.float32)
+    if tok == "CM3":
+        codes = np.frombuffer(f.read(rows * cols), np.uint8)
+        return (g_min + g_range * codes.astype(np.float64) / 255.0
+                ).reshape(rows, cols).astype(np.float32)
+    headers = np.frombuffer(f.read(8 * cols), "<u2").reshape(cols, 4)
+    data = np.frombuffer(f.read(rows * cols), np.uint8).reshape(cols, rows)
+    out = np.empty((rows, cols), np.float32)
+    for c in range(cols):
+        p0, p25, p75, p100 = _u16_to_float(g_min, g_range, headers[c])
+        out[:, c] = _char_to_float(p0, p25, p75, p100, data[c])
+    return out
+
+
+def read_compressed_matrix(f: BinaryIO) -> np.ndarray:
+    tok = read_token(f)
+    if tok not in ("CM", "CM2", "CM3"):
+        raise KaldiError(f"Expected CM/CM2/CM3, got '{tok}'")
+    return _read_compressed_body(f, tok)
 
 
 def write_vector(f: BinaryIO, vec: np.ndarray, dtype: str = "float32") -> None:

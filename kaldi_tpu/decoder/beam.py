@@ -130,14 +130,42 @@ class BeamDecoder:
         }
         self.g = None   # bound to the argument pytree inside _decode_scan
         self._g_dev = None   # uploaded lazily on first decode
-        self._decode_jit = jax.jit(self._decode_scan)
-        self._decode_batch_jit = jax.jit(
-            jax.vmap(self._decode_scan, in_axes=(None, 0, 0)))
+        self._compiled = {}  # (batch?, B, T_pad, P) → compiled executable
 
     def _graph_arrays(self):
         if self._g_dev is None:
             self._g_dev = jax.device_put(self._g_host)
         return self._g_dev
+
+    def _get_compiled(self, shape):
+        """AOT-compile the decode for a (B?, T_pad, P) shape.  Lowering
+        uses abstract ShapeDtypeStructs, NOT concrete device arrays —
+        tracing with device-resident arguments makes the lowering
+        machinery consult the device transport per value (minutes over
+        a tunneled TPU); abstract avals lower in seconds."""
+        if shape in self._compiled:
+            return self._compiled[shape]
+        sds = jax.ShapeDtypeStruct
+        g_abs = {k: sds(v.shape, v.dtype) for k, v in self._g_host.items()}
+        if len(shape) == 2:           # single utterance (T_pad, P)
+            fn = jax.jit(self._decode_scan)
+            args = (g_abs, sds(shape, jnp.float32),
+                    sds((), jnp.int32))
+        else:                         # batch (B, T_pad, P)
+            fn = jax.jit(jax.vmap(self._decode_scan, in_axes=(None, 0, 0)))
+            args = (g_abs, sds(shape, jnp.float32),
+                    sds((shape[0],), jnp.int32))
+        compiled = fn.lower(*args).compile()
+        self._compiled[shape] = compiled
+        return compiled
+
+    def _decode_jit(self, g, loglikes, num_frames):
+        return self._get_compiled(tuple(loglikes.shape))(
+            g, loglikes, num_frames)
+
+    def _decode_batch_jit(self, g, loglikes, num_frames):
+        return self._get_compiled(tuple(loglikes.shape))(
+            g, loglikes, num_frames)
 
     # ------------------------------------------------------------------
     # device-side pieces
