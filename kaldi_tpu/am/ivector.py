@@ -90,9 +90,13 @@ class IvectorExtractor:
                                 ivector_dim)
 
     # -- Baum-Welch stats --------------------------------------------------
-    def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def acc_stats(self, feats: np.ndarray,
+                  weights: Optional[np.ndarray] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (gamma (G,), X (G, D)): zeroth/first-order stats under the
-        UBM posteriors."""
+        UBM posteriors; optional per-frame weights (the silence-
+        weighting hook — OnlineSilenceWeighting downweights frames the
+        decoder aligns to silence)."""
         x = np.asarray(feats, np.float64)
         # log N(x; m_g, Σ_g) for all g: same einsum shape as GMM loglikes
         quad = (x ** 2) @ (-0.5 * self.inv_vars).T \
@@ -104,6 +108,8 @@ class IvectorExtractor:
         logp -= logp.max(axis=1, keepdims=True)
         post = np.exp(logp)
         post /= post.sum(axis=1, keepdims=True)
+        if weights is not None:
+            post = post * np.asarray(weights, np.float64)[:, None]
         gamma = post.sum(axis=0)
         X = post.T @ x
         return gamma, X
@@ -155,7 +161,13 @@ class IvectorExtractor:
 class OnlineIvectorEstimator:
     """Streaming i-vector estimation: stats accumulate per chunk, the
     current estimate is available at any time
-    (OnlineIvectorEstimationStats)."""
+    (OnlineIvectorEstimationStats).
+
+    Frame weights may be REVISED after the fact (the silence-weighting
+    protocol: the decoder's partial traceback reclassifies earlier
+    frames as silence as it advances); per-frame stats are cached so a
+    weight change is a delta update, as in OnlineIvectorFeature::
+    UpdateFrameWeights."""
 
     def __init__(self, extractor: IvectorExtractor,
                  max_count: float = 0.0):
@@ -164,18 +176,65 @@ class OnlineIvectorEstimator:
         self.gamma = np.zeros(G)
         self.X = np.zeros((G, D))
         self.max_count = max_count
+        self._frame_gamma: List[np.ndarray] = []   # per-frame (G,)
+        self._frame_X: List[np.ndarray] = []       # per-frame (G, D)
+        self._weights: List[float] = []
 
-    def accept_frames(self, feats: np.ndarray) -> None:
-        g, x = self.ex.acc_stats(feats)
-        self.gamma += g
-        self.X += x
-        if self.max_count > 0 and self.gamma.sum() > self.max_count:
-            scale = self.max_count / self.gamma.sum()
-            self.gamma *= scale
-            self.X *= scale
+    @property
+    def num_frames(self) -> int:
+        return len(self._weights)
+
+    def accept_frames(self, feats: np.ndarray,
+                      weights: Optional[np.ndarray] = None) -> None:
+        feats = np.atleast_2d(np.asarray(feats, np.float64))
+        if weights is None:
+            weights = np.ones(feats.shape[0])
+        for t in range(feats.shape[0]):
+            g, x = self.ex.acc_stats(feats[t:t + 1])
+            self._frame_gamma.append(g)
+            self._frame_X.append(x)
+            self._weights.append(float(weights[t]))
+            self.gamma += weights[t] * g
+            self.X += weights[t] * x
+
+    def update_frame_weights(self, weights: np.ndarray) -> None:
+        """Revise weights for frames [0, len(weights)); delta-update."""
+        for t, w in enumerate(weights):
+            if t >= len(self._weights):
+                break
+            d = float(w) - self._weights[t]
+            if d:
+                self.gamma += d * self._frame_gamma[t]
+                self.X += d * self._frame_X[t]
+                self._weights[t] = float(w)
 
     def ivector(self) -> np.ndarray:
-        return self.ex.extract(self.gamma, self.X)
+        gamma, X = self.gamma, self.X
+        if self.max_count > 0 and gamma.sum() > self.max_count:
+            scale = self.max_count / gamma.sum()
+            gamma = gamma * scale
+            X = X * scale
+        return self.ex.extract(gamma, X)
+
+
+class OnlineSilenceWeighting:
+    """Frame weights from the decoder's partial traceback
+    (online-ivector-feature.h OnlineSilenceWeighting): frames whose
+    best-path tid maps to a silence phone get `silence_weight`, others
+    1.0; undecoded frames default to 1.0."""
+
+    def __init__(self, tm, silence_phones, silence_weight: float = 0.0):
+        self.tm = tm
+        self.sil = set(silence_phones)
+        self.silence_weight = silence_weight
+
+    def compute_weights(self, tid_traceback: Sequence[int],
+                        num_frames: int) -> np.ndarray:
+        w = np.ones(num_frames)
+        for t, tid in enumerate(tid_traceback[:num_frames]):
+            if self.tm.transition_id_to_phone(tid) in self.sil:
+                w[t] = self.silence_weight
+        return w
 
 
 # ---------------------------------------------------------------------------

@@ -44,13 +44,22 @@ class OnlineFeaturePipeline:
 
     def __init__(self, computer, cmvn: Optional[OnlineCmvnOptions] = None,
                  deltas: Optional[DeltaFeaturesOptions] = None,
-                 splice: Optional[tuple] = None):
+                 splice: Optional[tuple] = None,
+                 ivector_estimator=None, ivector_period: int = 10):
+        """ivector_estimator: an am.ivector.OnlineIvectorEstimator — when
+        given, the current i-vector (re-estimated every ivector_period
+        frames, from RAW pre-CMVN frames as the reference does) is
+        appended to each output frame (the OnlineIvectorFeature input of
+        online-nnet2-feature-pipeline.h)."""
         self.computer = computer
         self.cmvn = cmvn
         self.delta_opts = deltas
         self.splice_ctx = splice
         if deltas is not None and splice is not None:
             raise KaldiError("use deltas or splicing, not both")
+        self.ivector_estimator = ivector_estimator
+        self.ivector_period = ivector_period
+        self._ivectors: List[np.ndarray] = []   # per period-block
         self._wave = np.zeros(0, np.float32)
         self._frames: List[np.ndarray] = []     # raw computed frames
         self._input_finished = False
@@ -79,6 +88,8 @@ class OnlineFeaturePipeline:
             feats = self.computer.compute(segment)
             for i in range(total - have):
                 self._frames.append(np.asarray(feats[i]))
+            if self.ivector_estimator is not None:
+                self._update_ivectors()
 
     # -- output ------------------------------------------------------------
     @property
@@ -108,7 +119,48 @@ class OnlineFeaturePipeline:
             out = np.asarray(add_deltas(out, self.delta_opts))
         elif self.splice_ctx is not None:
             out = np.asarray(splice_frames(out, *self.splice_ctx))
-        return out[begin:end]
+        out = out[begin:end]
+        if self.ivector_estimator is not None:
+            out = np.concatenate(
+                [out, self._ivector_rows(begin, end)], axis=1)
+        return out
+
+    def set_frame_weights(self, weights: np.ndarray) -> None:
+        """Silence-weighting hook: revise the i-vector estimator's
+        per-frame weights (computed by OnlineSilenceWeighting from the
+        decoder's partial traceback).  Affects FUTURE block estimates —
+        the online protocol, matching the reference's greedy update."""
+        if self.ivector_estimator is not None:
+            self.ivector_estimator.update_frame_weights(weights)
+
+    def _update_ivectors(self) -> None:
+        """Snapshot the i-vector at every period boundary as raw frames
+        arrive (frame t reads the estimate from frames < its block's
+        end — online causal re-estimation every ivector_period)."""
+        est = self.ivector_estimator
+        period = self.ivector_period
+        n = len(self._frames)
+        while (len(self._ivectors) + 1) * period <= n:
+            boundary = (len(self._ivectors) + 1) * period
+            if boundary > est.num_frames:
+                est.accept_frames(
+                    np.stack(self._frames[est.num_frames:boundary]))
+            self._ivectors.append(np.asarray(est.ivector(), np.float32))
+
+    def _ivector_rows(self, begin: int, end: int) -> np.ndarray:
+        est = self.ivector_estimator
+        period = self.ivector_period
+        # frames past the last complete block use the current estimate
+        n = len(self._frames)
+        if n > est.num_frames:
+            est.accept_frames(np.stack(self._frames[est.num_frames:]))
+        current = np.asarray(est.ivector(), np.float32)
+        out = np.zeros((end - begin, est.ex.ivector_dim), np.float32)
+        for t in range(begin, end):
+            block = t // period
+            out[t - begin] = (self._ivectors[block]
+                              if block < len(self._ivectors) else current)
+        return out
 
     def _apply_online_cmvn(self, feats: np.ndarray) -> np.ndarray:
         o = self.cmvn
