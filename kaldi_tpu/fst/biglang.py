@@ -612,6 +612,125 @@ def eps_close(g: CsrGraph) -> CsrGraph:
     return out
 
 
+def eps_closure_arcs(g: CsrGraph):
+    """All nonempty ε paths compressed to single arcs:
+    (src, dst, weight, olabel) arrays (at most one olabel per path —
+    guaranteed for biglang graphs, checked here)."""
+    src = np.repeat(np.arange(g.num_states, dtype=np.int64),
+                    np.diff(g.n_offsets))
+    dst = g.n_nextstate.astype(np.int64)
+    w = g.n_weight.astype(np.float64)
+    ol = g.n_olabel.astype(np.int64)
+    order_idx = np.argsort(src, kind="stable")
+    s_sorted = src[order_idx]
+    bounds = np.searchsorted(s_sorted, np.arange(g.num_states + 1))
+    all_parts = [(src, dst, w, ol)]
+    cur = (src, dst, w, ol)
+    for _ in range(64):
+        c_src, c_dst, c_w, c_ol = cur
+        lo = bounds[c_dst]
+        hi = bounds[c_dst + 1]
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            break
+        rep = np.repeat(np.arange(len(c_src)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        step = order_idx[lo[rep] + within]
+        if (ol[step][c_ol[rep] > 0] > 0).any():
+            raise KaldiError("eps closure: two olabels on one ε path")
+        cur = (c_src[rep], dst[step], c_w[rep] + w[step],
+               np.maximum(c_ol[rep], ol[step]))
+        all_parts.append(cur)
+    else:
+        raise KaldiError("eps closure: ε-cycle")
+    a_src = np.concatenate([p[0] for p in all_parts])
+    a_dst = np.concatenate([p[1] for p in all_parts])
+    a_w = np.concatenate([p[2] for p in all_parts])
+    a_ol = np.concatenate([p[3] for p in all_parts])
+    # dedupe (src, dst, olabel) keeping min weight
+    olmax = int(a_ol.max()) + 1 if len(a_ol) else 1
+    key = (a_src * g.num_states + a_dst) * olmax + a_ol
+    uk, inv = np.unique(key, return_inverse=True)
+    wmin = np.full(len(uk), np.inf)
+    np.minimum.at(wmin, inv, a_w)
+    rep_idx = np.full(len(uk), -1, np.int64)
+    np.maximum.at(rep_idx, inv, np.arange(len(inv)))
+    return (a_src[rep_idx], a_dst[rep_idx], wmin.astype(np.float32),
+            a_ol[rep_idx].astype(np.int32))
+
+
+def eps_precompose(g: CsrGraph) -> CsrGraph:
+    """Eliminate ε arcs entirely by composing each emitting arc with
+    the ε-closure of its destination, and folding ε-to-final paths
+    into the final costs.  The decoder then runs ONE sweep per frame
+    (no ε sweeps at all) — the biggest per-frame cost on TPU, where
+    every sweep pays sorts + an arc gather.
+
+    Start-state ε paths become extra INITIAL tokens, recorded in
+    CsrGraph.init_states/init_costs (the decoder's host-computed
+    initial closure).  Requires every ε path to carry ≤ 1 olabel and
+    composed emit+ε paths to have ≤ 1 olabel total (true for biglang
+    graphs: word olabels live only on completion ε arcs, and emitting
+    arcs that precede them are olabel-free trie arcs)."""
+    if g.num_eps_arcs == 0:
+        out = g
+    else:
+        c_src, c_dst, c_w, c_ol = eps_closure_arcs(g)
+        order_idx = np.argsort(c_src, kind="stable")
+        cs = c_src[order_idx]
+        bounds = np.searchsorted(cs, np.arange(g.num_states + 1))
+
+        e_src = np.repeat(np.arange(g.num_states, dtype=np.int64),
+                          np.diff(g.e_offsets))
+        e_dst = g.e_nextstate.astype(np.int64)
+        lo = bounds[e_dst]
+        hi = bounds[e_dst + 1]
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(e_src)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        step = order_idx[lo[rep] + within]
+        if (c_ol[step][g.e_olabel[rep] > 0] > 0).any():
+            raise KaldiError("eps_precompose: olabel conflict")
+        new_src = np.concatenate([e_src, e_src[rep]])
+        new_dst = np.concatenate([e_dst, c_dst[step]])
+        new_il = np.concatenate([g.e_ilabel, g.e_ilabel[rep]])
+        new_ol = np.concatenate(
+            [g.e_olabel, np.maximum(g.e_olabel[rep], c_ol[step])])
+        new_w = np.concatenate(
+            [g.e_weight, g.e_weight[rep] + c_w[step]])
+
+        # fold ε-to-final paths into final costs — but only OLABEL-FREE
+        # ones: a word-carrying ε to a final state is already covered by
+        # the composed (emit+ε) arc landing past it, and folding it here
+        # would create an equal-cost duplicate path WITHOUT the word
+        final = g.final_costs.copy()
+        nol = c_ol == 0
+        f = final[c_dst[nol]] + c_w[nol]
+        np.minimum.at(final, c_src[nol], f.astype(np.float32))
+
+        z = np.zeros(0, np.int64)
+        out = csr_from_arrays(
+            g.num_states, g.start, new_src, new_dst,
+            new_il.astype(np.int32), new_ol.astype(np.int32),
+            new_w.astype(np.float32),
+            z, z, np.zeros(0, np.int32), np.zeros(0, np.float32), final)
+        # initial tokens = start + its ε closure
+        sel = c_src == g.start
+        if (c_ol[sel] > 0).any():
+            raise KaldiError("eps_precompose: olabel on start closure")
+        out.init_states = np.concatenate(
+            [[g.start], c_dst[sel]]).astype(np.int32)
+        out.init_costs = np.concatenate(
+            [[0.0], c_w[sel]]).astype(np.float32)
+        log.info("eps_precompose: %d ε arcs folded; emitting %d → %d "
+                 "arcs, %d initial tokens", g.num_eps_arcs,
+                 g.num_emitting_arcs, out.num_emitting_arcs,
+                 len(out.init_states))
+    return out
+
+
 def _eps_depth_vec(S: int, src: np.ndarray, dst: np.ndarray,
                    max_depth: int = 64) -> int:
     """Longest ε-path length, by vectorized relaxation (numpy

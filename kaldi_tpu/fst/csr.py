@@ -54,6 +54,29 @@ class CsrGraph:
     # closed graphs (biglang.eps_close) need only 1 even though the
     # closed arc set's structural depth is unchanged.
     eps_sweeps: int = 0
+    # initial token set (start + its ε-closure); None = just start.
+    # Set by biglang.eps_precompose for ε-free graphs.
+    init_states: Optional[np.ndarray] = None
+    init_costs: Optional[np.ndarray] = None
+
+    def initial_tokens(self):
+        """(states, costs) — host-computed ε closure of the start."""
+        if self.init_states is not None:
+            return self.init_states, self.init_costs
+        # closure over the ε arc set (host BFS; graphs are ε-DAGs)
+        best = {self.start: 0.0}
+        stack = [self.start]
+        while stack:
+            s = stack.pop()
+            for i in range(self.n_offsets[s], self.n_offsets[s + 1]):
+                d = int(self.n_nextstate[i])
+                c = best[s] + float(self.n_weight[i])
+                if c < best.get(d, np.inf):
+                    best[d] = c
+                    stack.append(d)
+        states = np.asarray(sorted(best), np.int32)
+        return states, np.asarray([best[int(s)] for s in states],
+                                  np.float32)
 
     @property
     def num_sweeps(self) -> int:

@@ -73,14 +73,25 @@ def base_feats(data, samp_freq=8000.0):
 
 
 def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
-        quick: bool = False):
+        quick: bool = False, lexicon: Optional[Lexicon] = None,
+        noise: float = 0.0, speaker_warp: float = 0.0,
+        heldout_speakers: bool = False, formants=None,
+        return_systems: bool = False):
+    """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
+    make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
+    defaults reproduce the easy smoke corpus."""
     timer = Timer()
-    lex = mini_lexicon()
+    lex = lexicon or mini_lexicon()
     lang = Lang(lex)
     train = make_synthetic_dataset(lex, num_utts=num_utts, max_words=5,
-                                   num_speakers=4, seed=seed)
-    test = make_synthetic_dataset(lex, num_utts=num_test, max_words=5,
-                                  num_speakers=3, seed=seed + 100)
+                                   num_speakers=4, seed=seed,
+                                   noise=noise, speaker_warp=speaker_warp,
+                                   formants=formants)
+    test = make_synthetic_dataset(
+        lex, num_utts=num_test, max_words=5, num_speakers=3,
+        seed=seed + 100, noise=noise, speaker_warp=speaker_warp,
+        formants=formants,
+        speaker_prefix="tspk" if heldout_speakers else "spk")
     base_tr = base_feats(train)
     base_te = base_feats(test)
     delta_tr = {u: np.asarray(add_deltas(f)) for u, f in base_tr.items()}
@@ -188,6 +199,14 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
 
     for stage, wer in wers.items():
         print(f"{stage}: {wer}")
+    if return_systems:
+        return wers, {
+            "lang": lang, "train": train, "test": test, "G": G,
+            "delta_tr": delta_tr, "delta_te": delta_te,
+            "mono": mono, "mono_ali": mono_ali,
+            "tri3b": tri3b, "tri3b_ali": tri3b_ali,
+            "sat_tr": sat_tr, "dcfg": dcfg,
+        }
     return wers
 
 
