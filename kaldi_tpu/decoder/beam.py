@@ -314,7 +314,8 @@ class BeamDecoder:
         loglike, active = xs
         K = self.K
         new_tok, vit, rec, dropped = self._sweep(carry, loglike)
-        # identity step for padded frames
+        # identity step for padded frames (records need no identity
+        # substitute: packing in _decode_scan masks them by `active`)
         new_tok = tuple(jnp.where(active, n, c)
                         for n, c in zip(new_tok, carry))
         idn = jnp.arange(K, dtype=jnp.int32)
@@ -324,18 +325,6 @@ class BeamDecoder:
                jnp.where(active, vit[2], z))
         out = vit + (jnp.where(active, dropped, 0),)
         if rec is not None:
-            L = self.L
-            idr = {
-                "prev": jnp.concatenate(
-                    [idn, jnp.full((L - K,), -1, jnp.int32)]),
-                "tid": jnp.zeros(L, jnp.int32),
-                "ol": jnp.zeros(L, jnp.int32),
-                "gw": jnp.zeros(L, jnp.float32),
-                "ac": jnp.zeros(L, jnp.float32),
-                "dst": jnp.concatenate(
-                    [idn, jnp.full((L - K,), -1, jnp.int32)]),
-            }
-            rec = {k: jnp.where(active, rec[k], idr[k]) for k in rec}
             out = out + (rec,)
         return new_tok, out
 
@@ -361,20 +350,66 @@ class BeamDecoder:
         fallback = jnp.where(okf, fc, INF)
         use = jnp.where(any_final, total, fallback)
         best_idx = jnp.argmin(use)
+
+        # in-jit Viterbi backtrace: only two (T,) sequences ever leave
+        # the device (the (T, K) backpointer tensors stay in HBM —
+        # fetching them over a tunneled transport dwarfs the decode)
+        def bt_step(idx, xs):
+            prev_t, tid_t, ol_t = xs
+            i = jnp.maximum(idx, 0)
+            live = idx >= 0
+            nidx = jnp.where(live, prev_t[i], idx)
+            return nidx, (jnp.where(live, tid_t[i], 0),
+                          jnp.where(live, ol_t[i], 0))
+
+        bt_end, (bt_tids, bt_ols) = jax.lax.scan(
+            bt_step, best_idx.astype(jnp.int32), (prev, tids, ols),
+            reverse=True)
         out = {
-            "prev": prev, "tids": tids, "ols": ols,
+            "bt_tids": bt_tids, "bt_ols": bt_ols, "bt_end": bt_end,
             "dropped_arcs": jnp.sum(dropped),
             "best_idx": best_idx, "best_cost": use[best_idx],
             "final_cost": jnp.where(any_final, fin[best_idx], 0.0),
             "tok_state": fs, "tok_cost": fc, "tok_final": fin,
         }
         if self.L:
-            out["emit_rec"] = scanned[4]            # (T, L) fields
+            # device-side record compaction: valid records scattered to
+            # a contiguous prefix so the host fetches exactly the
+            # records that exist (prefix-sum pack; no atomics on TPU)
+            rec = scanned[4]                        # (T, L) fields
+            mask = (rec["prev"] >= 0) & active[:, None]
+            vals = jnp.stack(
+                [rec["prev"], rec["dst"], rec["tid"], rec["ol"],
+                 jax.lax.bitcast_convert_type(rec["gw"], jnp.int32),
+                 jax.lax.bitcast_convert_type(rec["ac"], jnp.int32)],
+                axis=-1).reshape(-1, 6)
+            fm = mask.reshape(-1)
+            nn = fm.shape[0]
+            pos = jnp.cumsum(fm.astype(jnp.int32)) - 1
+            out["rec_packed"] = jnp.zeros((nn, 6), jnp.int32).at[
+                jnp.where(fm, pos, nn)].set(vals, mode="drop")
+            out["rec_counts"] = mask.sum(axis=1).astype(jnp.int32)
         return out
 
     # ------------------------------------------------------------------
     # host-side API
     # ------------------------------------------------------------------
+
+    _SMALL_KEYS = ("bt_tids", "bt_ols", "bt_end", "best_cost",
+                   "final_cost", "dropped_arcs", "tok_final")
+
+    def _fetch(self, out, b=None, lattice=False):
+        """Selective device→host fetch for one utterance.  Never pulls
+        the (T, L) record tensors: the packed prefix (exactly the valid
+        records) and the (T,) sequences are all that crosses the wire."""
+        sel = (lambda x: x) if b is None else (lambda x: x[b])
+        host = {k: np.asarray(sel(out[k])) for k in self._SMALL_KEYS}
+        if lattice:
+            counts = np.asarray(sel(out["rec_counts"]))
+            n = int(counts.sum())
+            host["rec_counts"] = counts
+            host["rec_packed"] = np.asarray(sel(out["rec_packed"])[:n])
+        return host
 
     def decode(self, loglikes: np.ndarray
                ) -> Tuple[List[int], List[int], float]:
@@ -383,7 +418,7 @@ class BeamDecoder:
         out = self._decode_jit(self._graph_arrays(),
                                jnp.asarray(loglikes, jnp.float32),
                                jnp.int32(T))
-        return self._backtrace(jax.tree_util.tree_map(np.asarray, out), T)
+        return self._backtrace(self._fetch(out), T)
 
     def decode_batch(self, loglikes_padded: np.ndarray,
                      num_frames: np.ndarray):
@@ -392,11 +427,8 @@ class BeamDecoder:
             self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
-        out = jax.tree_util.tree_map(np.asarray, out)
-        return [self._backtrace(
-            jax.tree_util.tree_map(lambda x: x[b], out),
-            int(num_frames[b]))
-            for b in range(loglikes_padded.shape[0])]
+        return [self._backtrace(self._fetch(out, b), int(num_frames[b]))
+                for b in range(loglikes_padded.shape[0])]
 
     def decode_lattice(self, loglikes: np.ndarray) -> Lattice:
         """Single utterance → pruned raw Lattice (GetRawLattice +
@@ -407,8 +439,7 @@ class BeamDecoder:
         out = self._decode_jit(self._graph_arrays(),
                                jnp.asarray(loglikes, jnp.float32),
                                jnp.int32(T))
-        return self._build_lattice(
-            jax.tree_util.tree_map(np.asarray, out), T)
+        return self._build_lattice(self._fetch(out, lattice=True), T)
 
     def decode_lattice_batch(self, loglikes_padded: np.ndarray,
                              num_frames: np.ndarray) -> List[Lattice]:
@@ -418,40 +449,59 @@ class BeamDecoder:
             self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
-        out = jax.tree_util.tree_map(np.asarray, out)
         return [self._build_lattice(
-            jax.tree_util.tree_map(lambda x: x[b], out),
-            int(num_frames[b]))
+            self._fetch(out, b, lattice=True), int(num_frames[b]))
             for b in range(loglikes_padded.shape[0])]
 
     # -- Viterbi backtrace -------------------------------------------------
 
-    def _backtrace(self, out, T: int):
-        best_cost = float(out["best_cost"])
+    def _backtrace(self, host, T: int):
+        best_cost = float(host["best_cost"])
         if not np.isfinite(best_cost):
             raise KaldiError("BeamDecoder: no tokens survived")
-        idx = int(out["best_idx"])
-        rev_tids: List[int] = []
-        rev_ols: List[int] = []
-        for t in range(T - 1, -1, -1):
-            tid = int(out["tids"][t, idx])
-            ol = int(out["ols"][t, idx])
-            if tid != 0:
-                rev_tids.append(tid)
-            if ol != 0:
-                rev_ols.append(ol)
-            idx = int(out["prev"][t, idx])
-            if idx < 0:
-                raise KaldiError("BeamDecoder: broken backpointer chain")
-        rev_tids.reverse()
-        rev_ols.reverse()
-        return rev_tids, rev_ols, best_cost
+        if int(host["bt_end"]) < 0:
+            raise KaldiError("BeamDecoder: broken backpointer chain")
+        tids = [int(t) for t in host["bt_tids"][:T] if t]
+        ols = [int(o) for o in host["bt_ols"][:T] if o]
+        return tids, ols, best_cost
 
     # -- lattice assembly (vectorized, no per-arc Python) ------------------
 
-    def _build_lattice(self, out, T: int) -> Lattice:
+    def _build_lattice(self, host, T: int) -> Lattice:
         K = self.K
         beam = self.config.lattice_beam
+        counts = host["rec_counts"][:T]
+        packed = host["rec_packed"]
+        r_prev = packed[:, 0]
+        r_dst = packed[:, 1]
+        r_il = packed[:, 2]
+        r_ol = packed[:, 3]
+        r_gw = np.ascontiguousarray(packed[:, 4]).view(np.float32)
+        r_ac = np.ascontiguousarray(packed[:, 5]).view(np.float32)
+        offs = np.zeros(T + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+
+        # native C++ fast path (kaldi_tpu/native/lattice_build.cpp);
+        # the numpy pass below is the oracle and fallback
+        from kaldi_tpu import native
+        init_cost = self._g_host["init_cost"]
+        init_slots = np.nonzero(np.isfinite(init_cost))[0].astype(np.int32)
+        res = native.build_lattice_native(
+            counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
+            init_slots, init_cost[init_slots], host["tok_final"], beam)
+        if res is not None:
+            (ks, kd, kil, kol, kgw, kac, fs, fw, n_kept) = res
+            lat = Lattice()
+            for _ in range(n_kept):
+                lat.add_state()
+            lat.start = 0
+            for i in range(len(ks)):
+                lat.arcs[ks[i]].append(LatticeArc(
+                    int(kil[i]), int(kol[i]), float(kgw[i]),
+                    float(kac[i]), int(kd[i])))
+            for s, wgt in zip(fs, fw):
+                lat.set_final(int(s), float(wgt), 0.0)
+            return lat
 
         # level 0: the initial token set, connected from a virtual start
         init_cost = self._g_host["init_cost"]
@@ -467,21 +517,20 @@ class BeamDecoder:
         arcs_ac: List[np.ndarray] = [np.zeros(len(init_slots), np.float32)]
         level_sizes: List[int] = [len(init_slots)]
         for t in range(T):
-            rec = {k: out["emit_rec"][k][t] for k in out["emit_rec"]}
-            prev = rec["prev"]
-            valid = prev >= 0
-            valid[valid] &= cur[prev[valid]] >= 0
-            dst = rec["dst"][valid]
+            sl = slice(offs[t], offs[t + 1])
+            prev = r_prev[sl]
+            valid = cur[prev] >= 0
+            dst = r_dst[sl][valid]
             uniq = np.unique(dst)
             new = np.full(K, -1, np.int64)
             new[uniq] = n_states + np.arange(len(uniq))
             n_states += len(uniq)
             arcs_src.append(cur[prev[valid]])
             arcs_dst.append(new[dst])
-            arcs_il.append(rec["tid"][valid])
-            arcs_ol.append(rec["ol"][valid])
-            arcs_gw.append(rec["gw"][valid])
-            arcs_ac.append(rec["ac"][valid])
+            arcs_il.append(r_il[sl][valid])
+            arcs_ol.append(r_ol[sl][valid])
+            arcs_gw.append(r_gw[sl][valid])
+            arcs_ac.append(r_ac[sl][valid])
             level_sizes.append(int(valid.sum()))
             cur = new
         src = np.concatenate(arcs_src)
@@ -493,9 +542,9 @@ class BeamDecoder:
         w = gw + ac
 
         fin_slots = np.nonzero((cur >= 0)
-                               & np.isfinite(out["tok_final"]))[0]
+                               & np.isfinite(host["tok_final"]))[0]
         fin_states = cur[fin_slots]
-        fin_w = out["tok_final"][fin_slots].astype(np.float64)
+        fin_w = host["tok_final"][fin_slots].astype(np.float64)
         if len(fin_states) == 0:   # no token reached a final state
             fin_states = cur[np.nonzero(cur >= 0)[0]]
             fin_w = np.zeros(len(fin_states))

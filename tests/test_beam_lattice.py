@@ -287,3 +287,32 @@ def test_eps_close_equivalent():
         assert core1 == core2
         for k in core1:
             assert abs(p1[k] - p2[k]) < 1e-3
+
+
+def test_native_lattice_matches_numpy(small_graph):
+    """The C++ lattice builder (kaldi_tpu/native) must produce exactly
+    the numpy reference pass's lattice."""
+    import os
+    from kaldi_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    lang, tm, csr = small_graph
+    rng = np.random.default_rng(5)
+    dec = BeamDecoder(csr, tm.tid_to_pdf_array, BeamDecoderConfig(
+        beam=1e9, max_active=csr.num_states, acoustic_scale=1.0,
+        lattice_beam=6.0, lattice_arcs_per_frame=4 * csr.num_states))
+    for trial in range(3):
+        ll = rng.standard_normal((10, tm.num_pdfs)).astype(np.float32)
+        lat_native = dec.decode_lattice(ll)
+        os.environ["KALDI_TPU_NO_NATIVE"] = "1"
+        try:
+            lat_numpy = dec.decode_lattice(ll)
+        finally:
+            del os.environ["KALDI_TPU_NO_NATIVE"]
+        p1 = _lattice_paths(lat_native)
+        p2 = _lattice_paths(lat_numpy)
+        assert set(p1) == set(p2)
+        for k in p1:
+            assert abs(p1[k] - p2[k]) < 1e-4
+        assert lat_native.num_states == lat_numpy.num_states
+        assert lat_native.num_arcs == lat_numpy.num_arcs

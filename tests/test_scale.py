@@ -4,10 +4,40 @@ and decode, pruned beam vs the unpruned oracle."""
 import numpy as np
 import pytest
 
-from bench import build_task
 from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig, \
     pack_reverse
 from kaldi_tpu.decoder.simple import SimpleDecoder
+
+
+def build_task(num_words=100, num_phones=20, seed=0):
+    """Unigram GMM decode task (formerly bench.py's workload; the
+    bench now runs the 20k-word largevocab task)."""
+    from kaldi_tpu.am import (HmmTopology, MonophoneContextDependency,
+                              TransitionModel)
+    from kaldi_tpu.am.gmm import AmDiagGmm
+    from kaldi_tpu.fst import ArpaModel, Lang, Lexicon, arpa_to_fst, \
+        make_unigram_arpa, mkgraph
+
+    rng = np.random.default_rng(seed)
+    phones = [f"P{i}" for i in range(num_phones)]
+    entries = []
+    for w in range(num_words):
+        n = int(rng.integers(2, 5))
+        pron = [phones[int(rng.integers(num_phones))] for _ in range(n)]
+        entries.append((f"W{w}", pron))
+    lex = Lexicon(entries=entries)
+    lang = Lang(lex)
+    topo = HmmTopology.three_state(lang.phone_list())
+    tree = MonophoneContextDependency(lang.phone_list(), topo)
+    tm = TransitionModel(topo, tree)
+    arpa = ArpaModel.parse(make_unigram_arpa(
+        {f"W{w}": 1.0 for w in range(num_words)}))
+    HCLG = mkgraph(lang, tm, arpa_to_fst(arpa, lang.words))
+    P, M, D = tree.num_pdfs, 8, 39
+    am = AmDiagGmm(rng.dirichlet(np.ones(M), size=P),
+                   rng.standard_normal((P, M, D)) * 3,
+                   0.5 + rng.random((P, M, D)))
+    return lang, tm, am, HCLG
 
 
 @pytest.fixture(scope="module")
