@@ -72,11 +72,15 @@ def main():
     compiled = dec._get_compiled((B, T_pad, task.num_pdfs))
     log.info("bench: decoder compiled in %.0fs", time.time() - t0)
 
+    occ = {}
+
     def run_once():
         lats = []
         dropped = 0
         for i in range(0, len(utts), B):
             out = compiled(gd, X[i:i + B], lens[i:i + B])
+            occ["arcs"] = int(np.asarray(out["max_arcs_demand"]).max())
+            occ["heads"] = int(np.asarray(out["max_heads"]).max())
             for b, host in enumerate(dec._fetch_batch(out, B,
                                                       lattice=True)):
                 dropped += int(host["dropped_arcs"])
@@ -102,8 +106,10 @@ def main():
         dev_dt = min(dev_dt, time.perf_counter() - t0)
     value = audio_s / best_dt
     log.info("bench: %.1f audio-s in %.2fs → %.1f audio-s/s "
-             "(device %.2fs, host lattice %.2fs, dropped arcs %d)",
-             audio_s, best_dt, value, dev_dt, best_dt - dev_dt, dropped)
+             "(device %.2fs, host lattice %.2fs, dropped arcs %d, "
+             "peak arc demand %d/%d, peak heads %d/%d)",
+             audio_s, best_dt, value, dev_dt, best_dt - dev_dt, dropped,
+             occ.get("arcs", -1), dec.M, occ.get("heads", -1), dec.K)
 
     # WER sanity: lattice best paths vs references
     hyps = {u: [task.words.find(o) for o in lat.best_path()[1]]

@@ -8,9 +8,13 @@ lattice_beam}) and the fork's GPU decoder (arXiv:1804.03243 — parallel
 arc expansion with load-balanced work queues, token recombination, and
 exact lattice arc recording on device).
 
-TPU-first design, driven by measured TPU op costs (sorts over ~100k
-elements: tens of µs; random gathers: ~17 ns per ROW regardless of row
-width; scatters: avoided entirely):
+TPU-first design, driven by per-op xplane profiles on v5e.  The
+governing measurement: XLA row gathers/scatters cost ~10–18 ns PER
+ROW (independent of row width) and scale with batch, while sorts,
+scans and elementwise passes are bandwidth-bound and amortize.  The
+frame step is therefore built around exactly ONE M-row gather (the
+packed arc fetch) and ~two K-row scatters; everything downstream
+rides sorts as payload operands instead of being re-gathered:
 
   * ε arcs are ELIMINATED before decoding (biglang.eps_precompose
     folds each emitting arc with the ε-closure of its destination, and
@@ -22,20 +26,30 @@ width; scatters: avoided entirely):
     needs a single M-row gather; each surviving token carries its own
     out-arc range forward (no per-state offset gather next frame).
   * load balancing (the CudaFst work-queue): out-arc counts are
-    prefix-summed and the arc budget M distributed by scattering each
-    token's id at its range start + an associative-scan forward fill
-    (searchsorted's binary-search while-loop costs ~11 ms on TPU; this
-    is ~0.1 ms).
+    prefix-summed and the arc budget M distributed by scattering one
+    packed (K, 3) row [token id, arc-index delta, cost bits] at each
+    token's range start + ONE multi-array associative-scan forward
+    fill (searchsorted's binary-search while-loop costs ~11 ms on
+    TPU; a packed scatter + log-depth scan is ~2 ms).
   * recombination = lax.sort by (next_state, cost); the first
     candidate of each equal-state run survives (atomic-min → sort +
     segment-head test).  max-active = second sort by cost over heads.
-  * acoustic costs: one-hot matmul against the frame's loglikes for
-    small pdf sets (VPU/MXU-shaped), plain gather above that.
+    Every per-candidate field the rest of the step needs (source
+    token, tid, olabel, graph/acoustic cost bits, dest arc range)
+    rides the sorts as extra operands — a sort operand costs ~0.1 ms
+    where a post-sort M-row gather costs 3–5 ms.
+  * acoustic costs: one-hot masked reduction against the frame's
+    loglikes for small pdf sets (VPU-shaped), plain gather above.
   * lattice: every candidate within lattice_beam of its state's best
-    whose destination survived, sorted by extra-cost, first L written
-    to this frame's slice of a preallocated HBM record tensor
-    (GetRawLattice's ForwardLinks; extra-cost priority keeps every
-    Viterbi arc, so the best path is always in the lattice).
+    whose destination survived, sorted by extra-cost, first L appended
+    to a per-utterance HBM record buffer by dynamic_update_slice at a
+    running cursor (GetRawLattice's ForwardLinks; extra-cost priority
+    keeps every Viterbi arc, so the best path is always in the
+    lattice).  The cursor append replaces an end-of-scan compaction
+    scatter over B·T·L rows that alone cost ~1.5 s per batch decode.
+    The candidate→slot map (which new token a record points at) is a
+    K-row position scatter + a segment-masked forward fill — never a
+    per-candidate gather.
 
 Host-side assembly converts the (T, L) record tensors into a pruned
 raw Lattice with exact α/β lattice-beam pruning — numpy-vectorized per
@@ -77,10 +91,13 @@ class BeamDecoderConfig:
     arc_budget: int = 0            # M: arcs expanded per frame
     lattice_arcs_per_frame: int = 0   # L: records per frame;
     #                                   0 disables lattice generation
-    onehot_pdf_limit: int = 0      # one-hot-matmul scoring up to this P
-    #                                (measured on v5e: the M-row gather
-    #                                is ~20x cheaper at M=12k, P=120 —
-    #                                0 means always gather)
+    onehot_pdf_limit: int = 128    # one-hot-reduction scoring up to
+    #                                this P (xplane-measured on v5e at
+    #                                M=12288, P=82: in-context row
+    #                                gather 3.1 ms vs one-hot masked
+    #                                reduction ~0.9 ms; above the limit
+    #                                the (M, P) mask outgrows the
+    #                                gather and plain gather wins)
 
 
 def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -203,9 +220,9 @@ class BeamDecoder:
 
     def _acoustic(self, pdf: jnp.ndarray, loglike: jnp.ndarray
                   ) -> jnp.ndarray:
-        """−scale · loglike[pdf].  Measured on v5e at M=12288: the row
-        gather costs ~0.05 ms vs ~0.9 ms for a (M, P) one-hot masked
-        reduction, so gather is the default (onehot_pdf_limit=0)."""
+        """−scale · loglike[pdf]: one-hot masked reduction for small
+        pdf sets (VPU-shaped, batch-amortized), row gather above (the
+        (M, P) mask outgrows the ~8 ns/row gather)."""
         if self.num_pdfs <= self.config.onehot_pdf_limit:
             oh = pdf[:, None] == jnp.arange(self.num_pdfs,
                                             dtype=jnp.int32)[None, :]
@@ -218,7 +235,12 @@ class BeamDecoder:
         """One frame: load-balance → expand → recombine → top-K.
 
         tok = (state, cost, off, cnt) each (K,).  Returns (new_tok,
-        vit (prev, tid, ol), records | None, dropped)."""
+        vit (prev, tid, ol), record chunk (L, 6) | None, dropped).
+
+        Exactly one M-row gather (the arc fetch) and two K-row
+        scatters (load-balance seed, winner-slot map); every other
+        per-candidate value rides the three sorts as a payload
+        operand."""
         g = self.g
         K = self.K
         M = self.M
@@ -226,77 +248,96 @@ class BeamDecoder:
         S = self.graph.num_states
         tok_state, tok_cost, tok_off, tok_cnt = tok
 
-        # 1. load-balanced arc distribution: scatter token ids at their
-        #    range starts, forward-fill (searchsorted without the
-        #    while-loop)
+        # 1. load-balanced arc distribution: ONE packed (K, 3) scatter
+        #    [token id, arc-index delta, cost bits] at each token's
+        #    range start + ONE multi-array forward fill
         cum = jnp.cumsum(tok_cnt)
         j = jnp.arange(M, dtype=jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
         pos_k = jnp.where(tok_cnt > 0, starts, M)
         karange = jnp.arange(K, dtype=jnp.int32)
+        cost_sane = jnp.where(jnp.isfinite(tok_cost), tok_cost,
+                              jnp.float32(1e30))
+        # three flat scatters: a packed (K, 3)-row scatter looks like
+        # one op but XLA lays it out T(4,128)-transposed and it costs
+        # ~3x the three 1-D scatters together (xplane-measured)
         seed_tok = jnp.full((M,), -1, jnp.int32).at[pos_k].set(
             karange, mode="drop")
-        seeded = seed_tok >= 0
-        seed32 = lambda v: jnp.zeros((M,), v.dtype).at[pos_k].set(
+        seed32 = lambda v: jnp.zeros((M,), jnp.int32).at[pos_k].set(
             v, mode="drop")
-        tok_of, range_start, base, cost_f = _forward_fill_multi(
-            (seed_tok, seed32(starts.astype(jnp.int32)), seed32(tok_off),
-             seed32(tok_cost)), seeded)
+        seeded = seed_tok >= 0
+        tok_of, delta_f, costb_f = _forward_fill_multi(
+            (seed_tok, seed32(tok_off - starts.astype(jnp.int32)),
+             seed32(jax.lax.bitcast_convert_type(cost_sane, jnp.int32))),
+            seeded)
         tok_of = jnp.clip(tok_of, 0, K - 1)
+        cost_f = jax.lax.bitcast_convert_type(costb_f, jnp.float32)
         in_range = j < cum[K - 1]
         dropped = jnp.maximum(cum[K - 1] - M, 0)
 
         # 2. expand: ONE packed row gather
-        aidx = jnp.clip(base + (j - range_start), 0,
-                        self.g["arc_tab"].shape[0] - 1)
+        aidx = jnp.clip(j + delta_f, 0, self.g["arc_tab"].shape[0] - 1)
         rows = g["arc_tab"][aidx]                      # (M, 7)
         c_state = rows[:, 0]
         gw = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
         ac = self._acoustic(rows[:, 3], loglike)
         c_cost = jnp.where(in_range, cost_f + gw + ac, INF)
 
-        # 3. beam prune + sort-based recombination
+        # 3. beam prune + sort-based recombination (payloads ride)
         best = jnp.min(c_cost)
         fin = c_cost <= best + self.config.beam
         c_cost = jnp.where(fin, c_cost, INF)
         sort_state = jnp.where(fin, c_state, S)
-        st_s, cost_s, prev_s, aidx_s = jax.lax.sort(
-            (sort_state, c_cost, tok_of, aidx), num_keys=2)
+        ops1 = (sort_state, c_cost, tok_of, rows[:, 2], rows[:, 4],
+                rows[:, 5], rows[:, 6])
+        if L:
+            ops1 = ops1 + (rows[:, 1],
+                           jax.lax.bitcast_convert_type(ac, jnp.int32))
+        s1 = jax.lax.sort(ops1, num_keys=2)
+        st_s, cost_s, prev_s, tid_s, ol_s, off_s, cnt_s = s1[:7]
         first = jnp.concatenate([jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
-        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-        seg_cost = _forward_fill(jnp.where(head, cost_s, 0.0), head)
+        self._diag = (cum[K - 1], jnp.sum(head.astype(jnp.int32)))
 
-        # 4. max-active: best K segment heads by cost
+        # 4. max-active: best K segment heads by cost (payloads ride)
         key2 = jnp.where(head, cost_s, INF)
-        pos = jnp.arange(M, dtype=jnp.int32)
-        cost2, st2, pos2 = jax.lax.sort((key2, st_s, pos), num_keys=1)
+        ops2 = (key2, st_s, prev_s, tid_s, ol_s, off_s, cnt_s)
+        if L:
+            ops2 = ops2 + (jnp.arange(M, dtype=jnp.int32),)
+        s2 = jax.lax.sort(ops2, num_keys=1)
+        cost2, st2, prev2, tid2, ol2, off2, cnt2 = s2[:7]
         ok = jnp.isfinite(cost2[:K])
-        sel = pos2[:K]
-        new_state = jnp.where(ok, st2[:K], -1).astype(jnp.int32)
+        new_state = jnp.where(ok, st2[:K], -1)
         new_cost = jnp.where(ok, cost2[:K], INF)
-        win_aidx = jnp.where(ok, aidx_s[sel], 0)
-        win_rows = g["arc_tab"][win_aidx]              # (K, 7) — cheap
-        new_off = jnp.where(ok, win_rows[:, 5], 0)
-        new_cnt = jnp.where(ok, win_rows[:, 6], 0)
-        vit = (jnp.where(ok, prev_s[sel], -1).astype(jnp.int32),
-               jnp.where(ok, win_rows[:, 2], 0),
-               jnp.where(ok, win_rows[:, 4], 0))
+        new_off = jnp.where(ok, off2[:K], 0)
+        new_cnt = jnp.where(ok, cnt2[:K], 0)
+        vit = (jnp.where(ok, prev2[:K], -1),
+               jnp.where(ok, tid2[:K], 0),
+               jnp.where(ok, ol2[:K], 0))
         new_tok = (new_state, new_cost, new_off, new_cnt)
 
         if not L:
             return new_tok, vit, None, dropped
 
-        # 5. lattice records
-        kept_seg = jnp.where(ok, seg[sel], M)
-        slot_of_seg = jnp.full((M,), -1, jnp.int32).at[kept_seg].set(
+        # 5. lattice records: winner slots scattered at their sorted
+        #    positions, propagated over each state segment by forward
+        #    fill together with the segment-head cost
+        gwb_s, acb_s = s1[7], s1[8]
+        sel = jnp.where(ok, s2[7][:K], M)
+        slot_at_pos = jnp.full((M,), -1, jnp.int32).at[sel].set(
             karange, mode="drop")
-        dst_slot = slot_of_seg[seg]
+        segcost_b, dst_slot = _forward_fill_multi(
+            (jax.lax.bitcast_convert_type(
+                jnp.where(head, cost_s, 0.0), jnp.int32),
+             jnp.where(head, slot_at_pos, -1)), head)
+        seg_cost = jax.lax.bitcast_convert_type(segcost_b, jnp.float32)
         extra = cost_s - seg_cost
         keep = (jnp.isfinite(cost_s) & (extra <= self.config.lattice_beam)
                 & (dst_slot >= 0))
         key3 = jnp.where(keep, extra, INF)
-        key3s, pos3, rd = jax.lax.sort((key3, pos, dst_slot), num_keys=1)
+        key3s, rd, rprev, rtid, rol, rgwb, racb = jax.lax.sort(
+            (key3, dst_slot, prev_s, tid_s, ol_s, gwb_s, acb_s),
+            num_keys=1)
 
         def fit(x, fill):
             if x.shape[0] >= L:
@@ -304,42 +345,46 @@ class BeamDecoder:
             return jnp.concatenate(
                 [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
-        key3s, pos3, rd = fit(key3s, jnp.inf), fit(pos3, 0), fit(rd, -1)
-        rvalid = jnp.isfinite(key3s)
-        raidx = jnp.where(rvalid, aidx_s[pos3], 0)
-        rrows = g["arc_tab"][raidx]                    # (L, 7) — cheap
-        rgw = jax.lax.bitcast_convert_type(rrows[:, 1], jnp.float32)
-        rcost = cost_s[pos3]
-        rprev = jnp.where(rvalid, prev_s[pos3], -1)
-        # acoustic part = total − src token cost − graph weight
-        rac = rcost - tok_cost[jnp.maximum(rprev, 0)] - rgw
-        records = {
-            "prev": rprev.astype(jnp.int32),
-            "tid": jnp.where(rvalid, rrows[:, 2], 0),
-            "ol": jnp.where(rvalid, rrows[:, 4], 0),
-            "gw": jnp.where(rvalid, rgw, 0.0),
-            "ac": jnp.where(rvalid, rac, 0.0),
-            "dst": jnp.where(rvalid, rd, -1),
-        }
-        return new_tok, vit, records, dropped
+        rvalid = jnp.isfinite(fit(key3s, jnp.inf))
+        # packed record rows [prev, dst, tid, ol, gw bits, ac bits]
+        chunk = jnp.stack(
+            [jnp.where(rvalid, fit(rprev, 0), -1),
+             jnp.where(rvalid, fit(rd, -1), -1),
+             jnp.where(rvalid, fit(rtid, 0), 0),
+             jnp.where(rvalid, fit(rol, 0), 0),
+             jnp.where(rvalid, fit(rgwb, 0), 0),
+             jnp.where(rvalid, fit(racb, 0), 0)], axis=-1)
+        return new_tok, vit, chunk, dropped
 
     def _frame_step(self, carry, xs):
         loglike, active = xs
         K = self.K
-        new_tok, vit, rec, dropped = self._sweep(carry, loglike)
-        # identity step for padded frames (records need no identity
-        # substitute: packing in _decode_scan masks them by `active`)
+        tok, buf, cursor = carry
+        new_tok, vit, chunk, dropped = self._sweep(tok, loglike)
+        # identity step for padded frames (active is a prefix, so a
+        # padded frame's garbage chunk write beyond the final cursor
+        # is never read by the host)
         new_tok = tuple(jnp.where(active, n, c)
-                        for n, c in zip(new_tok, carry))
+                        for n, c in zip(new_tok, tok))
         idn = jnp.arange(K, dtype=jnp.int32)
         z = jnp.zeros(K, jnp.int32)
         vit = (jnp.where(active, vit[0], idn),
                jnp.where(active, vit[1], z),
                jnp.where(active, vit[2], z))
-        out = vit + (jnp.where(active, dropped, 0),)
-        if rec is not None:
-            out = out + (rec,)
-        return new_tok, out
+        arcs_demand, n_heads = self._diag
+        out = vit + (jnp.where(active, dropped, 0),
+                     jnp.where(active, arcs_demand, 0),
+                     jnp.where(active, n_heads, 0))
+        if chunk is not None:
+            cnt = jnp.where(
+                active, jnp.sum((chunk[:, 0] >= 0).astype(jnp.int32)), 0)
+            # contiguous append at the running cursor: a handful of
+            # block DMAs instead of a B·T·L-row compaction scatter
+            buf = jax.lax.dynamic_update_slice(
+                buf, chunk, (cursor, jnp.int32(0)))
+            cursor = cursor + cnt
+            out = out + (cnt,)
+        return (new_tok, buf, cursor), out
 
     def _decode_scan(self, g, loglikes, num_frames):
         """g: graph pytree; loglikes: (T_pad, P); num_frames: int."""
@@ -353,9 +398,14 @@ class BeamDecoder:
                g["init_off"], g["init_cnt"])
         T_pad = loglikes.shape[0]
         active = jnp.arange(T_pad) < num_frames
-        (fs, fc, _, _), scanned = jax.lax.scan(
-            self._frame_step, tok, (loglikes, active))
-        prev, tids, ols, dropped = scanned[:4]
+        if self.L:
+            buf = jnp.zeros((T_pad * self.L, 6), jnp.int32)
+        else:
+            buf = jnp.zeros((0,), jnp.int32)
+        ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
+            self._frame_step, (tok, buf, jnp.int32(0)),
+            (loglikes, active))
+        prev, tids, ols, dropped, arcs_demand, n_heads = scanned[:6]
         okf = fs >= 0
         fin = self.g["final"][jnp.where(okf, fs, 0)]
         total = jnp.where(okf, fc + fin, INF)
@@ -381,27 +431,19 @@ class BeamDecoder:
         out = {
             "bt_tids": bt_tids, "bt_ols": bt_ols, "bt_end": bt_end,
             "dropped_arcs": jnp.sum(dropped),
+            # occupancy diagnostics (the reference's beam/max-active
+            # warnings role): peak arc demand vs M, peak heads vs K
+            "max_arcs_demand": jnp.max(arcs_demand),
+            "max_heads": jnp.max(n_heads),
             "best_idx": best_idx, "best_cost": use[best_idx],
             "final_cost": jnp.where(any_final, fin[best_idx], 0.0),
             "tok_state": fs, "tok_cost": fc, "tok_final": fin,
         }
         if self.L:
-            # device-side record compaction: valid records scattered to
-            # a contiguous prefix so the host fetches exactly the
-            # records that exist (prefix-sum pack; no atomics on TPU)
-            rec = scanned[4]                        # (T, L) fields
-            mask = (rec["prev"] >= 0) & active[:, None]
-            vals = jnp.stack(
-                [rec["prev"], rec["dst"], rec["tid"], rec["ol"],
-                 jax.lax.bitcast_convert_type(rec["gw"], jnp.int32),
-                 jax.lax.bitcast_convert_type(rec["ac"], jnp.int32)],
-                axis=-1).reshape(-1, 6)
-            fm = mask.reshape(-1)
-            nn = fm.shape[0]
-            pos = jnp.cumsum(fm.astype(jnp.int32)) - 1
-            out["rec_packed"] = jnp.zeros((nn, 6), jnp.int32).at[
-                jnp.where(fm, pos, nn)].set(vals, mode="drop")
-            out["rec_counts"] = mask.sum(axis=1).astype(jnp.int32)
+            # the cursor-append buffer IS the packed record layout:
+            # concatenated per-frame valid prefixes
+            out["rec_packed"] = buf
+            out["rec_counts"] = scanned[6]
         return out
 
     # ------------------------------------------------------------------
