@@ -21,23 +21,31 @@ rides sorts as payload operands instead of being re-gathered:
     ε-to-final paths into final costs) — one sweep per frame instead
     of 1 + ε-depth, and ProcessNonemitting disappears.  The start
     state's ε closure becomes the initial token set, computed on host.
-  * the graph is ONE packed int32 row table: arc i = [nextstate,
-    weight(bits), tid, pdf, olabel, dst_e_off, dst_e_cnt] — so a frame
-    needs a single M-row gather; each surviving token carries its own
-    out-arc range forward (no per-state offset gather next frame).
-  * load balancing (the CudaFst work-queue): out-arc counts are
-    prefix-summed and the arc budget M distributed by scattering one
-    packed (K, 3) row [token id, arc-index delta, cost bits] at each
+  * the graph is ONE packed int32 BLOCK table: each state's out-arc
+    range is padded to a multiple of arc_block, a row holding blk
+    consecutive arcs [nextstate, weight(bits), tid, pdf, olabel]×blk
+    (padding arcs carry +inf weight → beam-pruned for free).  A frame
+    fetches M arcs with an (M/blk)-row gather — the per-row cost is
+    width-independent, so blocks divide the dominant gather by ~blk.
+    Destination arc ranges live in a per-state table recovered with a
+    cheap K-row gather AFTER top-K (never carried through sorts).
+  * load balancing (the CudaFst work-queue): out-block counts are
+    prefix-summed and the M/blk block budget distributed by scattering
+    a packed [block-delta | token id] s32 (+ cost bits) at each
     token's range start + ONE multi-array associative-scan forward
     fill (searchsorted's binary-search while-loop costs ~11 ms on
-    TPU; a packed scatter + log-depth scan is ~2 ms).
+    TPU; scatter + log-depth scan is ~0.5 ms).
   * recombination = lax.sort by (next_state, cost); the first
     candidate of each equal-state run survives (atomic-min → sort +
-    segment-head test).  max-active = second sort by cost over heads.
-    Every per-candidate field the rest of the step needs (source
-    token, tid, olabel, graph/acoustic cost bits, dest arc range)
-    rides the sorts as extra operands — a sort operand costs ~0.1 ms
-    where a post-sort M-row gather costs 3–5 ms.
+    segment-head test).  Every per-candidate field the rest of the
+    step needs (source token, tid, olabel, cost bits) rides the sorts
+    as extra operands — a sort operand costs ~0.1 ms where a post-sort
+    M-row gather costs 3–5 ms.
+  * max-active = histogram cutoff over segment-head costs (GetCutoff /
+    the GPU decoder's histogram prune: an adaptive beam, not an exact
+    top-K), then winner slots assigned in state order by ONE cumsum —
+    the compaction sort's key is the slot itself, so no winner-position
+    scatter and no cost-ranked permutation to invert.
   * acoustic costs: one-hot masked reduction against the frame's
     loglikes for small pdf sets (VPU-shaped), plain gather above.
   * lattice: every candidate within lattice_beam of its state's best
@@ -47,9 +55,8 @@ rides sorts as payload operands instead of being re-gathered:
     keeps every Viterbi arc, so the best path is always in the
     lattice).  The cursor append replaces an end-of-scan compaction
     scatter over B·T·L rows that alone cost ~1.5 s per batch decode.
-    The candidate→slot map (which new token a record points at) is a
-    K-row position scatter + a segment-masked forward fill — never a
-    per-candidate gather.
+    A record's destination slot is the same cumsum the compaction key
+    uses; segment survival + head cost ride one forward-filled s32.
 
 Host-side assembly converts the (T, L) record tensors into a pruned
 raw Lattice with exact α/β lattice-beam pruning — numpy-vectorized per
@@ -98,6 +105,18 @@ class BeamDecoderConfig:
     #                                reduction ~0.9 ms; above the limit
     #                                the (M, P) mask outgrows the
     #                                gather and plain gather wins)
+    arc_block: int = 4             # arcs fetched per gather row: the
+    #                                ~10 ns/row gather cost is per ROW
+    #                                regardless of width, so fetching
+    #                                blocks of consecutive arcs (each
+    #                                state's range is block-aligned in
+    #                                the padded table) divides the
+    #                                dominant gather cost by ~arc_block
+    token_capacity: int = 0        # K: token array size (0 = max_active).
+    #                                max_active is enforced by histogram
+    #                                cutoff, so capacity can be sized to
+    #                                measured occupancy independently of
+    #                                the max-active contract
 
 
 def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -136,26 +155,55 @@ class BeamDecoder:
             graph = eps_precompose(graph)
         self.graph = graph
         self.config = config or BeamDecoderConfig()
-        self.K = max(1, min(self.config.max_active, graph.num_states))
-        self.M = self.config.arc_budget or min(
-            graph.num_emitting_arcs, max(4 * self.K, 8192))
+        cap = self.config.token_capacity or self.config.max_active
+        self.K = max(1, min(cap, graph.num_states))
+        self.maxa = min(self.config.max_active, self.K)
+        blk = max(1, self.config.arc_block)
+        self.BLK = blk
         self.L = self.config.lattice_arcs_per_frame
         if self.L and self.L < self.K:
             raise KaldiError("lattice_arcs_per_frame must be >= max_active "
                              "(every Viterbi arc must fit)")
         self.num_pdfs = int(tid_to_pdf.max()) + 1
 
-        # packed arc rows: [ns, w_bits, il, pdf, ol, dst_off, dst_cnt]
+        # block-aligned packed arc table: each state's out-arc range is
+        # padded to a multiple of BLK so one gathered row = BLK
+        # consecutive arcs of one state run; padding arcs carry +inf
+        # weight (beam-pruned for free).  arc fields:
+        # [ns, w_bits, il, pdf, ol]; the destination's own block range
+        # lives in a per-state table gathered K-row-cheap after top-K
         A = graph.num_emitting_arcs
-        tab = np.zeros((max(A, 1), 7), np.int32)
-        tab[:A, 0] = graph.e_nextstate
-        tab[:A, 1] = graph.e_weight.view(np.int32)
-        tab[:A, 2] = graph.e_ilabel
-        tab[:A, 3] = np.asarray(tid_to_pdf, np.int32)[graph.e_ilabel]
-        tab[:A, 4] = graph.e_olabel
-        tab[:A, 5] = graph.e_offsets[graph.e_nextstate]
-        tab[:A, 6] = (graph.e_offsets[graph.e_nextstate + 1]
-                      - graph.e_offsets[graph.e_nextstate])
+        S = graph.num_states
+        cnt = (graph.e_offsets[1:] - graph.e_offsets[:-1]).astype(np.int64)
+        cnt_blk = -(-cnt // blk)
+        blk_off = np.zeros(S + 1, np.int64)
+        np.cumsum(cnt_blk, out=blk_off[1:])
+        A_blk = int(blk_off[-1])
+        # budget in BLOCK space, capped at A_blk: active tokens hold
+        # distinct states, so per-frame block demand can never exceed
+        # the table's total block count (no drops at the cap)
+        M = self.config.arc_budget or max(4 * self.K, 8192)
+        self.MB = min(max(A_blk, 1), -(-M // blk))
+        self.M = self.MB * blk         # expanded arc rows (sort width)
+        # seed packing: (block-index delta, token id) share one s32
+        # when the bit budget allows — one seed scatter instead of two
+        self._tok_bits = max(1, (self.K - 1).bit_length())
+        self._pack_seeds = ((A_blk + self.MB + 2).bit_length()
+                            + self._tok_bits) <= 31
+        flat = np.zeros((max(A_blk, 1) * blk, 5), np.int32)
+        flat[:, 1] = np.float32(np.inf).view(np.int32)
+        if A:
+            src = np.repeat(np.arange(S), cnt)
+            pos = (blk_off[src] * blk
+                   + (np.arange(A) - graph.e_offsets[src])).astype(np.int64)
+            flat[pos, 0] = graph.e_nextstate
+            flat[pos, 1] = graph.e_weight.view(np.int32)
+            flat[pos, 2] = graph.e_ilabel
+            flat[pos, 3] = np.asarray(tid_to_pdf, np.int32)[graph.e_ilabel]
+            flat[pos, 4] = graph.e_olabel
+        tab = flat.reshape(max(A_blk, 1), blk * 5)
+        state_blk = np.stack([blk_off[:S].astype(np.int32),
+                              cnt_blk.astype(np.int32)], axis=1)
 
         init_states, init_costs = graph.initial_tokens()
         K = self.K
@@ -166,12 +214,12 @@ class BeamDecoder:
         n0 = min(len(init_states), K)
         ts[:n0] = init_states[:n0]
         tc[:n0] = init_costs[:n0]
-        to[:n0] = graph.e_offsets[init_states[:n0]]
-        tn[:n0] = (graph.e_offsets[init_states[:n0] + 1]
-                   - graph.e_offsets[init_states[:n0]])
+        to[:n0] = blk_off[init_states[:n0]].astype(np.int32)
+        tn[:n0] = cnt_blk[init_states[:n0]].astype(np.int32)
 
         self._g_host = {
             "arc_tab": tab,
+            "state_blk": state_blk,
             "final": np.asarray(graph.final_costs, np.float32),
             "init_state": ts, "init_cost": tc,
             "init_off": to, "init_cnt": tn,
@@ -244,73 +292,113 @@ class BeamDecoder:
         g = self.g
         K = self.K
         M = self.M
+        MB = self.MB
+        blk = self.BLK
         L = self.L
         S = self.graph.num_states
         tok_state, tok_cost, tok_off, tok_cnt = tok
 
-        # 1. load-balanced arc distribution: ONE packed (K, 3) scatter
-        #    [token id, arc-index delta, cost bits] at each token's
-        #    range start + ONE multi-array forward fill
+        # 1. load-balanced BLOCK distribution (tok_off/tok_cnt are in
+        #    block units): scatter [token id, block-index delta, cost
+        #    bits] at each token's range start + ONE multi-array
+        #    forward fill over the MB block slots
         cum = jnp.cumsum(tok_cnt)
-        j = jnp.arange(M, dtype=jnp.int32)
+        j = jnp.arange(MB, dtype=jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
-        pos_k = jnp.where(tok_cnt > 0, starts, M)
+        pos_k = jnp.where(tok_cnt > 0, starts, MB)
         karange = jnp.arange(K, dtype=jnp.int32)
         cost_sane = jnp.where(jnp.isfinite(tok_cost), tok_cost,
                               jnp.float32(1e30))
         # three flat scatters: a packed (K, 3)-row scatter looks like
         # one op but XLA lays it out T(4,128)-transposed and it costs
         # ~3x the three 1-D scatters together (xplane-measured)
-        seed_tok = jnp.full((M,), -1, jnp.int32).at[pos_k].set(
-            karange, mode="drop")
-        seed32 = lambda v: jnp.zeros((M,), jnp.int32).at[pos_k].set(
-            v, mode="drop")
-        seeded = seed_tok >= 0
-        tok_of, delta_f, costb_f = _forward_fill_multi(
-            (seed_tok, seed32(tok_off - starts.astype(jnp.int32)),
-             seed32(jax.lax.bitcast_convert_type(cost_sane, jnp.int32))),
-            seeded)
-        tok_of = jnp.clip(tok_of, 0, K - 1)
+        delta = tok_off - starts.astype(jnp.int32)
+        costb = jax.lax.bitcast_convert_type(cost_sane, jnp.int32)
+        if self._pack_seeds:
+            # (delta+MB, tok_id) packed into one non-negative s32:
+            # one seed scatter + a 2-array fill instead of 3 + 3
+            packed = ((delta + MB) << self._tok_bits) | karange
+            seed_pk = jnp.full((MB,), -1, jnp.int32).at[pos_k].set(
+                packed, mode="drop")
+            seeded = seed_pk >= 0
+            seed_cb = jnp.zeros((MB,), jnp.int32).at[pos_k].set(
+                costb, mode="drop")
+            pk_f, costb_f = _forward_fill_multi((seed_pk, seed_cb), seeded)
+            tok_of = jnp.clip(pk_f & ((1 << self._tok_bits) - 1), 0, K - 1)
+            delta_f = jnp.where(seeded | (pk_f >= 0),
+                                (pk_f >> self._tok_bits) - MB, 0)
+        else:
+            seed_tok = jnp.full((MB,), -1, jnp.int32).at[pos_k].set(
+                karange, mode="drop")
+            seed32 = lambda v: jnp.zeros((MB,), jnp.int32).at[pos_k].set(
+                v, mode="drop")
+            seeded = seed_tok >= 0
+            tok_of, delta_f, costb_f = _forward_fill_multi(
+                (seed_tok, seed32(delta), seed32(costb)), seeded)
+            tok_of = jnp.clip(tok_of, 0, K - 1)
         cost_f = jax.lax.bitcast_convert_type(costb_f, jnp.float32)
         in_range = j < cum[K - 1]
-        dropped = jnp.maximum(cum[K - 1] - M, 0)
+        dropped = jnp.maximum(cum[K - 1] - MB, 0) * blk
 
-        # 2. expand: ONE packed row gather
-        aidx = jnp.clip(j + delta_f, 0, self.g["arc_tab"].shape[0] - 1)
-        rows = g["arc_tab"][aidx]                      # (M, 7)
+        # 2. expand: ONE MB-row gather of (blk·5)-wide block rows —
+        #    ~blk× cheaper than an M-row gather of single arcs
+        bidx = jnp.clip(j + delta_f, 0, self.g["arc_tab"].shape[0] - 1)
+        rows = g["arc_tab"][bidx].reshape(MB, blk, 5).reshape(M, 5)
+        lane = lambda x: jnp.broadcast_to(x[:, None], (MB, blk)).reshape(M)
+        tok_of = lane(tok_of)
+        cost_f = lane(cost_f)
         c_state = rows[:, 0]
         gw = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
         ac = self._acoustic(rows[:, 3], loglike)
-        c_cost = jnp.where(in_range, cost_f + gw + ac, INF)
+        c_cost = jnp.where(lane(in_range), cost_f + gw + ac, INF)
 
         # 3. beam prune + sort-based recombination (payloads ride)
         best = jnp.min(c_cost)
         fin = c_cost <= best + self.config.beam
         c_cost = jnp.where(fin, c_cost, INF)
         sort_state = jnp.where(fin, c_state, S)
-        ops1 = (sort_state, c_cost, tok_of, rows[:, 2], rows[:, 4],
-                rows[:, 5], rows[:, 6])
+        ops1 = (sort_state, c_cost, tok_of, rows[:, 2], rows[:, 4])
         if L:
             ops1 = ops1 + (rows[:, 1],
                            jax.lax.bitcast_convert_type(ac, jnp.int32))
         s1 = jax.lax.sort(ops1, num_keys=2)
-        st_s, cost_s, prev_s, tid_s, ol_s, off_s, cnt_s = s1[:7]
+        st_s, cost_s, prev_s, tid_s, ol_s = s1[:5]
         first = jnp.concatenate([jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
-        self._diag = (cum[K - 1], jnp.sum(head.astype(jnp.int32)))
+        n_heads = jnp.sum(head.astype(jnp.int32))
+        self._diag = (cum[K - 1] * blk, n_heads)
 
-        # 4. max-active: best K segment heads by cost (payloads ride)
-        key2 = jnp.where(head, cost_s, INF)
-        ops2 = (key2, st_s, prev_s, tid_s, ol_s, off_s, cnt_s)
-        if L:
-            ops2 = ops2 + (jnp.arange(M, dtype=jnp.int32),)
+        # 4. max-active via histogram cutoff (GetCutoff / the GPU
+        #    decoder's histogram prune: an adaptive beam, not an exact
+        #    top-K), then slot assignment in state order by ONE cumsum.
+        #    Surviving slots are 0..n-1 in sorted-position order, so
+        #    the compaction sort key is the slot itself — no winner
+        #    scatter, no cost-ranked permutation to invert.
+        NB = 64
+        maxa = self.maxa
+        hb = jnp.clip(((cost_s - best) * (NB / self.config.beam))
+                      .astype(jnp.int32), 0, NB - 1)
+        hist = jnp.sum(
+            jnp.where(head[:, None]
+                      & (hb[:, None] == jnp.arange(NB, dtype=jnp.int32)),
+                      1, 0), axis=0)
+        cut_bin = jnp.maximum(
+            jnp.sum((jnp.cumsum(hist) <= maxa).astype(jnp.int32)) - 1, 0)
+        keep_head = head & ((n_heads <= maxa) | (hb <= cut_bin))
+        slot = jnp.cumsum(keep_head.astype(jnp.int32)) - 1
+        valid = keep_head & (slot < maxa)
+        key2 = jnp.where(valid, slot, M)
+        ops2 = (key2, st_s, cost_s, prev_s, tid_s, ol_s)
         s2 = jax.lax.sort(ops2, num_keys=1)
-        cost2, st2, prev2, tid2, ol2, off2, cnt2 = s2[:7]
-        ok = jnp.isfinite(cost2[:K])
+        slot2, st2, cost2, prev2, tid2, ol2 = s2
+        ok = slot2[:K] < M
         new_state = jnp.where(ok, st2[:K], -1)
         new_cost = jnp.where(ok, cost2[:K], INF)
-        new_off = jnp.where(ok, off2[:K], 0)
-        new_cnt = jnp.where(ok, cnt2[:K], 0)
+        # destination block ranges: one K-row gather from the per-state
+        # table (K-row gathers are ~us; only M-row gathers hurt)
+        sb = g["state_blk"][jnp.maximum(new_state, 0)]
+        new_off = jnp.where(ok, sb[:, 0], 0)
+        new_cnt = jnp.where(ok, sb[:, 1], 0)
         vit = (jnp.where(ok, prev2[:K], -1),
                jnp.where(ok, tid2[:K], 0),
                jnp.where(ok, ol2[:K], 0))
@@ -319,21 +407,20 @@ class BeamDecoder:
         if not L:
             return new_tok, vit, None, dropped
 
-        # 5. lattice records: winner slots scattered at their sorted
-        #    positions, propagated over each state segment by forward
-        #    fill together with the segment-head cost
-        gwb_s, acb_s = s1[7], s1[8]
-        sel = jnp.where(ok, s2[7][:K], M)
-        slot_at_pos = jnp.full((M,), -1, jnp.int32).at[sel].set(
-            karange, mode="drop")
-        segcost_b, dst_slot = _forward_fill_multi(
-            (jax.lax.bitcast_convert_type(
-                jnp.where(head, cost_s, 0.0), jnp.int32),
-             jnp.where(head, slot_at_pos, -1)), head)
+        # 5. lattice records: each candidate needs its segment head's
+        #    cost and slot.  The slot is the keep_head cumsum (valid
+        #    whenever the segment survived); survival + head cost ride
+        #    ONE forward-filled s32 (cost bits, +inf bits marking cut
+        #    segments) — no scatter, no second fill array
+        gwb_s, acb_s = s1[5], s1[6]
+        seg_seed = jnp.where(valid, cost_s, INF)
+        segcost_b = _forward_fill(
+            jax.lax.bitcast_convert_type(seg_seed, jnp.int32), head)
         seg_cost = jax.lax.bitcast_convert_type(segcost_b, jnp.float32)
         extra = cost_s - seg_cost
-        keep = (jnp.isfinite(cost_s) & (extra <= self.config.lattice_beam)
-                & (dst_slot >= 0))
+        dst_slot = slot
+        keep = (jnp.isfinite(cost_s) & jnp.isfinite(seg_cost)
+                & (extra <= self.config.lattice_beam))
         key3 = jnp.where(keep, extra, INF)
         key3s, rd, rprev, rtid, rol, rgwb, racb = jax.lax.sort(
             (key3, dst_slot, prev_s, tid_s, ol_s, gwb_s, acb_s),

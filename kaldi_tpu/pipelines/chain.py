@@ -193,6 +193,14 @@ class ChainTrainConfig:
     batch_size: int = 16
     learning_rate: float = 1e-3
     final_learning_rate: float = 1e-4
+    # Kaldi's per-component max-change (nnet3-train's key stabilizer):
+    # each parameter tensor's update l2-norm is clamped to this value.
+    # 0 disables.  Ref: src/nnet3/nnet-utils.h (ApplyMaxChange role).
+    max_change: float = 2.0
+    # exponential lr decay initial→final over this many steps (the
+    # steps/nnet3/train.py effective-lrate schedule); None = derived
+    # from num_epochs × batches at train() time, 0 = constant lr
+    total_steps: Optional[int] = None
     orthonormal_weight: float = 1e-2
     # flexible-boundary supervision numerator (chain-supervision
     # tolerance, see am/chain.numerator_flexible_logprob); falls back to
@@ -217,12 +225,40 @@ class ChainTrainer:
         variables = self.model.init(rng, dummy, train=False)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", FrozenDict())
-        self.tx = optax.adamw(self.cfg.learning_rate)
-        self.opt_state = self.tx.init(self.params)
+        self._build_tx(self.cfg.total_steps or 0)
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
             self.opt_state = self.tx.init(self.params)
+        self._trained_steps = 0
         self._step = jax.jit(self._train_step)
+
+    def _build_tx(self, total_steps: int) -> None:
+        """adamw + exponential lr decay + Kaldi-style per-component
+        max-change clamping (the nnet3-train stabilizers)."""
+        cfg = self.cfg
+        if total_steps and cfg.final_learning_rate < cfg.learning_rate:
+            lr = optax.exponential_decay(
+                cfg.learning_rate, transition_steps=max(total_steps, 1),
+                decay_rate=cfg.final_learning_rate / cfg.learning_rate)
+        else:
+            # always a schedule callable: keeps the opt-state STRUCTURE
+            # identical whether or not decay is active, so checkpoints
+            # restore across either configuration
+            lr = optax.constant_schedule(cfg.learning_rate)
+        chain_tx = [optax.adamw(lr)]
+        if cfg.max_change > 0:
+            mc = cfg.max_change
+
+            def clamp_updates(updates, state, params=None):
+                def clamp(u):
+                    n = jnp.sqrt(jnp.sum(jnp.square(u)) + 1e-20)
+                    return u * jnp.minimum(1.0, mc / n)
+                return (jax.tree_util.tree_map(clamp, updates), state)
+
+            chain_tx.append(optax.GradientTransformation(
+                lambda params: optax.EmptyState(), clamp_updates))
+        self.tx = optax.chain(*chain_tx)
+        self.opt_state = self.tx.init(self.params)
 
     def _loss_fn(self, params, batch_stats, feats, pdf_ali, mask,
                  num_graph):
@@ -268,12 +304,16 @@ class ChainTrainer:
         self.opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(self.opt_state),
             jax.tree_util.tree_leaves(state["opt_state"]))
+        self._trained_steps = int(state["step"])
         return int(state["step"])
 
     def train(self, egs: ChainEgs, log_every: int = 20,
               ckpt_dir: Optional[str] = None) -> Dict[str, float]:
         N = egs.feats.shape[0]
         B = min(self.cfg.batch_size, N)
+        if self.cfg.total_steps is None and self._trained_steps == 0:
+            # derive the lr-decay horizon now that the eg count is known
+            self._build_tx(self.cfg.num_epochs * max(N // B, 1))
         rng = np.random.default_rng(0)
         step = 0
         last: Dict[str, float] = {}
@@ -301,6 +341,7 @@ class ChainTrainer:
                                     jnp.asarray(egs.mask[idx]),
                                     num_graph)
                 step += 1
+                self._trained_steps += 1
                 if step % log_every == 0:
                     log.info("chain step %d: loss %.4f objf %.4f "
                              "(num %.3f den %.3f)", step, float(loss),

@@ -380,3 +380,39 @@ def test_normalization_weights_make_objf_nonpositive(rng):
                                                   leaky_hmm_coefficient=0.0),
                              num_graph=num_graph)
         assert float(diag["objf"]) <= 1e-5
+
+
+def test_max_change_clamps_update_norms(rng):
+    """nnet3-train's per-component max-change: every parameter tensor's
+    applied update has l2 norm <= max_change even under huge gradients,
+    and the lr schedule decays toward final_learning_rate."""
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    den = make_denominator_graph([[1, 2, 1]], tree, topo)
+    cfg = TdnnConfig(feat_dim=4, num_pdfs=tree.num_pdfs, hidden_dim=8,
+                     bottleneck_dim=4, num_layers=2,
+                     frame_subsampling_factor=3)
+    mc = 0.05
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=1, batch_size=2, learning_rate=100.0,
+        max_change=mc, total_steps=10, use_flexible_numerator=False))
+    before = jax.tree_util.tree_map(np.asarray, tr.params)
+    feats = jnp.asarray(
+        1e3 * rng.standard_normal((2, 12, 4)).astype(np.float32))
+    pdf_ali = jnp.zeros((2, 4), jnp.int32)
+    mask = jnp.ones((2, 4), jnp.float32)
+    (tr.params, tr.batch_stats, tr.opt_state, loss, diag) = tr._step(
+        tr.params, tr.batch_stats, tr.opt_state, feats, pdf_ali, mask,
+        None)
+    after = jax.tree_util.tree_map(np.asarray, tr.params)
+    deltas = jax.tree_util.tree_map(lambda a, b: b - a, before, after)
+    for leaf in jax.tree_util.tree_leaves(deltas):
+        assert np.linalg.norm(leaf) <= mc + 1e-5
+    # schedule: optax exponential_decay reaches final lr at total_steps
+    import optax
+    sched = optax.exponential_decay(1e-3, transition_steps=10,
+                                    decay_rate=1e-4 / 1e-3)
+    assert math.isclose(float(sched(10)), 1e-4, rel_tol=1e-5)
