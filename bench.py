@@ -74,10 +74,13 @@ def main():
     # 2048 sizes the device arrays to measured occupancy (peak heads
     # ~1.4k on this task — the cap never binds, and the occupancy log
     # below proves it per run)
+    # record_capacity bounds the fixed-shape record fetch (measured
+    # ~5.4k records/utt on this task; overflow raises, never silent)
     lat_cfg = BeamDecoderConfig(beam=13.0, max_active=7000,
                                 acoustic_scale=1.0, lattice_beam=7.0,
                                 arc_budget=12288, token_capacity=2048,
-                                lattice_arcs_per_frame=4096)
+                                lattice_arcs_per_frame=4096,
+                                record_capacity=16384)
     dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, lat_cfg)
     gd = dec._graph_arrays()
     t0 = time.time()
@@ -87,10 +90,14 @@ def main():
     occ = {}
 
     def run_once():
-        # dispatch every batch first (async): host-side fetch + lattice
-        # assembly of batch i overlaps device compute of batches >i
-        outs = [(i, compiled(gd, X[i:i + B], lens[i:i + B]))
-                for i in range(0, len(utts), B)]
+        # dispatch every batch, then start async D2H copies in dispatch
+        # order: batch i's record copy overlaps batch i+1's compute on
+        # the device DMA path, so the blocking fetch below is ~free
+        outs = []
+        for i in range(0, len(utts), B):
+            out = compiled(gd, X[i:i + B], lens[i:i + B])
+            dec.start_fetch(out, lattice=True)
+            outs.append((i, out))
         lats = []
         dropped = 0
         for i, out in outs:
@@ -101,7 +108,8 @@ def main():
             for b, host in enumerate(dec._fetch_batch(out, B,
                                                       lattice=True)):
                 dropped += int(host["dropped_arcs"])
-                lats.append(dec._build_lattice(host, int(lens[i + b])))
+                lats.append(dec._build_lattice(host, int(lens[i + b]),
+                                               X[i + b]))
         return lats, dropped
 
     log.info("bench: warmup...")

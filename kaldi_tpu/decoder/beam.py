@@ -57,10 +57,20 @@ rides sorts as payload operands instead of being re-gathered:
     scatter over B·T·L rows that alone cost ~1.5 s per batch decode.
     A record's destination slot is the same cumsum the compaction key
     uses; segment survival + head cost ride one forward-filled s32.
+  * a record is TWO s32 words: [prev-slot | dst-slot] packed, and the
+    ARC INDEX.  ilabel/olabel/graph-weight/pdf are recovered on host
+    from the (host-resident) packed arc table, and the acoustic cost
+    is recomputed from the host loglikes — bit-identical f32 — so
+    nothing else rides the sorts or crosses the wire.  With
+    record_capacity set, the record output has a fixed shape and
+    start_fetch() overlaps the D2H copy with the next batch's compute
+    (the tunneled transport runs ~25 MB/s; a blocking fetch of wide
+    records was the single largest cost of a batch decode).
 
-Host-side assembly converts the (T, L) record tensors into a pruned
-raw Lattice with exact α/β lattice-beam pruning — numpy-vectorized per
-frame level, no per-arc Python loops.
+Host-side assembly converts the packed records into a pruned raw
+Lattice with exact α/β lattice-beam pruning — numpy-vectorized per
+frame level (C++ fast path in native/lattice_build.cpp), no per-arc
+Python loops.
 
 The graph rides as a jit ARGUMENT pytree (never a closure constant:
 multi-megabyte embedded literals stall lowering and compile, and would
@@ -117,6 +127,13 @@ class BeamDecoderConfig:
     #                                cutoff, so capacity can be sized to
     #                                measured occupancy independently of
     #                                the max-active contract
+    record_capacity: int = 0       # per-utterance cap on fetched lattice
+    #                                records (0 = the full T_pad·L buffer).
+    #                                A fixed cap gives the record output a
+    #                                static shape so start_fetch() can
+    #                                async-copy it; overflow raises at
+    #                                fetch time (size it ~2× measured
+    #                                record counts)
 
 
 def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -204,6 +221,17 @@ class BeamDecoder:
         tab = flat.reshape(max(A_blk, 1), blk * 5)
         state_blk = np.stack([blk_off[:S].astype(np.int32),
                               cnt_blk.astype(np.int32)], axis=1)
+        # host copy of the flat arc table: lattice records carry only
+        # the arc INDEX; il/ol/gw/pdf are recovered here at build time
+        self._flat = flat
+        # record layout: [prev|dst] share one s32 when K's bit budget
+        # allows (always, for realistic max-active), else 3 words
+        self._pack_pd = 2 * max(1, (self.K - 1).bit_length()) <= 31
+        self._recw = 2 if self._pack_pd else 3
+        if self.config.record_capacity and self.L \
+                and self.config.record_capacity < self.L:
+            raise KaldiError("record_capacity must be >= "
+                             "lattice_arcs_per_frame")
 
         init_states, init_costs = graph.initial_tokens()
         K = self.K
@@ -344,6 +372,11 @@ class BeamDecoder:
         #    ~blk× cheaper than an M-row gather of single arcs
         bidx = jnp.clip(j + delta_f, 0, self.g["arc_tab"].shape[0] - 1)
         rows = g["arc_tab"][bidx].reshape(MB, blk, 5).reshape(M, 5)
+        # flat arc index: the one payload that rides every sort (all
+        # other arc fields are recovered from it by K-row gathers on
+        # device or from the host table at lattice-build time)
+        aidx = (bidx[:, None] * blk
+                + jnp.arange(blk, dtype=jnp.int32)[None, :]).reshape(M)
         lane = lambda x: jnp.broadcast_to(x[:, None], (MB, blk)).reshape(M)
         tok_of = lane(tok_of)
         cost_f = lane(cost_f)
@@ -357,12 +390,9 @@ class BeamDecoder:
         fin = c_cost <= best + self.config.beam
         c_cost = jnp.where(fin, c_cost, INF)
         sort_state = jnp.where(fin, c_state, S)
-        ops1 = (sort_state, c_cost, tok_of, rows[:, 2], rows[:, 4])
-        if L:
-            ops1 = ops1 + (rows[:, 1],
-                           jax.lax.bitcast_convert_type(ac, jnp.int32))
+        ops1 = (sort_state, c_cost, tok_of, aidx)
         s1 = jax.lax.sort(ops1, num_keys=2)
-        st_s, cost_s, prev_s, tid_s, ol_s = s1[:5]
+        st_s, cost_s, prev_s, aidx_s = s1
         first = jnp.concatenate([jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
         n_heads = jnp.sum(head.astype(jnp.int32))
@@ -388,9 +418,9 @@ class BeamDecoder:
         slot = jnp.cumsum(keep_head.astype(jnp.int32)) - 1
         valid = keep_head & (slot < maxa)
         key2 = jnp.where(valid, slot, M)
-        ops2 = (key2, st_s, cost_s, prev_s, tid_s, ol_s)
+        ops2 = (key2, st_s, cost_s, prev_s, aidx_s)
         s2 = jax.lax.sort(ops2, num_keys=1)
-        slot2, st2, cost2, prev2, tid2, ol2 = s2
+        slot2, st2, cost2, prev2, aidx2 = s2
         ok = slot2[:K] < M
         new_state = jnp.where(ok, st2[:K], -1)
         new_cost = jnp.where(ok, cost2[:K], INF)
@@ -399,9 +429,17 @@ class BeamDecoder:
         sb = g["state_blk"][jnp.maximum(new_state, 0)]
         new_off = jnp.where(ok, sb[:, 0], 0)
         new_cnt = jnp.where(ok, sb[:, 1], 0)
+        # winner tid/olabel: one cheap K-row gather of the winners'
+        # arc-table rows (the arc index replaces them as sort payload)
+        ai = aidx2[:K]
+        trows = g["arc_tab"][jnp.clip(ai // blk, 0,
+                                      g["arc_tab"].shape[0] - 1)]
+        lsel = (ai % blk) * 5
+        tid_w = jnp.take_along_axis(trows, (lsel + 2)[:, None], 1)[:, 0]
+        ol_w = jnp.take_along_axis(trows, (lsel + 4)[:, None], 1)[:, 0]
         vit = (jnp.where(ok, prev2[:K], -1),
-               jnp.where(ok, tid2[:K], 0),
-               jnp.where(ok, ol2[:K], 0))
+               jnp.where(ok, tid_w, 0),
+               jnp.where(ok, ol_w, 0))
         new_tok = (new_state, new_cost, new_off, new_cnt)
 
         if not L:
@@ -412,19 +450,15 @@ class BeamDecoder:
         #    whenever the segment survived); survival + head cost ride
         #    ONE forward-filled s32 (cost bits, +inf bits marking cut
         #    segments) — no scatter, no second fill array
-        gwb_s, acb_s = s1[5], s1[6]
         seg_seed = jnp.where(valid, cost_s, INF)
         segcost_b = _forward_fill(
             jax.lax.bitcast_convert_type(seg_seed, jnp.int32), head)
         seg_cost = jax.lax.bitcast_convert_type(segcost_b, jnp.float32)
         extra = cost_s - seg_cost
-        dst_slot = slot
+        dst_slot = jnp.clip(slot, 0, K - 1)
         keep = (jnp.isfinite(cost_s) & jnp.isfinite(seg_cost)
                 & (extra <= self.config.lattice_beam))
         key3 = jnp.where(keep, extra, INF)
-        key3s, rd, rprev, rtid, rol, rgwb, racb = jax.lax.sort(
-            (key3, dst_slot, prev_s, tid_s, ol_s, gwb_s, acb_s),
-            num_keys=1)
 
         def fit(x, fill):
             if x.shape[0] >= L:
@@ -432,15 +466,25 @@ class BeamDecoder:
             return jnp.concatenate(
                 [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
-        rvalid = jnp.isfinite(fit(key3s, jnp.inf))
-        # packed record rows [prev, dst, tid, ol, gw bits, ac bits]
-        chunk = jnp.stack(
-            [jnp.where(rvalid, fit(rprev, 0), -1),
-             jnp.where(rvalid, fit(rd, -1), -1),
-             jnp.where(rvalid, fit(rtid, 0), 0),
-             jnp.where(rvalid, fit(rol, 0), 0),
-             jnp.where(rvalid, fit(rgwb, 0), 0),
-             jnp.where(rvalid, fit(racb, 0), 0)], axis=-1)
+        if self._pack_pd:
+            # record = ([prev|dst] s32, arc index s32): 2 sort payload
+            # operands and 8 B/record across the wire
+            pd = jnp.where(keep,
+                           (prev_s << self._tok_bits) | dst_slot, -1)
+            key3s, rpd, raidx = jax.lax.sort((key3, pd, aidx_s),
+                                             num_keys=1)
+            rvalid = jnp.isfinite(fit(key3s, jnp.inf))
+            chunk = jnp.stack(
+                [jnp.where(rvalid, fit(rpd, -1), -1),
+                 jnp.where(rvalid, fit(raidx, 0), 0)], axis=-1)
+        else:
+            key3s, rprev, rd, raidx = jax.lax.sort(
+                (key3, prev_s, dst_slot, aidx_s), num_keys=1)
+            rvalid = jnp.isfinite(fit(key3s, jnp.inf))
+            chunk = jnp.stack(
+                [jnp.where(rvalid, fit(rprev, 0), -1),
+                 jnp.where(rvalid, fit(rd, -1), 0),
+                 jnp.where(rvalid, fit(raidx, 0), 0)], axis=-1)
         return new_tok, vit, chunk, dropped
 
     def _frame_step(self, carry, xs):
@@ -486,7 +530,7 @@ class BeamDecoder:
         T_pad = loglikes.shape[0]
         active = jnp.arange(T_pad) < num_frames
         if self.L:
-            buf = jnp.zeros((T_pad * self.L, 6), jnp.int32)
+            buf = jnp.zeros((T_pad * self.L, self._recw), jnp.int32)
         else:
             buf = jnp.zeros((0,), jnp.int32)
         ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
@@ -528,8 +572,11 @@ class BeamDecoder:
         }
         if self.L:
             # the cursor-append buffer IS the packed record layout:
-            # concatenated per-frame valid prefixes
-            out["rec_packed"] = buf
+            # concatenated per-frame valid prefixes.  A configured
+            # record_capacity gives this output a fixed shape so the
+            # host can async-copy it without first reading the counts
+            rcap = self.config.record_capacity or (T_pad * self.L)
+            out["rec_packed"] = buf[:min(rcap, T_pad * self.L)]
             out["rec_counts"] = scanned[6]
         return out
 
@@ -540,6 +587,26 @@ class BeamDecoder:
     _SMALL_KEYS = ("bt_tids", "bt_ols", "bt_end", "best_cost",
                    "final_cost", "dropped_arcs", "tok_final")
 
+    def start_fetch(self, out, lattice=False):
+        """Begin async device→host copies of everything a later
+        _fetch/_fetch_batch will read.  With record_capacity set the
+        record tensor has a fixed modest shape, so the copy overlaps
+        the next pipelined batch's device compute and the blocking
+        fetch completes at host-memory speed.  (Without a capacity the
+        record buffer is T_pad·L rows — don't async-copy that.)"""
+        for k in self._SMALL_KEYS:
+            out[k].copy_to_host_async()
+        if lattice:
+            out["rec_counts"].copy_to_host_async()
+            if self.config.record_capacity:
+                out["rec_packed"].copy_to_host_async()
+
+    def _check_overflow(self, n, cap):
+        if n > cap:
+            raise KaldiError(
+                f"BeamDecoder: record_capacity overflow ({n} records > "
+                f"{cap}); raise record_capacity or lattice_arcs_per_frame")
+
     def _fetch(self, out, b=None, lattice=False):
         """Selective device→host fetch for one utterance.  Never pulls
         the (T, L) record tensors: the packed prefix (exactly the valid
@@ -549,6 +616,7 @@ class BeamDecoder:
         if lattice:
             counts = np.asarray(sel(out["rec_counts"]))
             n = int(counts.sum())
+            self._check_overflow(n, out["rec_packed"].shape[-2])
             host["rec_counts"] = counts
             host["rec_packed"] = np.asarray(sel(out["rec_packed"])[:n])
         return host
@@ -564,7 +632,14 @@ class BeamDecoder:
             counts = np.asarray(out["rec_counts"])       # (B, T)
             ns = counts.sum(axis=1)
             n_max = int(ns.max())
-            packed = np.asarray(out["rec_packed"][:, :n_max])
+            cap = out["rec_packed"].shape[1]
+            self._check_overflow(n_max, cap)
+            if self.config.record_capacity:
+                # fixed-shape output: fetch whole (possibly already
+                # host-resident via start_fetch) — no device slice op
+                packed = np.asarray(out["rec_packed"])
+            else:
+                packed = np.asarray(out["rec_packed"][:, :n_max])
             for b in range(batch_size):
                 hosts[b]["rec_counts"] = counts[b]
                 hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
@@ -599,7 +674,8 @@ class BeamDecoder:
         out = self._decode_jit(self._graph_arrays(),
                                jnp.asarray(loglikes, jnp.float32),
                                jnp.int32(T))
-        return self._build_lattice(self._fetch(out, lattice=True), T)
+        return self._build_lattice(self._fetch(out, lattice=True), T,
+                                   loglikes)
 
     def decode_lattice_batch(self, loglikes_padded: np.ndarray,
                              num_frames: np.ndarray) -> List[Lattice]:
@@ -611,7 +687,8 @@ class BeamDecoder:
             jnp.asarray(num_frames, jnp.int32))
         hosts = self._fetch_batch(out, loglikes_padded.shape[0],
                                   lattice=True)
-        return [self._build_lattice(h, int(num_frames[b]))
+        return [self._build_lattice(h, int(num_frames[b]),
+                                    loglikes_padded[b])
                 for b, h in enumerate(hosts)]
 
     # -- Viterbi backtrace -------------------------------------------------
@@ -628,19 +705,32 @@ class BeamDecoder:
 
     # -- lattice assembly (vectorized, no per-arc Python) ------------------
 
-    def _build_lattice(self, host, T: int) -> Lattice:
+    def _build_lattice(self, host, T: int,
+                       loglikes: np.ndarray) -> Lattice:
         K = self.K
         beam = self.config.lattice_beam
         counts = host["rec_counts"][:T]
         packed = host["rec_packed"]
-        r_prev = packed[:, 0]
-        r_dst = packed[:, 1]
-        r_il = packed[:, 2]
-        r_ol = packed[:, 3]
-        r_gw = np.ascontiguousarray(packed[:, 4]).view(np.float32)
-        r_ac = np.ascontiguousarray(packed[:, 5]).view(np.float32)
         offs = np.zeros(T + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
+        # decode the 2-word records: il/ol/gw/pdf from the host arc
+        # table by arc index; acoustic cost recomputed from the host
+        # loglikes (f32 multiply — bit-identical to the device value)
+        if self._pack_pd:
+            r_prev = packed[:, 0] >> self._tok_bits
+            r_dst = packed[:, 0] & ((1 << self._tok_bits) - 1)
+            aidx = packed[:, 1]
+        else:
+            r_prev, r_dst, aidx = (packed[:, 0], packed[:, 1],
+                                   packed[:, 2])
+        flat = self._flat
+        r_il = flat[aidx, 2]
+        r_ol = flat[aidx, 4]
+        r_gw = flat[aidx, 1].view(np.float32)
+        t_of = np.repeat(np.arange(T), counts)
+        ll = np.asarray(loglikes, np.float32)
+        r_ac = np.float32(-self.config.acoustic_scale) \
+            * ll[t_of, flat[aidx, 3]]
 
         # native C++ fast path (kaldi_tpu/native/lattice_build.cpp);
         # the numpy pass below is the oracle and fallback
