@@ -429,17 +429,12 @@ class BeamDecoder:
         sb = g["state_blk"][jnp.maximum(new_state, 0)]
         new_off = jnp.where(ok, sb[:, 0], 0)
         new_cnt = jnp.where(ok, sb[:, 1], 0)
-        # winner tid/olabel: one cheap K-row gather of the winners'
-        # arc-table rows (the arc index replaces them as sort payload)
-        ai = aidx2[:K]
-        trows = g["arc_tab"][jnp.clip(ai // blk, 0,
-                                      g["arc_tab"].shape[0] - 1)]
-        lsel = (ai % blk) * 5
-        tid_w = jnp.take_along_axis(trows, (lsel + 2)[:, None], 1)[:, 0]
-        ol_w = jnp.take_along_axis(trows, (lsel + 4)[:, None], 1)[:, 0]
+        # Viterbi backpointers carry (prev slot, arc index) only; the
+        # backtrace emits the (T,) winning arc-index path and the HOST
+        # maps tid/olabel from its arc-table copy — no K-row arc-field
+        # gather in the sweep (a (K, blk·5) gather cost ~1.5–5 ms/step)
         vit = (jnp.where(ok, prev2[:K], -1),
-               jnp.where(ok, tid_w, 0),
-               jnp.where(ok, ol_w, 0))
+               jnp.where(ok, aidx2[:K], -1))
         new_tok = (new_state, new_cost, new_off, new_cnt)
 
         if not L:
@@ -498,10 +493,8 @@ class BeamDecoder:
         new_tok = tuple(jnp.where(active, n, c)
                         for n, c in zip(new_tok, tok))
         idn = jnp.arange(K, dtype=jnp.int32)
-        z = jnp.zeros(K, jnp.int32)
         vit = (jnp.where(active, vit[0], idn),
-               jnp.where(active, vit[1], z),
-               jnp.where(active, vit[2], z))
+               jnp.where(active, vit[1], -1))
         arcs_demand, n_heads = self._diag
         out = vit + (jnp.where(active, dropped, 0),
                      jnp.where(active, arcs_demand, 0),
@@ -536,7 +529,7 @@ class BeamDecoder:
         ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
             self._frame_step, (tok, buf, jnp.int32(0)),
             (loglikes, active))
-        prev, tids, ols, dropped, arcs_demand, n_heads = scanned[:6]
+        prev, aidxs, dropped, arcs_demand, n_heads = scanned[:5]
         okf = fs >= 0
         fin = self.g["final"][jnp.where(okf, fs, 0)]
         total = jnp.where(okf, fc + fin, INF)
@@ -545,22 +538,22 @@ class BeamDecoder:
         use = jnp.where(any_final, total, fallback)
         best_idx = jnp.argmin(use)
 
-        # in-jit Viterbi backtrace: only two (T,) sequences ever leave
-        # the device (the (T, K) backpointer tensors stay in HBM —
+        # in-jit Viterbi backtrace: only ONE (T,) sequence ever leaves
+        # the device — the winning ARC-INDEX path (tid/olabel are host
+        # table lookups; the (T, K) backpointer tensors stay in HBM —
         # fetching them over a tunneled transport dwarfs the decode)
         def bt_step(idx, xs):
-            prev_t, tid_t, ol_t = xs
+            prev_t, aidx_t = xs
             i = jnp.maximum(idx, 0)
             live = idx >= 0
             nidx = jnp.where(live, prev_t[i], idx)
-            return nidx, (jnp.where(live, tid_t[i], 0),
-                          jnp.where(live, ol_t[i], 0))
+            return nidx, jnp.where(live, aidx_t[i], -1)
 
-        bt_end, (bt_tids, bt_ols) = jax.lax.scan(
-            bt_step, best_idx.astype(jnp.int32), (prev, tids, ols),
+        bt_end, bt_aidx = jax.lax.scan(
+            bt_step, best_idx.astype(jnp.int32), (prev, aidxs),
             reverse=True)
         out = {
-            "bt_tids": bt_tids, "bt_ols": bt_ols, "bt_end": bt_end,
+            "bt_aidx": bt_aidx, "bt_end": bt_end,
             "dropped_arcs": jnp.sum(dropped),
             # occupancy diagnostics (the reference's beam/max-active
             # warnings role): peak arc demand vs M, peak heads vs K
@@ -577,14 +570,14 @@ class BeamDecoder:
             # host can async-copy it without first reading the counts
             rcap = self.config.record_capacity or (T_pad * self.L)
             out["rec_packed"] = buf[:min(rcap, T_pad * self.L)]
-            out["rec_counts"] = scanned[6]
+            out["rec_counts"] = scanned[5]
         return out
 
     # ------------------------------------------------------------------
     # host-side API
     # ------------------------------------------------------------------
 
-    _SMALL_KEYS = ("bt_tids", "bt_ols", "bt_end", "best_cost",
+    _SMALL_KEYS = ("bt_aidx", "bt_end", "best_cost",
                    "final_cost", "dropped_arcs", "tok_final")
 
     def start_fetch(self, out, lattice=False):
@@ -699,8 +692,10 @@ class BeamDecoder:
             raise KaldiError("BeamDecoder: no tokens survived")
         if int(host["bt_end"]) < 0:
             raise KaldiError("BeamDecoder: broken backpointer chain")
-        tids = [int(t) for t in host["bt_tids"][:T] if t]
-        ols = [int(o) for o in host["bt_ols"][:T] if o]
+        aidx = np.asarray(host["bt_aidx"][:T])
+        aidx = aidx[aidx >= 0]
+        tids = [int(t) for t in self._flat[aidx, 2] if t]
+        ols = [int(o) for o in self._flat[aidx, 4] if o]
         return tids, ols, best_cost
 
     # -- lattice assembly (vectorized, no per-arc Python) ------------------
