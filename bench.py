@@ -62,12 +62,23 @@ def main():
     utts = sorted(eval_set)
     lls = [synth_loglikes(task, eval_set[u], rng, noise=0.5)
            for u in utts]
-    T_pad = int(np.ceil(max(x.shape[0] for x in lls) / 64) * 64)
-    X = np.zeros((len(utts), T_pad, task.num_pdfs), np.float32)
-    lens = np.zeros(len(utts), np.int32)
-    for i, ll in enumerate(lls):
-        X[i, :len(ll)] = ll
-        lens[i] = len(ll)
+    # length-sorted batches, each padded to its own T_pad (multiple of
+    # 32): padded frames run full sweeps, so per-batch shapes cut the
+    # padding waste that one global T_pad pays on every short batch
+    order = np.argsort([len(x) for x in lls], kind="stable")
+    utts = [utts[i] for i in order]
+    lls = [lls[i] for i in order]
+    batches = []
+    for i in range(0, len(utts), B):
+        chunk = lls[i:i + B]
+        T_pad = int(np.ceil(max(x.shape[0] for x in chunk) / 32) * 32)
+        Xb = np.zeros((len(chunk), T_pad, task.num_pdfs), np.float32)
+        lb = np.zeros(len(chunk), np.int32)
+        for b, ll in enumerate(chunk):
+            Xb[b, :len(ll)] = ll
+            lb[b] = len(ll)
+        batches.append((i, Xb, lb))
+    lens = np.array([len(x) for x in lls], np.int32)
     audio_s = float(lens.sum()) * 0.03        # ×3 frame subsampling
 
     # max-active 7000 is the reference operating point; token capacity
@@ -84,8 +95,10 @@ def main():
     dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, lat_cfg)
     gd = dec._graph_arrays()
     t0 = time.time()
-    compiled = dec._get_compiled((B, T_pad, task.num_pdfs))
-    log.info("bench: decoder compiled in %.0fs", time.time() - t0)
+    compiled = {Xb.shape: dec._get_compiled(Xb.shape)
+                for _, Xb, _ in batches}
+    log.info("bench: decoder compiled (%d shapes) in %.0fs",
+             len(compiled), time.time() - t0)
 
     occ = {}
 
@@ -94,13 +107,13 @@ def main():
         # order: batch i's record copy overlaps batch i+1's compute on
         # the device DMA path, so the blocking fetch below is ~free
         outs = []
-        for i in range(0, len(utts), B):
-            out = compiled(gd, X[i:i + B], lens[i:i + B])
+        for i, Xb, lb in batches:
+            out = compiled[Xb.shape](gd, Xb, lb)
             dec.start_fetch(out, lattice=True)
-            outs.append((i, out))
+            outs.append((i, Xb, out))
         lats = []
         dropped = 0
-        for i, out in outs:
+        for i, Xb, out in outs:
             occ["arcs"] = max(occ.get("arcs", 0),
                               int(np.asarray(out["max_arcs_demand"]).max()))
             occ["heads"] = max(occ.get("heads", 0),
@@ -109,7 +122,7 @@ def main():
                                                       lattice=True)):
                 dropped += int(host["dropped_arcs"])
                 lats.append(dec._build_lattice(host, int(lens[i + b]),
-                                               X[i + b]))
+                                               Xb[b]))
         return lats, dropped
 
     log.info("bench: warmup...")
@@ -125,8 +138,8 @@ def main():
     # device-only split for the breakdown log
     for _ in range(2):
         t0 = time.perf_counter()
-        for i in range(0, len(utts), B):
-            out = compiled(gd, X[i:i + B], lens[i:i + B])
+        for _, Xb, lb in batches:
+            out = compiled[Xb.shape](gd, Xb, lb)
         jax.block_until_ready(out)
         dev_dt = min(dev_dt, time.perf_counter() - t0)
     value = audio_s / best_dt
