@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -148,6 +149,15 @@ def main():
              "peak arc demand %d/%d, peak heads %d/%d)",
              audio_s, best_dt, value, dev_dt, best_dt - dev_dt, dropped,
              occ.get("arcs", -1), dec.M, occ.get("heads", -1), dec.K)
+
+    # optional per-op device profile of one decode batch (the
+    # CuDevice::PrintProfile role — core/profiling.py)
+    if os.environ.get("KALDI_TPU_PROFILE"):
+        from kaldi_tpu.core.profiling import print_profile, profile
+        _, Xb, lb = batches[-1]
+        with profile() as get:
+            jax.block_until_ready(compiled[Xb.shape](gd, Xb, lb))
+        print_profile(get(), top=15)
 
     # WER sanity: lattice best paths vs references
     hyps = {u: [task.words.find(o) for o in lat.best_path()[1]]
