@@ -1,5 +1,6 @@
 """CLI layer (reference L10: src/*bin/)."""
 
 from kaldi_tpu.cli.tools import TOOLS, main
+import kaldi_tpu.cli.tools_extra  # noqa: F401  (registers into TOOLS)
 
 __all__ = ["TOOLS", "main"]

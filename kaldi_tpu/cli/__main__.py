@@ -7,6 +7,6 @@ try:
 except (AttributeError, ValueError):
     pass
 
-from kaldi_tpu.cli.tools import main
+from kaldi_tpu.cli import main
 
 sys.exit(main())
