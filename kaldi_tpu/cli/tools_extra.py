@@ -488,6 +488,79 @@ def lattice_align_words(argv):
 
 
 # ---------------------------------------------------------------------------
+# online2bin
+# ---------------------------------------------------------------------------
+
+@tool("online2-wav-gmm-latgen-faster")
+def online2_wav_gmm_latgen_faster(argv):
+    """Streaming decode driver (online2bin/online2-wav-gmm-latgen-faster
+    role): waveform chunks → online MFCC(+deltas) → GMM loglikes →
+    SingleUtteranceDecoder, partials available throughout."""
+    from kaldi_tpu.am.serialize import read_mdl
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.decoder.online import SingleUtteranceDecoder
+    from kaldi_tpu.features import (DeltaFeaturesOptions,
+                                    FrameExtractionOptions, Mfcc,
+                                    MfccOptions)
+    from kaldi_tpu.features.online import OnlineFeaturePipeline
+    po = ParseOptions("online2-wav-gmm-latgen-faster [opts] <model> "
+                      "<fst> <wav-rspec> <words-wspec>")
+    po.register("chunk-length", float, 0.18, "seconds per audio chunk")
+    po.register("beam", float, 16.0, "decoding beam")
+    po.register("acoustic-scale", float, 0.1, "acoustic scale")
+    po.register("sample-frequency", float, 16000.0, "expected rate")
+    po.register("do-endpointing", bool, False, "stop at an endpoint")
+    po.register("word-symbol-table", str, "", "words.txt")
+    args = po.read(argv)
+    tm, am = read_mdl(args[0])
+    dec = DenseDecoder(_load_fst(args[1]), tm.tid_to_pdf_array,
+                       DenseDecoderConfig(
+                           beam=po["beam"],
+                           acoustic_scale=po["acoustic-scale"]))
+    words_tab = None
+    if po["word-symbol-table"]:
+        from kaldi_tpu.fst.fst import SymbolTable
+        words_tab = SymbolTable.read(po["word-symbol-table"])
+    chunk = int(po["chunk-length"] * po["sample-frequency"])
+    mfcc_opts = MfccOptions(frame_opts=FrameExtractionOptions(
+        samp_freq=po["sample-frequency"], dither=0.0))
+    with TableWriter(args[3], holder="text") as w:
+        for key, (wave, rate) in SequentialTableReader(args[2],
+                                                       holder="wav"):
+            if rate != po["sample-frequency"]:
+                raise KaldiError(f"{key}: rate {rate} != "
+                                 f"{po['sample-frequency']}")
+            pipe = OnlineFeaturePipeline(Mfcc(mfcc_opts),
+                                         deltas=DeltaFeaturesOptions())
+            online = SingleUtteranceDecoder(dec)
+            fed = 0
+            for i in range(0, len(wave), chunk):
+                pipe.accept_waveform(np.asarray(wave[i:i + chunk],
+                                                np.float32))
+                ready = pipe.num_frames_ready()
+                if ready > fed:
+                    feats = pipe.get_frames(fed, ready)
+                    online.advance_decoding(
+                        np.asarray(am.loglikes(feats)))
+                    fed = ready
+                if po["do-endpointing"] and online.endpoint_detected():
+                    break
+            else:
+                pipe.input_finished()
+                ready = pipe.num_frames_ready()
+                if ready > fed:
+                    online.advance_decoding(np.asarray(
+                        am.loglikes(pipe.get_frames(fed, ready))))
+            _, ols, cost = online.get_best_path(use_final_probs=True)
+            text = [words_tab.find(o) if words_tab else str(o)
+                    for o in ols]
+            w[key] = text
+            log.info("%s: %s (cost %.2f, %d frames)", key,
+                     " ".join(text), cost, online.num_frames_decoded)
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # nnet3bin
 # ---------------------------------------------------------------------------
 

@@ -255,6 +255,48 @@ def test_wav_ivec_spectrogram_tools(tmp_path, rng, capsys):
     np.testing.assert_array_equal(got, [3, 1, 4, 1, 5])
 
 
+def test_online2_wav_gmm_latgen(tmp_path, rng):
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.features import (DeltaFeaturesOptions,
+                                    FrameExtractionOptions, Mfcc,
+                                    MfccOptions, add_deltas)
+    from kaldi_tpu.fst import (ArpaModel, Lang, Lexicon, arpa_to_fst,
+                               make_unigram_arpa, mkgraph)
+    lex = Lexicon(entries=[("YES", ["Y", "EH", "S"]), ("NO", ["N", "OW"])])
+    lang = Lang(lex)
+    phones = lang.phone_list()
+    topo = HmmTopology.three_state(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    tm = TransitionModel(topo, tree)
+    HCLG = mkgraph(lang, tm, arpa_to_fst(
+        ArpaModel.parse(make_unigram_arpa({"YES": 1.0, "NO": 1.0})),
+        lang.words))
+    P, M, D = tree.num_pdfs, 2, 39
+    am = AmDiagGmm(rng.dirichlet(np.ones(M), size=P),
+                   rng.standard_normal((P, M, D)),
+                   0.5 + rng.random((P, M, D)))
+    mdl = tmp_path / "final.mdl"
+    write_mdl(str(mdl), tm, am)
+    fstp = tmp_path / "HCLG.fst"
+    HCLG.write_text(str(fstp))
+    wave = (rng.standard_normal(12000) * 500).astype(np.float32)
+    wark = tmp_path / "w.ark"
+    with TableWriter(f"ark:{wark}", holder="wav") as w:
+        w["u0"] = (wave, 16000)
+    out = tmp_path / "words.ark"
+    assert main(["online2-wav-gmm-latgen-faster", str(mdl), str(fstp),
+                 f"ark:{wark}", f"ark:{out}"]) == 0
+    got = dict(SequentialTableReader(f"ark:{out}", holder="text"))["u0"]
+    # oracle: offline features + batch decode must give the same words
+    mfcc = Mfcc(MfccOptions(frame_opts=FrameExtractionOptions(dither=0.0)))
+    feats = np.asarray(add_deltas(mfcc.compute(wave),
+                                  DeltaFeaturesOptions()))
+    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=16.0, acoustic_scale=0.1))
+    _, ref_ols, _ = dec.decode(np.asarray(am.loglikes(feats)))
+    assert got == [str(o) for o in ref_ols]
+
+
 def test_nnet3_info_copy(tmp_path, capsys):
     from kaldi_tpu.am.nnet3_io import (Nnet3Model, _affine, write_nnet3)
     rng = np.random.default_rng(0)
