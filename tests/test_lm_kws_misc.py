@@ -78,6 +78,28 @@ def test_rnnlm_learns_pattern():
     assert scorer.score(("A",), "B") == lp_b
 
 
+def test_rnnlm_sampled_softmax_matches_full():
+    """Importance-sampled training (the SamplingLm role) must learn the
+    same structure as full softmax: on a 64-word vocab where only the
+    3,4 alternation ever occurs, sampled-softmax (K=12) perplexity on
+    held-out alternations must come close to the full-softmax model's."""
+    from kaldi_tpu.lm.rnnlm import perplexity, unigram_proposal
+    cfg = RnnLmConfig(vocab_size=64, embed_dim=16, hidden_dim=32)
+    sentences = [[3, 4, 3, 4], [3, 4], [3, 4, 3, 4, 3, 4]] * 5
+    heldout = [[3, 4, 3, 4]]
+    q = unigram_proposal(sentences, 64)
+    assert abs(float(q.sum()) - 1.0) < 1e-5 and q.min() > 0
+    params_f, model = train_rnnlm(sentences, cfg, num_epochs=60,
+                                  learning_rate=1e-2)
+    params_s, _ = train_rnnlm(sentences, cfg, num_epochs=60,
+                              learning_rate=1e-2, sample_k=12)
+    ppl_f = perplexity(params_f, model, heldout)
+    ppl_s = perplexity(params_s, model, heldout)
+    # both must crush the uniform baseline (ppl 64) and be comparable
+    assert ppl_f < 4.0
+    assert ppl_s < max(2.0 * ppl_f, 6.0)
+
+
 def test_rnnlm_rescoring_flips_lattice():
     """Rescoring with the pattern-trained RNNLM must prefer A B over A A."""
     from kaldi_tpu.lattice import compose_lm, nbest
