@@ -298,3 +298,76 @@ class Plda:
         ll_diff = -0.5 * (np.log(2 * np.pi * var_diff)
                           + v ** 2 / var_diff).sum()
         return float(ll_same - ll_diff)
+
+
+# ---------------------------------------------------------------------------
+# Agglomerative clustering (speaker diarization)
+# ---------------------------------------------------------------------------
+
+def agglomerative_cluster(scores: np.ndarray, threshold: float,
+                          min_clusters: int = 1,
+                          max_clusters: Optional[int] = None) -> np.ndarray:
+    """Average-linkage agglomerative clustering over a pairwise
+    similarity matrix (higher = more similar).
+
+    The src/ivector/agglomerative-clustering.h role: each segment starts
+    as its own cluster; the most-similar cluster pair merges while its
+    linkage score exceeds `threshold` (or while more than `max_clusters`
+    remain, which forces merges below threshold).  Stops at
+    `min_clusters`.  Returns int labels (0..C-1) in first-appearance
+    order — the ivectorbin/agglomerative-cluster.cc contract with
+    spk2utt output.
+    """
+    scores = np.asarray(scores, np.float64)
+    N = scores.shape[0]
+    if N == 0:
+        return np.zeros(0, np.int32)
+    clusters: Dict[int, List[int]] = {i: [i] for i in range(N)}
+    # linkage[a,b] = mean pairwise score between members of a and b
+    while len(clusters) > max(min_clusters, 1):
+        keys = sorted(clusters)
+        best, pair = -np.inf, None
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                s = float(np.mean(scores[np.ix_(clusters[a], clusters[b])]))
+                if s > best:
+                    best, pair = s, (a, b)
+        forced = max_clusters is not None and len(clusters) > max_clusters
+        if pair is None or (best <= threshold and not forced):
+            break
+        a, b = pair
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+    labels = np.full(N, -1, np.int32)
+    next_id = 0
+    order = sorted(clusters.values(), key=min)
+    for members in order:
+        for m in members:
+            labels[m] = next_id
+        next_id += 1
+    return labels
+
+
+def plda_score_matrix(plda: "Plda", ivectors: np.ndarray) -> np.ndarray:
+    """Symmetric pairwise PLDA LLR matrix for diarization."""
+    ivectors = np.asarray(ivectors)
+    N = len(ivectors)
+    S = np.zeros((N, N))
+    for i in range(N):
+        for j in range(i + 1, N):
+            s = 0.5 * (plda.score(ivectors[i], ivectors[j])
+                       + plda.score(ivectors[j], ivectors[i]))
+            S[i, j] = S[j, i] = s
+    return S
+
+
+def diarize(plda: "Plda", segment_ivectors: np.ndarray, threshold: float = 0.0,
+            min_clusters: int = 1,
+            max_clusters: Optional[int] = None) -> np.ndarray:
+    """Cluster per-segment i-vectors into speaker labels (the
+    egs/callhome_diarization pipeline role: PLDA scoring +
+    agglomerative-cluster)."""
+    S = plda_score_matrix(plda, segment_ivectors)
+    return agglomerative_cluster(S, threshold, min_clusters=min_clusters,
+                                 max_clusters=max_clusters)

@@ -106,3 +106,48 @@ def test_plda_scoring(rng):
     diff_a = np.asarray(diff)[None, :]
     auc = float((same_a > diff_a).mean())
     assert auc > 0.9, auc
+
+
+def test_agglomerative_cluster_exact():
+    """Hand-built similarity matrix: {0,1} and {2,3} are mutually
+    similar, cross scores far below threshold → exactly two clusters."""
+    from kaldi_tpu.am.ivector import agglomerative_cluster
+    S = np.array([[0, 5, -9, -9],
+                  [5, 0, -9, -9],
+                  [-9, -9, 0, 4],
+                  [-9, -9, 4, 0]], float)
+    labels = agglomerative_cluster(S, threshold=0.0)
+    assert labels.tolist() == [0, 0, 1, 1]
+    # max_clusters forces merges below threshold
+    labels1 = agglomerative_cluster(S, threshold=0.0, max_clusters=1)
+    assert labels1.tolist() == [0, 0, 0, 0]
+    # min_clusters stops merging even above threshold
+    labels4 = agglomerative_cluster(S, threshold=-100.0, min_clusters=4)
+    assert sorted(labels4.tolist()) == [0, 1, 2, 3]
+
+
+def test_diarization_recovers_speakers(rng):
+    """PLDA + AHC diarization recovers planted speaker turns (purity 1.0
+    up to label permutation on a well-separated world)."""
+    from kaldi_tpu.am.ivector import diarize
+    ubm_means, ubm_vars, weights, data = _speaker_world(
+        rng, n_spk=6, utts_per_spk=10)
+    ex = IvectorExtractor(ubm_means, ubm_vars, weights, ivector_dim=3)
+    ivs = {spk: np.stack([ex.extract_from_feats(u) for u in utts])
+           for spk, utts in data.items()}
+    spks = sorted(ivs)
+    # PLDA trained on 4 held-in speakers; diarize the other 2
+    plda = Plda.train({s: ivs[s] for s in spks[:4]})
+    segs, truth = [], []
+    for k, s in enumerate(spks[4:]):
+        for iv in ivs[s]:
+            segs.append(iv)
+            truth.append(k)
+    segs = np.stack(segs)
+    labels = diarize(plda, segs, threshold=0.0, max_clusters=2)
+    truth = np.asarray(truth)
+    assert len(set(labels.tolist())) == 2
+    # purity up to permutation
+    agree = max(float((labels == truth).mean()),
+                float((labels == 1 - truth).mean()))
+    assert agree > 0.9, (labels, truth)
