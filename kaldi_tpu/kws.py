@@ -129,3 +129,164 @@ def keyword_search(lattices: Dict[str, CompactLattice],
     for kw in results:
         results[kw].sort(key=lambda h: -h.posterior)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Inverted lattice index (the factor-transducer role)
+# ---------------------------------------------------------------------------
+
+class LatticeIndex:
+    """Precomputed keyword-search index over a lattice collection.
+
+    The reference (src/kws/kws-functions.h) turns each lattice into a
+    time/posterior-annotated factor transducer and unions them into one
+    index FST; queries then compose against the index without touching
+    the original lattices.  The equivalent here: per utterance we
+    precompute the α/β sums, state times, per-arc log-likelihoods and
+    the ε-closure once at build time, and store postings word → arcs.
+    A query touches only the postings of its first word plus the
+    adjacency joins — independent of the number or size of the original
+    lattices — and returns exactly what search_lattice returns (the
+    oracle used in the tests).
+    """
+
+    def __init__(self):
+        self.utts: List[str] = []
+        # per utt: dict of arrays/structures
+        self._u: List[Dict] = []
+        self.postings: Dict[int, List[Tuple[int, int]]] = {}
+
+    @staticmethod
+    def build(lattices: Dict[str, CompactLattice],
+              acoustic_scale: float = 1.0, lm_scale: float = 1.0
+              ) -> "LatticeIndex":
+        idx = LatticeIndex()
+        for utt in sorted(lattices):
+            clat = lattices[utt]
+            if clat.start < 0:
+                continue
+            order = clat.top_order()
+            n = clat.num_states
+
+            def arc_ll(a):
+                return -(a.graph_cost * lm_scale
+                         + a.acoustic_cost * acoustic_scale)
+
+            alpha = np.full(n, -np.inf)
+            alpha[clat.start] = 0.0
+            times = np.zeros(n, np.int64)
+            for s in order:
+                if alpha[s] == -np.inf:
+                    continue
+                for a in clat.arcs[s]:
+                    alpha[a.nextstate] = _log_add(alpha[a.nextstate],
+                                                  alpha[s] + arc_ll(a))
+                    times[a.nextstate] = max(times[a.nextstate],
+                                             times[s] + len(a.tids))
+            beta = np.full(n, -np.inf)
+            for s, (gc, ac, _) in clat.finals.items():
+                beta[s] = -(gc * lm_scale + ac * acoustic_scale)
+            for s in reversed(order):
+                for a in clat.arcs[s]:
+                    beta[s] = _log_add(beta[s], arc_ll(a) + beta[a.nextstate])
+            total = beta[clat.start]
+            if not np.isfinite(total):
+                continue
+            # ε-closure mass: eps_reach[s] = {dst: logsum ll of ε paths}
+            eps_reach: Dict[int, Dict[int, float]] = {}
+            for s in reversed(order):
+                reach: Dict[int, float] = {}
+                for a in clat.arcs[s]:
+                    if a.word != 0:
+                        continue
+                    ll = arc_ll(a)
+                    reach[a.nextstate] = _log_add(
+                        reach.get(a.nextstate, -np.inf), ll)
+                    for d2, v2 in eps_reach.get(a.nextstate, {}).items():
+                        reach[d2] = _log_add(reach.get(d2, -np.inf), ll + v2)
+                if reach:
+                    eps_reach[s] = reach
+            ui = len(idx.utts)
+            idx.utts.append(utt)
+            arcs = []          # (src, dst, word, ll, ntids)
+            out_arcs: Dict[int, List[int]] = {}
+            for s in order:
+                for a in clat.arcs[s]:
+                    if a.word == 0:
+                        continue
+                    ai = len(arcs)
+                    arcs.append((s, a.nextstate, a.word, arc_ll(a),
+                                 len(a.tids)))
+                    out_arcs.setdefault(s, []).append(ai)
+                    idx.postings.setdefault(a.word, []).append((ui, ai))
+            idx._u.append(dict(alpha=alpha, beta=beta, times=times,
+                               total=total, eps=eps_reach, arcs=arcs,
+                               out=out_arcs))
+        return idx
+
+    def _succ_arcs(self, u: Dict, state: int):
+        """Word arcs reachable from `state` through ε mass: yields
+        (arc_idx, extra_ll)."""
+        for ai in u["out"].get(state, ()):
+            yield ai, 0.0
+        for d, v in u["eps"].get(state, {}).items():
+            for ai in u["out"].get(d, ()):
+                yield ai, v
+
+    def search(self, keyword: Sequence[int], min_posterior: float = 0.0
+               ) -> List[KwsHit]:
+        """All occurrences of the word-id sequence across the indexed
+        collection, sorted by descending posterior."""
+        if not keyword:
+            return []
+        hits: List[KwsHit] = []
+        K = len(keyword)
+        # group first-word postings per utterance
+        first: Dict[int, List[int]] = {}
+        for ui, ai in self.postings.get(keyword[0], ()):
+            first.setdefault(ui, []).append(ai)
+        for ui, starts in first.items():
+            u = self._u[ui]
+            arcs = u["arcs"]
+            acc: Dict[Tuple[int, int], float] = {}   # (b, e) → log post
+            # partial: (dst_state, k, begin) → logsum(alpha + inner)
+            cur: Dict[Tuple[int, int, int], float] = {}
+            for ai in starts:
+                s, d, _, ll, ntid = arcs[ai]
+                v = u["alpha"][s] + ll
+                b = int(u["times"][s])
+                if K == 1:
+                    e = b + ntid
+                    p = v + u["beta"][d] - u["total"]
+                    acc[(b, e)] = _log_add(acc.get((b, e), -np.inf), p)
+                else:
+                    key = (d, 1, b)
+                    cur[key] = _log_add(cur.get(key, -np.inf), v)
+            while cur:
+                nxt: Dict[Tuple[int, int, int], float] = {}
+                for (st, k, b), v in cur.items():
+                    for ai, ev in self._succ_arcs(u, st):
+                        s, d, w, ll, ntid = arcs[ai]
+                        if w != keyword[k]:
+                            continue
+                        if k + 1 == K:
+                            e = int(u["times"][s]) + ntid
+                            p = v + ev + ll + u["beta"][d] - u["total"]
+                            acc[(b, e)] = _log_add(acc.get((b, e), -np.inf),
+                                                   p)
+                        else:
+                            key = (d, k + 1, b)
+                            nxt[key] = _log_add(nxt.get(key, -np.inf),
+                                                v + ev + ll)
+                cur = nxt
+            for (b, e), p in acc.items():
+                post = float(min(math.exp(p), 1.0))
+                if post >= min_posterior:
+                    hits.append(KwsHit(self.utts[ui], b, e, post))
+        hits.sort(key=lambda h: (-h.posterior, h.utt, h.begin_frame))
+        return hits
+
+    def search_all(self, keywords: Dict[str, Sequence[int]],
+                   min_posterior: float = 0.01) -> Dict[str, List[KwsHit]]:
+        return {kw: self.search(seq, min_posterior)
+                for kw, seq in keywords.items()}

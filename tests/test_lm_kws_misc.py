@@ -149,3 +149,45 @@ def test_keyword_search():
     hits = keyword_search({"utt1": c}, {"kw1": [5, 6], "kw2": [9]})
     assert len(hits["kw1"]) == 1 and hits["kw1"][0].utt == "utt1"
     assert hits["kw2"] == []
+
+
+def test_lattice_index_matches_direct_search():
+    """LatticeIndex (factor-transducer role) must return exactly what
+    the direct per-lattice search returns — hits, times, posteriors —
+    on a collection with branches, ε arcs, and multi-word keywords."""
+    from kaldi_tpu.kws import LatticeIndex
+    lats = {}
+    # lattice 1: the 2-branch fixture
+    c = CompactLattice()
+    s = [c.add_state() for _ in range(3)]
+    c.start = s[0]
+    c.arcs[s[0]].append(CompactArc(5, 0.0, 0.0, (1, 2), s[1]))
+    c.arcs[s[0]].append(CompactArc(7, 1.0, 0.0, (3,), s[1]))
+    c.arcs[s[1]].append(CompactArc(6, 0.0, 0.0, (4,), s[2]))
+    c.finals[s[2]] = (0.0, 0.0, ())
+    lats["u1"] = c
+    # lattice 2: ε arc between the two keyword words
+    d = CompactLattice()
+    t = [d.add_state() for _ in range(4)]
+    d.start = t[0]
+    d.arcs[t[0]].append(CompactArc(5, 0.2, 0.1, (1,), t[1]))
+    d.arcs[t[1]].append(CompactArc(0, 0.4, 0.0, (2,), t[2]))  # ε
+    d.arcs[t[1]].append(CompactArc(6, 0.9, 0.0, (8,), t[3]))  # direct
+    d.arcs[t[2]].append(CompactArc(6, 0.3, 0.2, (3,), t[3]))
+    d.finals[t[3]] = (0.1, 0.0, ())
+    lats["u2"] = d
+    idx = LatticeIndex.build(lats)
+    for kw in ([5, 6], [6], [5], [7, 6], [9], [5, 9]):
+        direct = []
+        for utt in sorted(lats):
+            for b, e, p in search_lattice(lats[utt], kw):
+                direct.append((utt, b, e, p))
+        got = sorted([(h.utt, h.begin_frame, h.end_frame, h.posterior)
+                      for h in idx.search(kw)])
+        assert len(got) == len(direct), (kw, got, direct)
+        for g, dd in zip(got, sorted(direct)):
+            assert g[:3] == dd[:3], (kw, g, dd)
+            assert abs(g[3] - dd[3]) < 1e-9, (kw, g, dd)
+    # search_all API shape
+    res = idx.search_all({"k1": [5, 6], "k2": [9]})
+    assert res["k1"] and not res["k2"]
