@@ -15,9 +15,11 @@ from kaldi_tpu.lattice.functions import (
     scale_lattice,
     state_times,
 )
-from kaldi_tpu.lattice.rescore import compose_lm, lmrescore
+from kaldi_tpu.lattice.rescore import (compose_lm, compose_lm_pruned,
+                                       lmrescore, lmrescore_pruned)
 
 __all__ = ["CompactArc", "CompactLattice", "Lattice", "LatticeArc",
            "determinize_lattice", "prune_lattice", "MbrResult",
            "forward_backward_post", "mbr_decode", "nbest", "scale_lattice",
-           "state_times", "compose_lm", "lmrescore"]
+           "state_times", "compose_lm", "lmrescore",
+           "compose_lm_pruned", "lmrescore_pruned"]

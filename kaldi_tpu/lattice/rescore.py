@@ -88,3 +88,160 @@ def lmrescore(clat: CompactLattice, old_lm: ArpaModel, new_lm: ArpaModel,
     (lattice-lmrescore --lm-scale=-1 + lattice-lmrescore-const-arpa)."""
     no_old = compose_lm(clat, old_lm.score, words, scale=-lm_scale)
     return compose_lm(no_old, new_lm.score, words, scale=lm_scale)
+
+
+def _min_beta(clat: CompactLattice):
+    """Min (graph+acoustic) cost from each state to a final state."""
+    import numpy as np
+    order = clat.top_order()
+    beta = np.full(clat.num_states, float("inf"))
+    for s, (gc, ac, _) in clat.finals.items():
+        beta[s] = gc + ac
+    for s in reversed(order):
+        for a in clat.arcs[s]:
+            c = a.graph_cost + a.acoustic_cost + beta[a.nextstate]
+            if c < beta[s]:
+                beta[s] = c
+    return beta
+
+
+def compose_lm_pruned(clat: CompactLattice,
+                      score_fn: Callable[[Tuple[str, ...], str], float],
+                      words: SymbolTable, scale: float = 1.0,
+                      beam: float = 6.0, max_arcs: int = 100_000,
+                      bos: str = "<s>", eos: str = "</s>") -> CompactLattice:
+    """Pruned on-demand composition with a deterministic LM — the
+    src/lat/compose-lattice-pruned.h ComposeCompactLatticePruned role
+    (lattice-lmrescore-pruned / RNNLM rescoring of big lattices).
+
+    Best-first A*-style expansion of (lattice-state, LM-history) pairs:
+    priority = cost arrived at the composed state + the ORIGINAL
+    lattice's min remaining cost (an admissible heuristic when the LM
+    addition is nonnegative, a good guide otherwise).  A composed state
+    is expanded only while its priority is within `beam` of the best
+    completed path found so far and fewer than `max_arcs` arcs have
+    been emitted — so large lattices rescore in time bounded by the
+    output size, not the cross-product.  The best path is expanded
+    first, so it always survives.  Unreachable dead ends left by the
+    cutoff are trimmed before returning.
+    """
+    import heapq
+    if clat.start < 0:
+        return clat
+    beta = _min_beta(clat)
+    out = CompactLattice()
+    state_map: Dict[Tuple[int, Tuple[str, ...]], int] = {}
+    fwd: Dict[int, float] = {}
+
+    def get(ls: int, hist: Tuple[str, ...]) -> int:
+        key = (ls, hist)
+        if key not in state_map:
+            state_map[key] = out.add_state()
+        return state_map[key]
+
+    start_key = (clat.start, (bos,))
+    out.start = get(*start_key)
+    fwd[out.start] = 0.0
+    # heap of (priority, composed-state id, lattice state, history)
+    heap = [(beta[clat.start], out.start, clat.start, (bos,))]
+    expanded = set()
+    best_completed = float("inf")
+    n_arcs = 0
+    while heap:
+        pri, src, ls, hist = heapq.heappop(heap)
+        if src in expanded:
+            continue
+        if pri > best_completed + beam:
+            break
+        # the arc cap only binds once a complete path exists — the best
+        # path must always survive (the reference grows the output until
+        # the composition has a final state for the same reason)
+        if n_arcs >= max_arcs and best_completed < float("inf"):
+            break
+        expanded.add(src)
+        base = fwd[src]
+        if ls in clat.finals:
+            gc, ac, tids = clat.finals[ls]
+            eos_add = -scale * score_fn(hist, eos)
+            out.finals[src] = (gc + eos_add, ac, tids)
+            best_completed = min(best_completed,
+                                 base + gc + ac + eos_add)
+        for a in clat.arcs[ls]:
+            if a.word == 0:
+                nhist, add = hist, 0.0
+            else:
+                wstr = words.find(a.word)
+                add = -scale * score_fn(hist, wstr)
+                nhist = (hist + (wstr,))[-8:]
+            cost = base + a.graph_cost + a.acoustic_cost + add
+            est = cost + beta[a.nextstate]
+            if est > best_completed + beam:
+                continue
+            dst = get(a.nextstate, nhist)
+            out.arcs[src].append(CompactArc(
+                a.word, a.graph_cost + add, a.acoustic_cost, a.tids, dst))
+            n_arcs += 1
+            if dst not in expanded and cost < fwd.get(dst, float("inf")):
+                fwd[dst] = cost
+                heapq.heappush(heap, (est, dst, a.nextstate, nhist))
+    return _connect(out)
+
+
+def _connect(out: CompactLattice) -> CompactLattice:
+    """Trim states that cannot reach a final state (and unreachable
+    ones), preserving state order."""
+    if out.start < 0:
+        return out
+    n = out.num_states
+    coacc = [False] * n
+    for s in out.finals:
+        coacc[s] = True
+    # reverse reachability by iterating until fixpoint (lattices from
+    # compose are near-topological; a few sweeps suffice)
+    changed = True
+    while changed:
+        changed = False
+        for s in range(n):
+            if coacc[s]:
+                continue
+            for a in out.arcs[s]:
+                if coacc[a.nextstate]:
+                    coacc[s] = True
+                    changed = True
+                    break
+    acc = [False] * n
+    stack = [out.start]
+    acc[out.start] = True
+    while stack:
+        s = stack.pop()
+        for a in out.arcs[s]:
+            if coacc[a.nextstate] and not acc[a.nextstate]:
+                acc[a.nextstate] = True
+                stack.append(a.nextstate)
+    keep = [s for s in range(n) if acc[s] and coacc[s]]
+    remap = {s: i for i, s in enumerate(keep)}
+    trimmed = CompactLattice()
+    for _ in keep:
+        trimmed.add_state()
+    trimmed.start = remap.get(out.start, -1)
+    for s in keep:
+        for a in out.arcs[s]:
+            if a.nextstate in remap:
+                trimmed.arcs[remap[s]].append(CompactArc(
+                    a.word, a.graph_cost, a.acoustic_cost, a.tids,
+                    remap[a.nextstate]))
+        if s in out.finals:
+            trimmed.finals[remap[s]] = out.finals[s]
+    return trimmed
+
+
+def lmrescore_pruned(clat: CompactLattice, old_lm: ArpaModel,
+                     new_lm, words: SymbolTable, lm_scale: float = 1.0,
+                     beam: float = 6.0,
+                     max_arcs: int = 100_000) -> CompactLattice:
+    """Subtract the old G exactly, add the new LM with pruned
+    composition (lattice-lmrescore-pruned: ConstArpa or RNNLM as
+    new_lm — anything with .score(history, word))."""
+    no_old = compose_lm(clat, old_lm.score, words, scale=-lm_scale)
+    return compose_lm_pruned(no_old, new_lm.score, words, scale=lm_scale,
+                             beam=beam, max_arcs=max_arcs)

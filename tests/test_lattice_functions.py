@@ -106,3 +106,69 @@ def test_compose_lm_subtract_then_add_roundtrip():
     assert [w for w, _ in p0] == [w for w, _ in p1]
     for (w0, c0), (w1, c1) in zip(p0, p1):
         assert abs(c0 - c1) < 1e-6
+
+
+def _chain_lattice(rng, n_slots=6, n_alts=4):
+    """Random sausage-ish lattice: n_slots positions, n_alts competing
+    words each, random costs — big enough that pruning has teeth."""
+    c = CompactLattice()
+    states = [c.add_state() for _ in range(n_slots + 1)]
+    c.start = states[0]
+    wid = 1
+    for t in range(n_slots):
+        for a in range(n_alts):
+            c.arcs[states[t]].append(CompactArc(
+                1 + (t * n_alts + a) % 9, float(rng.uniform(0, 4)),
+                float(rng.uniform(0, 2)), (t + 1,), states[t + 1]))
+    c.finals[states[-1]] = (0.0, 0.0, ())
+    return c
+
+
+def test_compose_lm_pruned_wide_beam_equals_full():
+    """With a generous beam, pruned composition returns the same path
+    set and weights as full composition."""
+    from kaldi_tpu.lattice.rescore import compose_lm_pruned
+    rng = np.random.default_rng(7)
+    c = _chain_lattice(rng)
+    words = SymbolTable.from_list(
+        ["<eps>"] + [f"w{i}" for i in range(1, 10)] + ["<s>", "</s>"])
+
+    def score(hist, w):
+        # history-dependent: repeat of last word is cheap
+        if hist and hist[-1] == w:
+            return math.log(0.9)
+        return math.log(1.0 / 20)
+
+    full = compose_lm(c, score, words, scale=1.0)
+    pruned = compose_lm_pruned(c, score, words, scale=1.0, beam=1000.0)
+    pf, pp = nbest(full, 50), nbest(pruned, 50)
+    assert [w for w, _ in pf] == [w for w, _ in pp]
+    for (_, cf), (_, cp) in zip(pf, pp):
+        assert abs(cf - cp) < 1e-6
+
+
+def test_compose_lm_pruned_keeps_best_path_under_tight_limits():
+    """With a tight beam and arc cap, the best path must survive and
+    equal the full composition's best path; the output must be smaller."""
+    from kaldi_tpu.lattice.rescore import compose_lm_pruned
+    rng = np.random.default_rng(3)
+    c = _chain_lattice(rng, n_slots=8, n_alts=5)
+    words = SymbolTable.from_list(
+        ["<eps>"] + [f"w{i}" for i in range(1, 10)] + ["<s>", "</s>"])
+
+    def score(hist, w):
+        return math.log(1.0 / (1 + (hash(w) % 7)))
+
+    full = compose_lm(c, score, words, scale=1.0)
+    pruned = compose_lm_pruned(c, score, words, scale=1.0, beam=2.0,
+                               max_arcs=60)
+    assert pruned.num_arcs <= 60
+    assert pruned.num_arcs < full.num_arcs
+    bw_f = full.best_path()[1]
+    bw_p = pruned.best_path()[1]
+    assert bw_f == bw_p
+    # every surviving path's cost matches the full composition's cost
+    # for the same word sequence
+    full_costs = {tuple(w): cost for w, cost in nbest(full, 10000)}
+    for w, cost in nbest(pruned, 10000):
+        assert abs(full_costs[tuple(w)] - cost) < 1e-6
