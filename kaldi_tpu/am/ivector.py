@@ -371,3 +371,72 @@ def diarize(plda: "Plda", segment_ivectors: np.ndarray, threshold: float = 0.0,
     S = plda_score_matrix(plda, segment_ivectors)
     return agglomerative_cluster(S, threshold, min_clusters=min_clusters,
                                  max_clusters=max_clusters)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (ivector-extractor / plda files)
+# ---------------------------------------------------------------------------
+
+def write_ivector_extractor(path: str, ex: IvectorExtractor) -> None:
+    """Kaldi-style token-framed binary (the IvectorExtractor Write role;
+    layout is this build's own — byte-compat unverifiable, SURVEY §0)."""
+    from kaldi_tpu.core.io import write_matrix, write_token, write_vector
+    G, D, K = ex.T.shape
+    with open(path, "wb") as f:
+        f.write(b"\0B")
+        write_token(f, "<IvectorExtractor>")
+        write_matrix(f, ex.means.astype(np.float64), dtype="float64")
+        write_matrix(f, (1.0 / ex.inv_vars).astype(np.float64),
+                     dtype="float64")
+        write_vector(f, ex.weights.astype(np.float64), dtype="float64")
+        write_matrix(f, ex.T.reshape(G, D * K).astype(np.float64),
+                     dtype="float64")
+        write_vector(f, np.array([K], np.float64), dtype="float64")
+        write_token(f, "</IvectorExtractor>")
+
+
+def read_ivector_extractor(path: str) -> IvectorExtractor:
+    from kaldi_tpu.core.io import (expect_token, read_matrix, read_token,
+                                   read_vector)
+    from kaldi_tpu.core.logging import KaldiError
+    with open(path, "rb") as f:
+        if f.read(2) != b"\0B":
+            raise KaldiError(f"{path}: not binary kaldi")
+        expect_token(f, "<IvectorExtractor>")
+        means = read_matrix(f)
+        variances = read_matrix(f)
+        weights = read_vector(f)
+        Tflat = read_matrix(f)
+        K = int(read_vector(f)[0])
+        expect_token(f, "</IvectorExtractor>")
+    G, D = means.shape
+    ex = IvectorExtractor(means, variances, weights, K)
+    ex.T = Tflat.reshape(G, D, K).astype(np.float64)
+    return ex
+
+
+def write_plda(path: str, plda: "Plda") -> None:
+    from kaldi_tpu.core.io import write_matrix, write_token, write_vector
+    with open(path, "wb") as f:
+        f.write(b"\0B")
+        write_token(f, "<Plda>")
+        write_vector(f, plda.mean.astype(np.float64), dtype="float64")
+        write_matrix(f, plda.between.astype(np.float64), dtype="float64")
+        write_matrix(f, plda.within.astype(np.float64), dtype="float64")
+        write_token(f, "</Plda>")
+
+
+def read_plda(path: str) -> "Plda":
+    from kaldi_tpu.core.io import (expect_token, read_matrix, read_token,
+                                   read_vector)
+    from kaldi_tpu.core.logging import KaldiError
+    with open(path, "rb") as f:
+        if f.read(2) != b"\0B":
+            raise KaldiError(f"{path}: not binary kaldi")
+        expect_token(f, "<Plda>")
+        mean = read_vector(f)
+        between = read_matrix(f)
+        within = read_matrix(f)
+        expect_token(f, "</Plda>")
+    return Plda(mean.astype(np.float64), between.astype(np.float64),
+                within.astype(np.float64))

@@ -409,3 +409,25 @@ def read_raw_model(path: str, cfg):
             raise KaldiError("nnet3: expected binary header \\0B")
         model = read_nnet3(f)
     return nnet3_to_tdnn(model, cfg)
+
+
+def infer_tdnn_config(model: Nnet3Model, frame_subsampling_factor: int = 3):
+    """Recover a TdnnConfig from a serialized component list (so
+    nnet3-compute / nnet3-latgen-faster can execute a model file without
+    an external config — the nnet3 file itself is the config in the
+    reference too, via its config lines)."""
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    inp = model.component("input.affine")
+    out = model.component("output.affine")
+    feat_dim = inp.fields["LinearParams"].array.shape[1]
+    hidden = inp.fields["LinearParams"].array.shape[0]
+    num_pdfs = out.fields["LinearParams"].array.shape[0]
+    n_layers = sum(1 for c in model.components
+                   if c.name.startswith("tdnnf") and
+                   c.name.endswith(".linear"))
+    bottleneck = model.component("tdnnf1.linear") \
+        .fields["Params"].array.shape[0] if n_layers else hidden // 4
+    return TdnnConfig(feat_dim=feat_dim, num_pdfs=num_pdfs,
+                      hidden_dim=hidden, bottleneck_dim=bottleneck,
+                      num_layers=n_layers,
+                      frame_subsampling_factor=frame_subsampling_factor)

@@ -133,6 +133,19 @@ class _Holders:
         elif holder == "clat":
             from kaldi_tpu.lattice.io import write_compact_lattice
             write_compact_lattice(f, value)
+        elif holder == "fst":
+            from kaldi_tpu.fst.openfst_io import write_vector_fst
+            write_vector_fst(f, value)
+        elif holder == "post":
+            # per-frame [(id, weight), ...] lists (Posterior role)
+            frames = list(value)
+            kio.init_kaldi_output_stream(f)
+            kio.write_basic_int32(f, len(frames))
+            for frame in frames:
+                kio.write_basic_int32(f, len(frame))
+                for i, wgt in frame:
+                    kio.write_basic_int32(f, int(i))
+                    kio.write_basic_float(f, float(wgt))
         else:
             raise KaldiError(f"Unknown holder '{holder}'")
 
@@ -146,6 +159,9 @@ class _Holders:
         if holder == "clat":
             from kaldi_tpu.lattice.io import read_compact_lattice
             return read_compact_lattice(f)
+        if holder == "fst":
+            from kaldi_tpu.fst.openfst_io import read_fst
+            return read_fst(f)
         binary = kio.init_kaldi_input_stream(f)
         if holder == "mat":
             return kio.read_matrix(f) if binary else _read_text_matrix(f)
@@ -156,6 +172,14 @@ class _Holders:
                 return kio.read_int_vector(f)
             line = f.readline().decode()
             return np.array([int(x) for x in line.split()], dtype=np.int32)
+        if holder == "post":
+            T = kio.read_basic_int32(f)
+            out = []
+            for _ in range(T):
+                n = kio.read_basic_int32(f)
+                out.append([(kio.read_basic_int32(f),
+                             kio.read_basic_float(f)) for _ in range(n)])
+            return out
         raise KaldiError(f"Unknown holder '{holder}'")
 
 
