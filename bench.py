@@ -90,7 +90,7 @@ def main():
     # ~5.4k records/utt on this task; overflow raises, never silent)
     lat_cfg = BeamDecoderConfig(beam=13.0, max_active=7000,
                                 acoustic_scale=1.0, lattice_beam=7.0,
-                                arc_budget=12288, token_capacity=2048,
+                                arc_budget=12288, token_capacity=2048, arc_block=8,
                                 lattice_arcs_per_frame=4096,
                                 record_capacity=16384)
     dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, lat_cfg)
