@@ -206,6 +206,10 @@ class ChainTrainConfig:
     # tolerance, see am/chain.numerator_flexible_logprob); falls back to
     # the fixed alignment path when egs lack segment arrays
     use_flexible_numerator: bool = True
+    # "ngsgd" = natural-gradient SGD with momentum (the reference's
+    # nnet3 default, ops/natural_gradient.py); "adamw" = plain adamw
+    optimizer: str = "adamw"
+    momentum: float = 0.9
     opts: ChainTrainingOptions = dataclasses.field(
         default_factory=ChainTrainingOptions)
 
@@ -245,7 +249,11 @@ class ChainTrainer:
             # identical whether or not decay is active, so checkpoints
             # restore across either configuration
             lr = optax.constant_schedule(cfg.learning_rate)
-        chain_tx = [optax.adamw(lr)]
+        if cfg.optimizer == "ngsgd":
+            from kaldi_tpu.ops.natural_gradient import ngsgd
+            chain_tx = [ngsgd(lr, momentum=cfg.momentum)]
+        else:
+            chain_tx = [optax.adamw(lr)]
         if cfg.max_change > 0:
             mc = cfg.max_change
 

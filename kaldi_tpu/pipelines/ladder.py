@@ -88,7 +88,11 @@ def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
         num_utts=num_utts, num_test=num_test, seed=seed,
         lexicon=confusable_lexicon(), noise=noise,
         speaker_warp=speaker_warp, heldout_speakers=True,
-        formants=confusable_formants(), return_systems=True)
+        formants=confusable_formants(), return_systems=True,
+        # swept on this corpus (tri1 sweep 2026-08-17): 30 leaves /
+        # 600 gauss generalizes best at ~100 training utterances;
+        # 100-leaf trees over-split and regress below mono.
+        tri_leaves=30, tri_gauss=600)
     wers["chain-2gram"] = chain_stage(sysd, order=2,
                                       num_epochs=chain_epochs)
     wers["chain-3gram"] = chain_stage(sysd, order=3,

@@ -76,7 +76,9 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         quick: bool = False, lexicon: Optional[Lexicon] = None,
         noise: float = 0.0, speaker_warp: float = 0.0,
         heldout_speakers: bool = False, formants=None,
-        return_systems: bool = False):
+        return_systems: bool = False,
+        tri_leaves: Optional[int] = None,
+        tri_gauss: Optional[int] = None):
     """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
     make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
     defaults reproduce the easy smoke corpus."""
@@ -128,11 +130,17 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     mono_ali = {u: tids for u, (tids, _) in
                 zip(sorted(delta_tr), aligner.align_batch(dense, lls))}
 
-    # --- tri1: triphone tree on delta features
+    # --- tri1: triphone tree on delta features.  Tree size must scale
+    # with the corpus: on the hard heldout-speaker ladder a 100-leaf
+    # tree over-splits (~120 utts of data) and tri1 regresses below
+    # mono; a swept 30-leaf/600-gauss config beats mono decisively
+    # (ladder passes tri_leaves=30), mirroring how Kaldi recipes tune
+    # <num-leaves> <tot-gauss> per corpus in run.sh.  tcfg flows into
+    # tri2b/tri3b below, so the whole tri ladder uses the scaled tree.
     tcfg = TriTrainConfig(
         num_iters=8 if quick else 15,
-        totgauss=300 if quick else 600,
-        num_leaves=60 if quick else 100,
+        totgauss=tri_gauss or (300 if quick else 600),
+        num_leaves=tri_leaves or (60 if quick else 100),
         realign_iters=(1, 2, 4, 6) if quick else (1, 2, 4, 6, 8, 10, 12))
     tri1, tri1_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
                                tcfg)

@@ -416,3 +416,40 @@ def test_max_change_clamps_update_norms(rng):
     sched = optax.exponential_decay(1e-3, transition_steps=10,
                                     decay_rate=1e-4 / 1e-3)
     assert math.isclose(float(sched(10)), 1e-4, rel_tol=1e-5)
+
+
+def test_chain_trainer_ngsgd_step(rng):
+    """optimizer="ngsgd" (natural-gradient SGD, the reference's nnet3
+    default) takes finite steps that move the params and respects
+    max-change clamping."""
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    den = make_denominator_graph([[1, 2, 1]], tree, topo)
+    cfg = TdnnConfig(feat_dim=4, num_pdfs=tree.num_pdfs, hidden_dim=8,
+                     bottleneck_dim=4, num_layers=2,
+                     frame_subsampling_factor=3)
+    mc = 0.5
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=1, batch_size=2, learning_rate=1e-2, max_change=mc,
+        total_steps=10, use_flexible_numerator=False,
+        optimizer="ngsgd"))
+    before = jax.tree_util.tree_map(np.asarray, tr.params)
+    feats = jnp.asarray(rng.standard_normal((2, 12, 4)).astype(np.float32))
+    pdf_ali = jnp.zeros((2, 4), jnp.int32)
+    mask = jnp.ones((2, 4), jnp.float32)
+    for _ in range(3):
+        (tr.params, tr.batch_stats, tr.opt_state, loss, diag) = tr._step(
+            tr.params, tr.batch_stats, tr.opt_state, feats, pdf_ali, mask,
+            None)
+    assert np.isfinite(float(loss))
+    after = jax.tree_util.tree_map(np.asarray, tr.params)
+    moved = 0.0
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        assert np.all(np.isfinite(a))
+        assert np.linalg.norm(a - b) <= 3 * mc + 1e-5
+        moved += float(np.linalg.norm(a - b))
+    assert moved > 0.0
