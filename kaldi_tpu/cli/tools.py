@@ -123,8 +123,11 @@ def compute_plp_feats(argv):
 @tool("copy-feats")
 def copy_feats(argv):
     po = ParseOptions("copy-feats <rspecifier> <wspecifier>")
+    po.register("compress", bool, False,
+                "write compressed (\"CM\") matrices")
     args = po.read(argv)
-    with TableWriter(args[1], holder="mat") as w:
+    holder = "cmat" if po["compress"] else "mat"
+    with TableWriter(args[1], holder=holder) as w:
         for key, mat in SequentialTableReader(args[0], holder="mat"):
             w[key] = mat
     return 0

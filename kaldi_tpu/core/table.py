@@ -101,7 +101,12 @@ def _wav_read(f) -> Tuple[np.ndarray, int]:
 class _Holders:
     @staticmethod
     def write(holder: str, f, value, binary: bool) -> None:
-        if holder == "mat":
+        if holder == "cmat":
+            # compressed feature matrix ("CM" entries, the
+            # --compress=true archive format of steps/make_mfcc.sh)
+            kio.init_kaldi_output_stream(f)
+            kio.write_compressed_matrix(f, np.asarray(value))
+        elif holder == "mat":
             if binary:
                 kio.init_kaldi_output_stream(f)
                 kio.write_matrix(f, value)

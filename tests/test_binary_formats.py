@@ -186,3 +186,26 @@ def test_nnet3_generic_fields(rng):
     np.testing.assert_allclose(c2.fields["BigParams"].array,
                                comp.fields["BigParams"].array, rtol=1e-6)
     assert m2.config_lines == m.config_lines
+
+
+def test_copy_feats_compress_roundtrip(rng, tmp_path):
+    """copy-feats --compress writes CM archives that read back through
+    the normal mat holder (the steps/make_mfcc.sh --compress contract)."""
+    from kaldi_tpu.cli.tools import TOOLS
+    from kaldi_tpu.core.table import SequentialTableReader, TableWriter
+    feats = {f"utt{i}": rng.standard_normal((30 + i, 13)).astype(np.float32)
+             for i in range(3)}
+    raw = tmp_path / "raw.ark"
+    comp = tmp_path / "comp.ark"
+    with TableWriter(f"ark:{raw}", holder="mat") as w:
+        for k, v in feats.items():
+            w[k] = v
+    rc = TOOLS["copy-feats"]([f"--compress=true", f"ark:{raw}",
+                              f"ark:{comp}"])
+    assert rc == 0
+    assert comp.stat().st_size < raw.stat().st_size / 2.5
+    got = dict(SequentialTableReader(f"ark:{comp}", holder="mat"))
+    assert sorted(got) == sorted(feats)
+    for k in feats:
+        span = feats[k].max() - feats[k].min()
+        assert np.abs(got[k] - feats[k]).max() < 0.01 * span
