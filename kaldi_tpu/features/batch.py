@@ -41,13 +41,13 @@ class BatchedFrontend:
         self.opts = opts
         fo = opts.frame_opts
         self.frame_opts = fo
-        self._window = jnp.asarray(feature_window_function(fo))
+        self._window = np.asarray(feature_window_function(fo), np.float32)
         mel = MelBanks(opts.mel_opts, fo)
-        self._mel = jnp.asarray(mel.matrix.T)
+        self._mel = np.asarray(mel.matrix.T, np.float32)
         if feature_type == "mfcc":
-            self._dct = jnp.asarray(
+            self._dct = np.asarray(
                 compute_dct_matrix(opts.num_ceps, opts.mel_opts.num_bins).T)
-            self._lifter = (jnp.asarray(compute_lifter_coeffs(
+            self._lifter = (np.asarray(compute_lifter_coeffs(
                 opts.cepstral_lifter, opts.num_ceps))
                 if opts.cepstral_lifter != 0 else None)
             base_dim = opts.num_ceps

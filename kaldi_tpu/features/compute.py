@@ -112,7 +112,7 @@ class _SpectralBase:
 
     def __init__(self, frame_opts: FrameExtractionOptions):
         self.frame_opts = frame_opts
-        self._window = jnp.asarray(feature_window_function(frame_opts))
+        self._window = np.asarray(feature_window_function(frame_opts), np.float32)
 
     def _power_spectrum(self, frames: jnp.ndarray):
         processed, log_energy = process_window(frames, self._window,
@@ -157,11 +157,11 @@ class Mfcc(_SpectralBase):
         super().__init__(opts.frame_opts)
         self.opts = opts
         mel = MelBanks(opts.mel_opts, opts.frame_opts)
-        self._mel = jnp.asarray(mel.matrix.T)       # (nfft/2+1, num_bins)
-        self._dct = jnp.asarray(
+        self._mel = np.asarray(mel.matrix.T, np.float32)       # (nfft/2+1, num_bins)
+        self._dct = np.asarray(
             compute_dct_matrix(opts.num_ceps, opts.mel_opts.num_bins).T)
         if opts.cepstral_lifter != 0.0:
-            self._lifter = jnp.asarray(
+            self._lifter = np.asarray(
                 compute_lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
         else:
             self._lifter = None
@@ -186,7 +186,7 @@ class Fbank(_SpectralBase):
         super().__init__(opts.frame_opts)
         self.opts = opts
         mel = MelBanks(opts.mel_opts, opts.frame_opts)
-        self._mel = jnp.asarray(mel.matrix.T)
+        self._mel = np.asarray(mel.matrix.T, np.float32)
         self.dim = opts.mel_opts.num_bins + (1 if opts.use_energy else 0)
         self.compute_frames = jax.jit(self._compute_frames)
 
@@ -304,12 +304,12 @@ class Plp(_SpectralBase):
         super().__init__(opts.frame_opts)
         self.opts = opts
         mel = MelBanks(opts.mel_opts, opts.frame_opts)
-        self._mel = jnp.asarray(mel.matrix.T)
-        self._equal_loudness = jnp.asarray(_equal_loudness(mel.center_freqs))
-        self._idft = jnp.asarray(
+        self._mel = np.asarray(mel.matrix.T, np.float32)
+        self._equal_loudness = np.asarray(_equal_loudness(mel.center_freqs), np.float32)
+        self._idft = np.asarray(
             _idft_bases(opts.lpc_order + 1, opts.mel_opts.num_bins + 2).T)
         if opts.cepstral_lifter != 0.0:
-            self._lifter = jnp.asarray(
+            self._lifter = np.asarray(
                 compute_lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
         else:
             self._lifter = None

@@ -32,7 +32,6 @@ from kaldi_tpu.fst import ArpaModel, arpa_to_fst, make_unigram_arpa, mkgraph
 from kaldi_tpu.pipelines import mini
 from kaldi_tpu.pipelines.chain import (ChainTrainConfig, ChainTrainer,
                                        make_chain_egs, phone_alignment_runs)
-from kaldi_tpu.pipelines.chain_recipe import gmm_alignments
 from kaldi_tpu.pipelines.data import confusable_formants, confusable_lexicon
 from kaldi_tpu.pipelines.score import compute_wer
 
@@ -42,22 +41,30 @@ log = get_logger(__name__)
 def chain_stage(sysd: Dict, order: int, num_epochs: int = 40,
                 hidden: int = 96, seed: int = 0):
     """Train + decode an LF-MMI TDNN on the ladder's data, with an
-    order-`order` denominator phone LM."""
+    order-`order` denominator phone LM.
+
+    Supervision comes from the tri3b (SAT) alignments and the features
+    are the fMLLR-adapted SAT front-end — the reference's chain recipes
+    likewise build supervision from the best GMM and feed the nnet the
+    best front-end (steps/nnet3/chain/get_egs.sh uses tri3b lats;
+    test-side transforms come from the GMM first pass, the
+    decode_fmllr.sh contract)."""
     lang = sysd["lang"]
     train, test = sysd["train"], sysd["test"]
-    delta_tr, delta_te = sysd["delta_tr"], sysd["delta_te"]
-    mono = sysd["mono"]
-    ali = gmm_alignments(mono, delta_tr, train.text, lang)
+    feats_tr, feats_te = sysd["sat_tr"], sysd["sat_te"]
+    gmm_sys = sysd["tri3b"]
+    ali = sysd["tri3b_ali"]
 
     phones = lang.phone_list()
     chain_topo = HmmTopology.chain(phones)
     chain_tree = MonophoneContextDependency(phones, chain_topo)
-    phone_seqs = [mono.tm.alignment_to_phones(ali[u]) for u in sorted(ali)]
+    phone_seqs = [gmm_sys.tm.alignment_to_phones(ali[u])
+                  for u in sorted(ali)]
     den = make_denominator_graph(phone_seqs, chain_tree, chain_topo,
                                  order=order)
-    runs = {u: phone_alignment_runs(mono.tm, ali[u]) for u in ali}
-    feat_dim = next(iter(delta_tr.values())).shape[1]
-    egs = make_chain_egs(delta_tr, runs, chain_tree, chain_topo,
+    runs = {u: phone_alignment_runs(gmm_sys.tm, ali[u]) for u in ali}
+    feat_dim = next(iter(feats_tr.values())).shape[1]
+    egs = make_chain_egs(feats_tr, runs, chain_tree, chain_topo,
                          chunk_size=51, subsample=3, den=den)
     cfg = TdnnConfig(feat_dim=feat_dim, num_pdfs=chain_tree.num_pdfs,
                      hidden_dim=hidden, bottleneck_dim=hidden // 4,
@@ -73,8 +80,8 @@ def chain_stage(sysd: Dict, order: int, num_epochs: int = 40,
                        DenseDecoderConfig(beam=16.0, acoustic_scale=1.0))
     scorer = trainer.scores_fn()
     hyps = {}
-    for u in sorted(delta_te):
-        scores = np.asarray(scorer(delta_te[u][None]))[0]
+    for u in sorted(feats_te):
+        scores = np.asarray(scorer(feats_te[u][None]))[0]
         _, ols, _ = dec.decode(scores.astype(np.float32))
         hyps[u] = [lang.words.find(o) for o in ols]
     return compute_wer(test.text, hyps)
@@ -84,15 +91,17 @@ def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
         noise: float = 0.12, speaker_warp: float = 0.12,
         chain_epochs: int = 40):
     timer = Timer()
+    # tree size scales with the corpus, as Kaldi recipes tune
+    # <num-leaves> <tot-gauss> per corpus: swept at ~100 utts, 30
+    # leaves/600 gauss generalizes best (100-leaf trees over-split and
+    # regress below mono); grow ~linearly beyond that.
+    leaves = max(30, num_utts // 4)
     wers, sysd = mini.run(
         num_utts=num_utts, num_test=num_test, seed=seed,
         lexicon=confusable_lexicon(), noise=noise,
         speaker_warp=speaker_warp, heldout_speakers=True,
         formants=confusable_formants(), return_systems=True,
-        # swept on this corpus (tri1 sweep 2026-08-17): 30 leaves /
-        # 600 gauss generalizes best at ~100 training utterances;
-        # 100-leaf trees over-split and regress below mono.
-        tri_leaves=30, tri_gauss=600)
+        tri_leaves=leaves, tri_gauss=20 * leaves)
     wers["chain-2gram"] = chain_stage(sysd, order=2,
                                       num_epochs=chain_epochs)
     wers["chain-3gram"] = chain_stage(sysd, order=3,
