@@ -159,6 +159,26 @@ def compute_kaldi_pitch_feats(argv):
     return 0
 
 
+@tool("process-kaldi-pitch-feats")
+def process_kaldi_pitch_feats(argv):
+    """(pov, pitch) → 3-dim (pov, normalized-log-pitch, delta-pitch)
+    features (featbin/process-kaldi-pitch-feats.cc role)."""
+    from kaldi_tpu.features.pitch import process_pitch
+    po = ParseOptions("process-kaldi-pitch-feats [opts] <pitch-rspec> "
+                      "<feats-wspec>")
+    po.register("pov-scale", float, 2.0, "scale on the POV feature")
+    po.register("pitch-scale", float, 2.0, "scale on normalized log pitch")
+    po.register("delta-pitch-scale", float, 10.0, "scale on delta pitch")
+    args = po.read(argv)
+    with TableWriter(args[1], holder="mat") as w:
+        for key, mat in SequentialTableReader(args[0], holder="mat"):
+            w[key] = process_pitch(np.asarray(mat),
+                                   pov_scale=po["pov-scale"],
+                                   pitch_scale=po["pitch-scale"],
+                                   delta_scale=po["delta-pitch-scale"])
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # bin: posteriors
 # ---------------------------------------------------------------------------

@@ -89,8 +89,53 @@ def compute_kaldi_pitch(wave: np.ndarray,
 
     out = np.zeros((T, 2), np.float32)
     for t in range(T):
-        c = np.clip(nccf_pov[t, path[t]], -1.0, 1.0)
+        i = int(path[t])
+        c = np.clip(nccf_pov[t, i], -1.0, 1.0)
         # POV feature (pitch-functions.cc NccfToPovFeature shape)
         out[t, 0] = 2.0 / (1.0 + np.exp(-10.0 * (c - 0.5))) - 1.0
-        out[t, 1] = sf / lags[path[t]]
+        # sub-sample lag via parabolic interpolation of the NCCF peak
+        # (the reference gets sub-sample resolution by upsampling the
+        # NCCF with ArbitraryResample; a parabola through the peak and
+        # neighbours is the standard closed-form equivalent and cuts
+        # the integer-lag quantization error ~10x)
+        lag = float(lags[i])
+        if 0 < i < L - 1:
+            c0, c1, c2 = nccf_pov[t, i - 1], nccf_pov[t, i], nccf_pov[t, i + 1]
+            denom = c0 - 2.0 * c1 + c2
+            if denom < -1e-12:
+                delta = 0.5 * (c0 - c2) / denom
+                lag += float(np.clip(delta, -0.5, 0.5))
+        out[t, 1] = sf / lag
     return out
+
+
+def process_pitch(pitch: np.ndarray, pov_scale: float = 2.0,
+                  pitch_scale: float = 2.0, delta_scale: float = 10.0,
+                  normalization_window: int = 151) -> np.ndarray:
+    """(T, 2) [pov_feature, pitch_hz] → (T, 3) processed features
+    [pov, normalized-log-pitch, delta-pitch], the ProcessPitch /
+    paste-able add-pitch feature layout (pitch-functions.cc
+    ProcessPitchOptions defaults: POV-weighted sliding-window mean
+    subtraction of log-pitch, scaled delta)."""
+    T = pitch.shape[0]
+    if T == 0:
+        return np.zeros((0, 3), np.float32)
+    pov = pitch[:, 0].astype(np.float64)
+    logp = np.log(np.maximum(pitch[:, 1].astype(np.float64), 1e-10))
+    # POV weights in [0,1] for the weighted running mean
+    w = np.clip((pov + 1.0) / 2.0, 1e-3, 1.0)
+    half = normalization_window // 2
+    norm = np.empty(T)
+    csw = np.concatenate([[0.0], np.cumsum(w)])
+    cswp = np.concatenate([[0.0], np.cumsum(w * logp)])
+    for t in range(T):
+        lo, hi = max(0, t - half), min(T, t + half + 1)
+        norm[t] = (cswp[hi] - cswp[lo]) / (csw[hi] - csw[lo])
+    normalized = logp - norm
+    delta = np.zeros(T)
+    if T > 1:
+        delta[1:] = logp[1:] - logp[:-1]
+        delta[0] = delta[1]
+    out = np.stack([pov_scale * pov, pitch_scale * normalized,
+                    delta_scale * delta], axis=1)
+    return out.astype(np.float32)

@@ -191,3 +191,50 @@ def test_lattice_index_matches_direct_search():
     # search_all API shape
     res = idx.search_all({"k1": [5, 6], "k2": [9]})
     assert res["k1"] and not res["k2"]
+
+
+def test_pitch_accuracy_sweep(rng):
+    """Accuracy pinning: a sawtooth sweeping 140→260 Hz must be tracked
+    within 0.5% median relative error (parabolic lag interpolation —
+    integer lags alone quantize at ~1.2% around 200 Hz / 16 kHz)."""
+    sf = 16000.0
+    dur = 1.2
+    t = np.arange(int(sf * dur)) / sf
+    f0 = 140.0 + (260.0 - 140.0) * t / dur
+    phase = 2 * np.pi * np.cumsum(f0) / sf
+    # sawtooth (harmonic-rich, like glottal pulses)
+    wave = 2 * ((phase / (2 * np.pi)) % 1.0) - 1.0
+    wave += 0.01 * rng.standard_normal(len(wave))
+    out = compute_kaldi_pitch(wave, PitchExtractionOptions(samp_freq=sf))
+    shift = int(sf * 0.010)
+    true_f0 = np.array([f0[i * shift:i * shift + 400].mean()
+                        for i in range(len(out))])
+    rel = np.abs(out[:, 1] - true_f0) / true_f0
+    assert np.median(rel) < 0.005, float(np.median(rel))
+    # and 90% of frames within 1%
+    assert np.quantile(rel, 0.9) < 0.01, float(np.quantile(rel, 0.9))
+
+
+def test_process_pitch_features(rng):
+    """ProcessPitch layout: (T,3) [pov, normalized-log-pitch,
+    delta-pitch]; normalized log-pitch is ~zero-mean over a steady
+    tone and the delta reflects log-pitch slope."""
+    from kaldi_tpu.features.pitch import process_pitch
+    sf = 16000.0
+    t = np.arange(int(sf * 0.8)) / sf
+    wave = np.sign(np.sin(2 * np.pi * 200.0 * t))
+    raw = compute_kaldi_pitch(wave, PitchExtractionOptions(samp_freq=sf))
+    feats = process_pitch(raw)
+    assert feats.shape == (raw.shape[0], 3)
+    # steady tone: normalized log pitch ~ 0, delta ~ 0
+    assert np.abs(feats[5:-5, 1]).max() < 0.1
+    assert np.abs(feats[5:-5, 2]).max() < 0.5
+    # rising pitch: positive delta on voiced frames
+    f0 = 150.0 * np.exp(t * 0.5)   # +0.5 log/s
+    phase = 2 * np.pi * np.cumsum(f0) / sf
+    wave2 = np.sign(np.sin(phase))
+    raw2 = compute_kaldi_pitch(wave2, PitchExtractionOptions(samp_freq=sf))
+    feats2 = process_pitch(raw2)
+    # delta-pitch ≈ 10 * 0.005 log/frame = 0.05 on average
+    assert feats2[5:-5, 2].mean() > 0.02
+    assert feats2.dtype == np.float32
