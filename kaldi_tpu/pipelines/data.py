@@ -17,6 +17,7 @@ reference's canonical integration test (SURVEY.md §4).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -152,7 +153,10 @@ def make_synthetic_dataset(lexicon: Lexicon, num_utts: int,
     def warp_of(spk: str) -> float:
         if speaker_warp <= 0:
             return 1.0
-        h = np.random.default_rng(abs(hash(spk)) % (2 ** 32))
+        # deterministic string hash: Python's hash() is salted per
+        # process (PYTHONHASHSEED), which silently made every run a
+        # different corpus
+        h = np.random.default_rng(zlib.crc32(spk.encode()))
         return 1.0 + speaker_warp * (2 * h.random() - 1)
 
     for i in range(num_utts):

@@ -78,7 +78,8 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         heldout_speakers: bool = False, formants=None,
         return_systems: bool = False,
         tri_leaves: Optional[int] = None,
-        tri_gauss: Optional[int] = None):
+        tri_gauss: Optional[int] = None,
+        lda_dim: Optional[int] = None):
     """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
     make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
     defaults reproduce the easy smoke corpus."""
@@ -142,6 +143,8 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         totgauss=tri_gauss or (300 if quick else 600),
         num_leaves=tri_leaves or (60 if quick else 100),
         realign_iters=(1, 2, 4, 6) if quick else (1, 2, 4, 6, 8, 10, 12))
+    if lda_dim is not None:
+        tcfg.lda_dim = lda_dim
     tri1, tri1_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
                                tcfg)
     HCLG1 = mkgraph(lang, tri1.tm, G)
@@ -163,8 +166,10 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
               for u, f in spl_te.items()}
     tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri1, tri1_ali,
                                  tcfg)
-    # MLLT estimation + model transform (one round; the shell recipe
-    # interleaves several)
+    # MLLT estimation + model transform, then RETRAIN on the rotated
+    # features (a coarse-grained version of steps/train_lda_mllt.sh's
+    # interleaved MLLT rounds — one post-hoc round without retraining
+    # left the model mismatched to the transformed feature space)
     M, impr = estimate_mllt(tri2b.am, lda_tr, tri2b_ali, tri2b.tm)
     mllt_lda = np.concatenate([M @ lda[:, :-1], (M @ lda[:, -1:])], axis=1)
     lda_tr = {u: apply_transform(f, mllt_lda).astype(np.float32)
@@ -172,6 +177,8 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     lda_te = {u: apply_transform(f, mllt_lda).astype(np.float32)
               for u, f in spl_te.items()}
     apply_mllt_to_model(tri2b.am, M)
+    tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri2b,
+                                 tri2b_ali, tcfg)
     tri2b.lda_mat = mllt_lda
     HCLG2 = mkgraph(lang, tri2b.tm, G)
     res = decode_gmm(lda_te, tri2b.am, tri2b.tm, HCLG2, lang, dcfg,
@@ -213,7 +220,11 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
             "delta_tr": delta_tr, "delta_te": delta_te,
             "mono": mono, "mono_ali": mono_ali,
             "tri3b": tri3b, "tri3b_ali": tri3b_ali,
-            "sat_tr": sat_tr, "dcfg": dcfg,
+            # SAT-adapted features both sides: the chain stage trains on
+            # these (the reference trains chain on the best adapted
+            # front-end; sat_te uses the tri3b first-pass fMLLR, i.e.
+            # steps/decode_fmllr.sh then nnet decode on those feats)
+            "sat_tr": sat_tr, "sat_te": sat_te, "dcfg": dcfg,
         }
     return wers
 

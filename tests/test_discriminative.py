@@ -277,3 +277,64 @@ def test_den_lattice_from_real_decoder(rng):
     for _ in range(30):
         s = s + 0.5 * g(s)
     assert float(obj(s)) > o0 + 0.5
+
+
+def test_discriminative_finetune_pipeline(rng):
+    """End-to-end sMBR fine-tune: xent TDNN → decode den lattices →
+    sequence epochs raise the expected-accuracy objective."""
+    from kaldi_tpu.am import (HmmTopology, MonophoneContextDependency,
+                              TransitionModel)
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.fst import (ArpaModel, Lang, Lexicon, arpa_to_fst,
+                               make_unigram_arpa, mkgraph)
+    from kaldi_tpu.pipelines.discriminative import (
+        DiscriminativeConfig, discriminative_finetune)
+    from kaldi_tpu.pipelines.nnet import XentTrainConfig, XentTrainer
+
+    lex = Lexicon(entries=[("YES", ["Y", "EH", "S"]), ("NO", ["N", "OW"])])
+    lang = Lang(lex)
+    phones = lang.phone_list()
+    topo = HmmTopology.three_state(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    tm = TransitionModel(topo, tree)
+    arpa = ArpaModel.parse(make_unigram_arpa({"YES": 1.0, "NO": 1.0}))
+    HCLG = mkgraph(lang, tm, arpa_to_fst(arpa, lang.words))
+    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=1e9, acoustic_scale=0.1,
+                                          lattice_beam=8.0))
+    P, D, T = tree.num_pdfs, 6, 36
+    # reference alignments = valid decode paths of random score mats
+    proto = rng.standard_normal((P, D)).astype(np.float32) * 2
+    feats, alis = {}, {}
+    for i in range(3):
+        tids, _, _ = dec.decode(
+            rng.standard_normal((T, P)).astype(np.float32))
+        ref = tm.tid_to_pdf_array[np.asarray(tids)]
+        alis[f"u{i}"] = ref.astype(np.int32)
+        feats[f"u{i}"] = (proto[ref] + 1.0 * rng.standard_normal(
+            (T, D))).astype(np.float32)
+    cfg = TdnnConfig(feat_dim=D, num_pdfs=P, hidden_dim=16,
+                     bottleneck_dim=8, num_layers=2,
+                     frame_subsampling_factor=1)
+    tr = XentTrainer(cfg, XentTrainConfig(num_epochs=6, chunk_size=12,
+                                          batch_size=4,
+                                          learning_rate=3e-3))
+    tr.train(feats, alis)
+    out = discriminative_finetune(
+        tr, dec, feats, alis,
+        DiscriminativeConfig(criterion="smbr", num_epochs=6,
+                             learning_rate=3e-4, acoustic_scale=0.1))
+    hist = out["objf"]
+    assert np.isfinite(hist).all()
+    assert hist[-1] > hist[0] + 0.01, hist
+    # MMI variant runs too and improves
+    tr2 = XentTrainer(cfg, XentTrainConfig(num_epochs=6, chunk_size=12,
+                                           batch_size=4,
+                                           learning_rate=3e-3))
+    tr2.train(feats, alis)
+    out2 = discriminative_finetune(
+        tr2, dec, feats, alis,
+        DiscriminativeConfig(criterion="mmi", num_epochs=6,
+                             learning_rate=3e-4, acoustic_scale=0.1))
+    assert out2["objf"][-1] > out2["objf"][0], out2["objf"]
