@@ -502,3 +502,46 @@ def chain_objf(den: DenominatorGraph, scores: jnp.ndarray,
         loss = loss + opts.l2_regularize * jnp.mean(scores ** 2)
     return loss, {"objf": objf, "num": jnp.sum(num) / num_frames,
                   "den": jnp.sum(den_lp) / num_frames}
+
+
+# ---------------------------------------------------------------------------
+# PhoneLm serialization (chain-est-phone-lm output artifact)
+# ---------------------------------------------------------------------------
+
+def write_phone_lm(path: str, lm: PhoneLm) -> None:
+    """Kaldi-style binary serialization of the denominator phone LM
+    (the chain-est-phone-lm stage artifact — ref writes a phone-level
+    G FST; the dense-row form here is the same model in the layout
+    make_denominator_graph consumes)."""
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<PhoneLm>")
+        kio.write_basic_int32(f, lm.order)
+        kio.write_int_vector(f, np.asarray(lm.phones, np.int32))
+        kio.write_basic_int32(f, len(lm.hists))
+        for h in lm.hists:
+            kio.write_int_vector(f, np.asarray(h, np.int32))
+        kio.write_matrix(f, lm.next_logp.astype(np.float32))
+        kio.write_vector(f, lm.final_logp.astype(np.float32))
+        kio.write_matrix(f, lm.next_state.astype(np.float32))
+        kio.write_token(f, "</PhoneLm>")
+
+
+def read_phone_lm(path: str) -> PhoneLm:
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        kio.init_kaldi_input_stream(f)
+        kio.expect_token(f, "<PhoneLm>")
+        order = kio.read_basic_int32(f)
+        phones = [int(x) for x in kio.read_int_vector(f)]
+        nh = kio.read_basic_int32(f)
+        hists = [tuple(int(x) for x in kio.read_int_vector(f))
+                 for _ in range(nh)]
+        next_logp = kio.read_matrix(f).astype(np.float64)
+        final_logp = np.asarray(kio.read_vector(f), np.float64)
+        next_state = kio.read_matrix(f).astype(np.int32)
+        kio.expect_token(f, "</PhoneLm>")
+        return PhoneLm(order=order, phones=phones, hists=hists,
+                       next_logp=next_logp, final_logp=final_logp,
+                       next_state=next_state)

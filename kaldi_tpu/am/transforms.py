@@ -235,3 +235,32 @@ def accumulate_fmllr_for_utt(accs: FmllrAccs, am, feats: np.ndarray,
     means = am.means[pdf_ali]                      # (T, M, D)
     inv_vars = 1.0 / am.vars[pdf_ali]
     accs.accumulate(post, np.asarray(feats), means, inv_vars)
+
+
+def compose_transforms(a: np.ndarray, b: np.ndarray,
+                       b_is_affine: bool = False) -> np.ndarray:
+    """Compose feature transforms so apply(x, result) == apply(apply(x,
+    b), a)  (compose-transforms.cc ComposeTransforms).  Either operand
+    may be linear (d_out, d_in) or affine (d_out, d_in+1); `b_is_affine`
+    disambiguates b's last column (the reference's --b-is-affine flag —
+    shapes alone cannot always tell).  The result is affine iff either
+    operand is."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d_mid = b.shape[0]
+    if a.shape[1] == d_mid:
+        a_lin, a_off, a_affine = a, np.zeros(a.shape[0]), False
+    elif a.shape[1] == d_mid + 1:
+        a_lin, a_off, a_affine = a[:, :d_mid], a[:, d_mid], True
+    else:
+        raise KaldiError(
+            f"compose_transforms: a {a.shape} does not consume b rows "
+            f"{d_mid}")
+    b_lin = b[:, :-1] if b_is_affine else b
+    b_off = b[:, -1] if b_is_affine else np.zeros(d_mid)
+    out_lin = a_lin @ b_lin
+    if a_affine or b_is_affine:
+        off = a_lin @ b_off + a_off
+        return np.concatenate([out_lin, off[:, None]],
+                              axis=1).astype(np.float32)
+    return out_lin.astype(np.float32)

@@ -271,3 +271,61 @@ def build_tree(stats: Dict[Tuple[Tuple[int, ...], int], GaussStats],
     log.info("build_tree: %d leaves (max %d) from %d events",
              pdf, max_leaves, len(events))
     return TreeContextDependency(context_width, central_position, root, pdf)
+
+
+# ---------------------------------------------------------------------------
+# Tree-stats serialization (acc-tree-stats / sum-tree-stats wire format)
+# ---------------------------------------------------------------------------
+
+def write_tree_stats(path: str,
+                     stats: Dict[Tuple[Tuple[int, ...], int], GaussStats]
+                     ) -> None:
+    """Serialize tree-building stats (the BuildTreeStatsWriter role —
+    acc-tree-stats output).  Kaldi-style binary token framing; each
+    event = (phone window, pdf-class) with its GaussStats."""
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<TreeStats>")
+        kio.write_basic_int32(f, len(stats))
+        for (window, pc), st in sorted(stats.items()):
+            kio.write_int_vector(f, np.asarray(window, np.int32))
+            kio.write_basic_int32(f, pc)
+            kio.write_basic_float(f, st.count)
+            kio.write_vector(f, st.sum, dtype="float64")
+            kio.write_vector(f, st.sumsq, dtype="float64")
+        kio.write_token(f, "</TreeStats>")
+
+
+def read_tree_stats(path: str
+                    ) -> Dict[Tuple[Tuple[int, ...], int], GaussStats]:
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        kio.init_kaldi_input_stream(f)
+        kio.expect_token(f, "<TreeStats>")
+        n = kio.read_basic_int32(f)
+        stats: Dict[Tuple[Tuple[int, ...], int], GaussStats] = {}
+        for _ in range(n):
+            window = tuple(int(x) for x in kio.read_int_vector(f))
+            pc = kio.read_basic_int32(f)
+            count = kio.read_basic_float(f)
+            s = kio.read_vector(f)
+            sq = kio.read_vector(f)
+            st = GaussStats(len(s))
+            st.count = count
+            st.sum = np.asarray(s, np.float64)
+            st.sumsq = np.asarray(sq, np.float64)
+            stats[(window, pc)] = st
+        kio.expect_token(f, "</TreeStats>")
+        return stats
+
+
+def sum_tree_stats(parts) -> Dict[Tuple[Tuple[int, ...], int], GaussStats]:
+    """Merge tree-stats dicts (sum-tree-stats role)."""
+    total: Dict[Tuple[Tuple[int, ...], int], GaussStats] = {}
+    for stats in parts:
+        for key, st in stats.items():
+            if key not in total:
+                total[key] = GaussStats(len(st.sum))
+            total[key].add(st)
+    return total

@@ -4,5 +4,6 @@ from kaldi_tpu.cli.tools import TOOLS, main
 import kaldi_tpu.cli.tools_extra  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank3  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank4  # noqa: F401  (registers into TOOLS)
+import kaldi_tpu.cli.tools_bank5  # noqa: F401  (registers into TOOLS)
 
 __all__ = ["TOOLS", "main"]
