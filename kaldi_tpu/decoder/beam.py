@@ -326,6 +326,29 @@ class BeamDecoder:
         S = self.graph.num_states
         tok_state, tok_cost, tok_off, tok_cnt = tok
 
+        # 0. adaptive arc-budget beam (the GetCutoff role for the arc
+        #    budget): when the frame's total block demand exceeds MB,
+        #    prune WHOLE TOKENS by cost — a histogram over token costs
+        #    weighted by each token's block count picks the tightest
+        #    cost cutoff whose cumulative demand fits — so the budget
+        #    falls on the best tokens instead of arbitrary slot order.
+        #    (Residual overflow inside the cutoff bin is still clipped
+        #    by in_range below, bounded by one bin's worth.)
+        demand = jnp.sum(tok_cnt)
+        NBA = 64
+        tmin = jnp.min(jnp.where(jnp.isfinite(tok_cost), tok_cost,
+                                 jnp.float32(jnp.inf)))
+        tb = jnp.clip(((tok_cost - tmin)
+                       * (NBA / self.config.beam)).astype(jnp.int32),
+                      0, NBA - 1)
+        tb = jnp.where(jnp.isfinite(tok_cost), tb, NBA - 1)
+        blk_hist = jnp.sum(
+            jnp.where(tb[:, None] == jnp.arange(NBA, dtype=jnp.int32),
+                      tok_cnt[:, None], 0), axis=0)
+        cut_a = jnp.maximum(
+            jnp.sum((jnp.cumsum(blk_hist) <= MB).astype(jnp.int32)) - 1, 0)
+        tok_cnt = jnp.where((demand <= MB) | (tb <= cut_a), tok_cnt, 0)
+
         # 1. load-balanced BLOCK distribution (tok_off/tok_cnt are in
         #    block units): scatter [token id, block-index delta, cost
         #    bits] at each token's range start + ONE multi-array
@@ -366,7 +389,9 @@ class BeamDecoder:
             tok_of = jnp.clip(tok_of, 0, K - 1)
         cost_f = jax.lax.bitcast_convert_type(costb_f, jnp.float32)
         in_range = j < cum[K - 1]
-        dropped = jnp.maximum(cum[K - 1] - MB, 0) * blk
+        # cost-cutoff-pruned blocks + residual in-bin overflow
+        dropped = ((demand - cum[K - 1])
+                   + jnp.maximum(cum[K - 1] - MB, 0)) * blk
 
         # 2. expand: ONE MB-row gather of (blk·5)-wide block rows —
         #    ~blk× cheaper than an M-row gather of single arcs
@@ -396,7 +421,7 @@ class BeamDecoder:
         first = jnp.concatenate([jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
         n_heads = jnp.sum(head.astype(jnp.int32))
-        self._diag = (cum[K - 1] * blk, n_heads)
+        self._diag = (demand * blk, n_heads)
 
         # 4. max-active via histogram cutoff (GetCutoff / the GPU
         #    decoder's histogram prune: an adaptive beam, not an exact

@@ -316,3 +316,56 @@ def test_native_lattice_matches_numpy(small_graph):
             assert abs(p1[k] - p2[k]) < 1e-4
         assert lat_native.num_states == lat_numpy.num_states
         assert lat_native.num_arcs == lat_numpy.num_arcs
+
+
+def test_arc_budget_cutoff_prefers_best_tokens():
+    """With a BINDING arc budget, the adaptive arc-budget cutoff must
+    spend the budget on the cheapest tokens — so on separable inputs
+    the unpruned best path still comes out, even though most of each
+    frame's block demand is dropped."""
+    rng = np.random.default_rng(3)
+    entries = sorted(_random_lexicon(rng, 500, 14))
+    texts = _corpus(rng, entries, 300)
+    vocab = [w for w, _ in entries]
+    arpa = estimate_arpa(texts, order=2, prune_count=1, vocab=vocab)
+    words, ptab = make_symbol_tables(entries)
+    pl = [ptab[p] for p in sorted(
+        {p for _, pron in entries for p in pron} | {"SIL"})]
+    topo = HmmTopology.chain(pl)
+    tree = MonophoneContextDependency(pl, topo)
+    tm = TransitionModel(topo, tree)
+    big = build_big_graph(entries, arpa, tm, words, ptab,
+                          self_loop_scale=1.0)
+
+    fst_obj = csr_to_vector_fst(big.csr)
+    simple = SimpleDecoder(fst_obj, acoustic_scale=1.0)
+    sent = texts[0][:4]
+    pron_of = dict(entries)
+    pdfs = []
+    for w in sent:
+        for p in pron_of[w]:
+            window = [ptab[p]]
+            st = topo.topology_for_phone(ptab[p])[0]
+            fwd = tree.compute(window, st.forward_pdf_class)
+            slf = tree.compute(window, st.self_loop_pdf_class)
+            dur = int(rng.integers(2, 5))
+            pdfs.extend([fwd] + [slf] * (dur - 1))
+    T = len(pdfs)
+    P = tree.num_pdfs
+    ll = np.full((T, P), -8.0, np.float32)
+    ll[np.arange(T), pdfs] = 0.0
+    ref = simple.decode(ll, tm.tid_to_pdf_array)
+
+    # wide beam + many tokens, but a budget far below the demand that
+    # beam implies: only the cost cutoff can keep the true path alive
+    dec = BeamDecoder(big.csr, tm.tid_to_pdf_array, BeamDecoderConfig(
+        beam=20.0, max_active=1500, acoustic_scale=1.0,
+        arc_budget=2048, arc_block=4))
+    tids, ols, cost = dec.decode(ll)
+    raw = dec._decode_jit(dec._graph_arrays(),
+                          np.asarray(ll, np.float32), np.int32(T))
+    host = dec._fetch(raw)
+    assert int(np.asarray(host["dropped_arcs"])) > 0, \
+        "budget did not bind; tighten arc_budget"
+    assert ols == ref[1]
+    assert abs(cost - ref[2]) < 1e-2
