@@ -38,6 +38,7 @@ def main():
     from kaldi_tpu.pipelines.largevocab import (make_largevocab_task,
                                                 sample_eval_set,
                                                 synth_loglikes)
+    from kaldi_tpu.lattice.determinize import determinize_lattice
     from kaldi_tpu.pipelines.score import compute_wer
 
     log = get_logger("bench")
@@ -122,8 +123,11 @@ def main():
             for b, host in enumerate(dec._fetch_batch(out, B,
                                                       lattice=True)):
                 dropped += int(host["dropped_arcs"])
-                lats.append(dec._build_lattice(host, int(lens[i + b]),
-                                               Xb[b]))
+                raw = dec._build_lattice(host, int(lens[i + b]), Xb[b])
+                # the LatticeFasterDecoder contract outputs DETERMINIZED
+                # CompactLattices (DeterminizeLatticePhonePrunedWrapper)
+                # — determinization is part of the timed path
+                lats.append(determinize_lattice(raw))
         return lats, dropped
 
     log.info("bench: warmup...")
@@ -160,7 +164,8 @@ def main():
         print_profile(get(), top=15)
 
     # WER sanity: lattice best paths vs references
-    hyps = {u: [task.words.find(o) for o in lat.best_path()[1]]
+    # CompactLattice.best_path returns (words, tids, cost)
+    hyps = {u: [task.words.find(o) for o in lat.best_path()[0]]
             for u, lat in zip(utts, lats)}
     wer = compute_wer(eval_set, hyps)
     log.info("bench: eval %s | lattice arcs median %d", wer,
