@@ -26,6 +26,9 @@ Supported grammar (one layer per line, `#` comments):
     attention-relu-batchnorm-layer name=<n> dim=<d> num-heads=<h>
                 num-left-inputs=<l> num-right-inputs=<r>
     stats-layer name=<n> config=mean+stddev(<l>:<.>:<.>:<r>)
+    conv-relu-batchnorm-layer name=<n> height-in=<h> num-filters-out=<f>
+                [time-offsets=-1,0,1] [height-offsets=-1,0,1]
+                [height-subsample-out=<s>]
     output-layer name=<n> [input=<desc>] dim=<d>
                 [include-log-softmax=true|false]
 Descriptors: layer name | integer offset of the default input |
@@ -52,8 +55,12 @@ log = get_logger(__name__)
 LAYER_TYPES = (
     "input", "relu-batchnorm-layer", "relu-renorm-layer", "tdnnf-layer",
     "fast-lstmp-layer", "attention-relu-batchnorm-layer", "stats-layer",
-    "output-layer", "no-op-component",
+    "conv-relu-batchnorm-layer", "output-layer", "no-op-component",
 )
+
+
+def _parse_offsets(s: str) -> Tuple[int, ...]:
+    return tuple(int(t) for t in s.split(","))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,6 +262,18 @@ class XconfigModel(nn.Module):
                     h = jnp.concatenate([mean, jnp.sqrt(var)], axis=-1)
                 else:
                     h = mean
+            elif lt == "conv-relu-batchnorm-layer":
+                from kaldi_tpu.am.cnn import ConvReluBatchnormLayer
+                h = ConvReluBatchnormLayer(
+                    height_in=line.opt_int("height-in"),
+                    num_filters_out=line.opt_int("num-filters-out"),
+                    time_offsets=_parse_offsets(
+                        line.opt("time-offsets", "-1,0,1")),
+                    height_offsets=_parse_offsets(
+                        line.opt("height-offsets", "-1,0,1")),
+                    height_subsample=line.opt_int(
+                        "height-subsample-out", 1),
+                    name=line.name)(h, train=train)
             elif lt == "output-layer":
                 k = self.frame_subsampling_factor
                 if k > 1:
@@ -274,6 +293,50 @@ class XconfigModel(nn.Module):
             tensors[line.name] = h
             prev_name = line.name
         return outputs
+
+
+class XconfigChainModel(nn.Module):
+    """XconfigModel adapter with the ChainTrainer model contract:
+    apply(variables, x) → one (B, T', num_pdfs) score tensor (the
+    named output head).  Keeps `feat_dim` duck-compatible with
+    TdnnConfig so ChainTrainer can init from either."""
+    lines: Tuple[XLine, ...]
+    frame_subsampling_factor: int = 1
+    output_name: str = "output"
+
+    @property
+    def feat_dim(self) -> int:
+        return self.lines[0].opt_int("dim")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = XconfigModel(
+            lines=self.lines,
+            frame_subsampling_factor=self.frame_subsampling_factor,
+            name="net")(x, train=train)
+        return outs[self.output_name]
+
+
+def chain_model_from_xconfig(text: str,
+                             frame_subsampling_factor: int = 3,
+                             output_name: str = "output"
+                             ) -> XconfigChainModel:
+    """Parse xconfig text into a chain-trainable model (the
+    steps/nnet3/chain recipes' xconfig → training-graph step)."""
+    lines = parse_xconfig(text)
+    out = [l for l in lines if l.name == output_name
+           and l.layer_type == "output-layer"]
+    if not out:
+        raise KaldiError(f"xconfig: no output-layer named "
+                         f"'{output_name}'")
+    if out[0].opt("include-log-softmax", "true") == "true":
+        raise KaldiError(
+            "xconfig chain output must set include-log-softmax=false "
+            "(chain scores are unnormalized; the denominator "
+            "normalizes)")
+    return XconfigChainModel(
+        lines=lines, frame_subsampling_factor=frame_subsampling_factor,
+        output_name=output_name)
 
 
 def model_from_xconfig(text: str, frame_subsampling_factor: int = 1

@@ -217,11 +217,17 @@ class ChainTrainConfig:
 class ChainTrainer:
     """Owns model/optimizer state and the compiled sharded train step."""
 
-    def __init__(self, model_cfg: TdnnConfig, den: DenominatorGraph,
+    def __init__(self, model_cfg, den: DenominatorGraph,
                  cfg: ChainTrainConfig = None, mesh: Optional[Mesh] = None,
                  seed: int = 0):
+        """`model_cfg` is either a TdnnConfig (builds the native
+        TdnnChain) or any flax module with the chain model contract —
+        apply(vars, (B,T,feat_dim), train=) → (B, T//sub, num_pdfs)
+        scores and a `feat_dim` attribute (e.g. xconfig-defined models,
+        am/xconfig.chain_model_from_xconfig)."""
         self.cfg = cfg or ChainTrainConfig()
-        self.model = TdnnChain(model_cfg)
+        self.model = (TdnnChain(model_cfg)
+                      if isinstance(model_cfg, TdnnConfig) else model_cfg)
         self.den = den
         self.mesh = mesh
         rng = jax.random.PRNGKey(seed)

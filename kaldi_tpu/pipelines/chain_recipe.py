@@ -58,8 +58,26 @@ def gmm_alignments(model, feats, text, lang):
             zip(utts, aligner.align_batch(dense, lls))}
 
 
+def default_xconfig(feat_dim: int, num_pdfs: int, hidden: int) -> str:
+    """The recipe's model written in the xconfig language (the
+    reference recipes define their chain models as xconfig text that
+    steps/nnet3/xconfig_to_configs.py expands; here am/xconfig.py
+    interprets it directly as the flax model)."""
+    bn = max(hidden // 4, 1)
+    return f"""
+input name=input dim={feat_dim}
+relu-batchnorm-layer name=tdnn1 input=Append(-1,0,1) dim={hidden}
+tdnnf-layer name=tdnnf2 dim={hidden} bottleneck-dim={bn} time-stride=1
+tdnnf-layer name=tdnnf3 dim={hidden} bottleneck-dim={bn} time-stride=1
+tdnnf-layer name=tdnnf4 dim={hidden} bottleneck-dim={bn} time-stride=3
+tdnnf-layer name=tdnnf5 dim={hidden} bottleneck-dim={bn} time-stride=3
+relu-batchnorm-layer name=prefinal-chain dim={hidden}
+output-layer name=output dim={num_pdfs} include-log-softmax=false
+"""
+
+
 def run(num_utts: int = 50, num_test: int = 12, num_epochs: int = 40,
-        hidden: int = 128, seed: int = 1):
+        hidden: int = 128, seed: int = 1, xconfig: str = None):
     timer = Timer()
     lex = mini_lexicon()
     lang = Lang(lex)
@@ -96,9 +114,17 @@ def run(num_utts: int = 50, num_test: int = 12, num_epochs: int = 40,
     log.info("stage 3: %d egs chunks of %d frames", egs.feats.shape[0],
              egs.feats.shape[1])
 
-    cfg = TdnnConfig(feat_dim=feat_dim, num_pdfs=chain_tree.num_pdfs,
-                     hidden_dim=hidden, bottleneck_dim=hidden // 4,
-                     num_layers=5, frame_subsampling_factor=3)
+    if xconfig is not None:
+        from kaldi_tpu.am.xconfig import chain_model_from_xconfig
+        if xconfig == "default":
+            xconfig = default_xconfig(feat_dim, chain_tree.num_pdfs,
+                                      hidden)
+        cfg = chain_model_from_xconfig(xconfig,
+                                       frame_subsampling_factor=3)
+    else:
+        cfg = TdnnConfig(feat_dim=feat_dim, num_pdfs=chain_tree.num_pdfs,
+                         hidden_dim=hidden, bottleneck_dim=hidden // 4,
+                         num_layers=5, frame_subsampling_factor=3)
     trainer = ChainTrainer(cfg, den, ChainTrainConfig(
         num_epochs=num_epochs, batch_size=16, learning_rate=2e-3))
     final = trainer.train(egs, log_every=50)
@@ -129,8 +155,16 @@ def main(argv=None):
     po = ParseOptions("Usage: python -m kaldi_tpu.pipelines.chain_recipe")
     po.register("num-utts", int, 50, "training utterances")
     po.register("num-epochs", int, 40, "training epochs")
+    po.register("xconfig", str, "",
+                "xconfig file defining the model ('default' = the "
+                "built-in TDNN-F xconfig)")
     po.read(argv)
-    wer = run(num_utts=po["num-utts"], num_epochs=po["num-epochs"])
+    xc = po["xconfig"] or None
+    if xc and xc != "default":
+        with open(xc) as f:
+            xc = f.read()
+    wer = run(num_utts=po["num-utts"], num_epochs=po["num-epochs"],
+              xconfig=xc)
     return 0 if wer.wer < 20.0 else 1
 
 

@@ -130,6 +130,49 @@ def test_lstm_attention_stats_layers():
     assert kernel.shape[0] == 16     # 8-dim attention -> mean+stddev
 
 
+def test_xconfig_chain_training():
+    """chain_model_from_xconfig plugs into ChainTrainer (the recipe's
+    xconfig path): training on tiny synthetic egs learns (objf up) and
+    the semi-orthogonal penalty sees the tdnnf factors."""
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.topology import HmmTopology
+    from kaldi_tpu.am.tree import MonophoneContextDependency
+    from kaldi_tpu.am.xconfig import chain_model_from_xconfig
+    from kaldi_tpu.pipelines.chain import (ChainTrainConfig, ChainTrainer,
+                                           make_chain_egs)
+    rng = np.random.default_rng(7)
+    phones = [1, 2]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    den = make_denominator_graph([[1, 2, 1], [2, 1, 2]], tree, topo)
+    runs = {"u0": [(1, 12), (2, 12), (1, 12)],
+            "u1": [(2, 12), (1, 12), (2, 12)]}
+    D = 6
+    proto = {1: rng.standard_normal(D), 2: rng.standard_normal(D)}
+    feats = {u: np.asarray(
+        [proto[ph] + 0.1 * rng.standard_normal(D)
+         for ph, dur in rr for _ in range(dur)], np.float32)
+        for u, rr in runs.items()}
+    egs = make_chain_egs(feats, runs, tree, topo, chunk_size=18,
+                         subsample=3)
+    model = chain_model_from_xconfig(f"""
+input name=input dim={D}
+relu-batchnorm-layer name=tdnn1 input=Append(-1,0,1) dim=16
+tdnnf-layer name=tdnnf2 dim=16 bottleneck-dim=8 time-stride=1
+output-layer name=output dim={tree.num_pdfs} include-log-softmax=false
+""", frame_subsampling_factor=3)
+    assert model.feat_dim == D
+    tr = ChainTrainer(model, den, ChainTrainConfig(
+        num_epochs=30, batch_size=4, learning_rate=5e-3))
+    out = tr.train(egs, log_every=1000)
+    assert np.isfinite(out["loss"])
+    assert out["objf"] > -5.0
+    with pytest.raises(KaldiError):   # chain head must be unnormalized
+        chain_model_from_xconfig(
+            f"input name=input dim={D}\n"
+            f"output-layer name=output dim={tree.num_pdfs}\n")
+
+
 def test_stats_layer_windowed_moments():
     """stats-layer == host-side windowed mean/stddev, checked by
     forcing the (zero-init) output kernel to identity so the model's
