@@ -20,6 +20,88 @@ from kaldi_tpu.core.options import ParseOptions
 log = get_logger(__name__)
 
 
+@tool("nnet3-chain-get-egs")
+def nnet3_chain_get_egs_tool(argv):
+    """Cut aligned utterances into fixed-size chain training chunks.
+
+    Usage: nnet3-chain-get-egs [opts] <chain-mdl> <feats-rspec>
+           <ali-rspec> <egs-wspec>
+    The model supplies the chain topology/tree; the denominator phone
+    LM (for normalization weights) is estimated from the alignments
+    themselves (chain-est-phone-lm + get_egs.sh in one stage)."""
+    import numpy as np
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.serialize import read_mdl
+    from kaldi_tpu.core.table import (RandomAccessTableReader,
+                                      SequentialTableReader)
+    from kaldi_tpu.pipelines.chain import (make_chain_egs,
+                                           phone_alignment_runs)
+    from kaldi_tpu.pipelines.egs_io import write_egs_ark
+    po = ParseOptions(
+        "nnet3-chain-get-egs [opts] <chain-mdl> <feats-rspec> "
+        "<ali-rspec> <egs-wspec>")
+    po.register("chunk-size", int, 96, "frames per chunk")
+    po.register("frame-subsampling-factor", int, 3, "chain ×3")
+    po.register("lm-order", int, 3, "denominator phone-LM order")
+    args = po.read(argv)
+    if len(args) != 4:
+        po.print_usage()
+        return 1
+    tm, _am = read_mdl(args[0])
+    ali = {k: np.asarray(v) for k, v in
+           SequentialTableReader(args[2], holder="ivec")}
+    feats_r = RandomAccessTableReader(args[1], holder="mat")
+    feats = {k: np.asarray(feats_r[k]) for k in sorted(ali)
+             if k in feats_r}
+    runs = {k: phone_alignment_runs(tm, ali[k]) for k in feats}
+    phone_seqs = [[p for p, _ in runs[k]] for k in sorted(runs)]
+    den = make_denominator_graph(phone_seqs, tm.tree, tm.topo,
+                                 order=po["lm-order"])
+    egs = make_chain_egs(feats, runs, tm.tree, tm.topo,
+                         chunk_size=po["chunk-size"],
+                         subsample=po["frame-subsampling-factor"],
+                         den=den)
+    write_egs_ark(args[3], egs)
+    return 0
+
+
+@tool("nnet3-chain-copy-egs")
+def nnet3_chain_copy_egs_tool(argv):
+    from kaldi_tpu.core.table import SequentialTableReader, TableWriter
+    po = ParseOptions(
+        "nnet3-chain-copy-egs [--n=-1] <egs-rspec> <egs-wspec>")
+    po.register("n", int, -1, "copy only the first n (-1 = all)")
+    args = po.read(argv)
+    n = 0
+    with TableWriter(args[1], holder="ceg") as w:
+        for key, eg in SequentialTableReader(args[0], holder="ceg"):
+            if po["n"] >= 0 and n >= po["n"]:
+                break
+            w[key] = eg
+            n += 1
+    log.info("copied %d chain egs", n)
+    return 0
+
+
+@tool("nnet3-chain-shuffle-egs")
+def nnet3_chain_shuffle_egs_tool(argv):
+    import numpy as np
+    from kaldi_tpu.core.table import SequentialTableReader, TableWriter
+    po = ParseOptions(
+        "nnet3-chain-shuffle-egs [--srand=0] <egs-rspec> <egs-wspec>")
+    po.register("srand", int, 0, "shuffle seed")
+    args = po.read(argv)
+    entries = list(SequentialTableReader(args[0], holder="ceg"))
+    order = np.random.default_rng(po["srand"]).permutation(len(entries))
+    with TableWriter(args[1], holder="ceg") as w:
+        for i in order:
+            key, eg = entries[i]
+            w[key] = eg
+    log.info("shuffled %d chain egs (srand %d)", len(entries),
+             po["srand"])
+    return 0
+
+
 @tool("xconfig-to-configs")
 def xconfig_to_configs_tool(argv):
     """Validate an xconfig file and report per-layer output dims.

@@ -141,6 +141,10 @@ class _Holders:
         elif holder == "fst":
             from kaldi_tpu.fst.openfst_io import write_vector_fst
             write_vector_fst(f, value)
+        elif holder == "ceg":
+            from kaldi_tpu.pipelines.egs_io import write_chain_eg
+            kio.init_kaldi_output_stream(f)
+            write_chain_eg(f, value)
         elif holder == "post":
             # per-frame [(id, weight), ...] lists (Posterior role)
             frames = list(value)
@@ -168,6 +172,9 @@ class _Holders:
             from kaldi_tpu.fst.openfst_io import read_fst
             return read_fst(f)
         binary = kio.init_kaldi_input_stream(f)
+        if holder == "ceg":
+            from kaldi_tpu.pipelines.egs_io import read_chain_eg
+            return read_chain_eg(f)
         if holder == "mat":
             return kio.read_matrix(f) if binary else _read_text_matrix(f)
         if holder == "vec":
