@@ -1,0 +1,166 @@
+"""nnet2-era acoustic models: p-norm networks + parallel SGD with
+model averaging.
+
+Parity target: src/nnet2/ ("Dan's" first NN framework).  Its two
+distinguishing pieces, re-expressed TPU-first:
+
+- **p-norm nonlinearity** (`PnormComponent` + `NormalizeComponent`,
+  src/nnet2/nnet-component.h): dimension reduction by grouped p-norms
+  y_j = (Σ_{i∈group j} |x_i|^p)^{1/p} (p = 2 in every shipped recipe)
+  followed by renormalization to RMS 1.  Both are pure elementwise/
+  reduction ops that XLA fuses into the surrounding matmuls.
+- **parallel SGD with periodic model averaging**
+  (`steps/nnet2/train_pnorm_fast.sh` + nnet-am-average): N jobs train
+  on disjoint data shards from a common start, and the iteration's
+  model is the parameter average.  The TPU framework's primary
+  data-parallel path is synchronous psum-gradient SGD (pipelines/
+  chain.py) — `train_parallel_averaging` reproduces the reference's
+  averaging SEMANTICS for parity experiments, with each "job" a batch
+  shard and the average taken every `iter_batches` steps.
+
+The preconditioned-affine piece of nnet2 (OnlinePreconditioner) is the
+same algorithm as nnet3's natural gradient — provided by
+ops/natural_gradient.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.core.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def pnorm(x: jnp.ndarray, output_dim: int, p: float = 2.0) -> jnp.ndarray:
+    """Grouped p-norm: input dim must be a multiple of output_dim;
+    each output pools group_size consecutive inputs."""
+    D = x.shape[-1]
+    if D % output_dim:
+        raise ValueError(f"pnorm: input dim {D} not a multiple of "
+                         f"output dim {output_dim}")
+    g = D // output_dim
+    xg = x.reshape(x.shape[:-1] + (output_dim, g))
+    if p == 2.0:
+        return jnp.sqrt(jnp.sum(xg * xg, axis=-1) + 1e-20)
+    return jnp.power(jnp.sum(jnp.power(jnp.abs(xg), p), axis=-1) + 1e-20,
+                     1.0 / p)
+
+
+def normalize_rms(x: jnp.ndarray, target_rms: float = 1.0) -> jnp.ndarray:
+    """NormalizeComponent: scale each frame so its root-mean-square is
+    target_rms (the reference's scale = target_rms·√D / ‖x‖)."""
+    D = x.shape[-1]
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-20)
+    return x * (target_rms * jnp.sqrt(float(D)) / norm)
+
+
+class PnormLayer(nn.Module):
+    """Affine → pnorm → normalize (one hidden layer of the
+    train_pnorm_fast.sh architecture)."""
+    pnorm_input_dim: int
+    pnorm_output_dim: int
+    p: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.pnorm_input_dim, name="affine")(x)
+        h = pnorm(h, self.pnorm_output_dim, self.p)
+        return normalize_rms(h)
+
+
+@dataclasses.dataclass
+class Nnet2Config:
+    feat_dim: int = 40
+    num_pdfs: int = 128
+    num_hidden_layers: int = 3
+    pnorm_input_dim: int = 800
+    pnorm_output_dim: int = 160
+    splice: Tuple[int, ...] = (-2, -1, 0, 1, 2)
+    p: float = 2.0
+
+
+class Nnet2Model(nn.Module):
+    """(B, T, feat_dim) → (B, T, num_pdfs) log-softmax posteriors."""
+    config: Nnet2Config
+
+    @nn.compact
+    def __call__(self, x):
+        from kaldi_tpu.am.tdnn import splice
+        cfg = self.config
+        h = splice(x, cfg.splice)
+        for i in range(cfg.num_hidden_layers):
+            h = PnormLayer(cfg.pnorm_input_dim, cfg.pnorm_output_dim,
+                           cfg.p, name=f"pnorm{i + 1}")(h)
+        h = nn.Dense(cfg.num_pdfs, name="output_affine")(h)
+        return nn.log_softmax(h, axis=-1)
+
+
+def train_parallel_averaging(cfg: Nnet2Config,
+                             feats: np.ndarray, targets: np.ndarray,
+                             num_jobs: int = 4, num_iters: int = 10,
+                             learning_rate: float = 2e-3,
+                             seed: int = 0) -> Tuple[Dict, Dict[str, float]]:
+    """The nnet2 outer loop: each iteration, `num_jobs` SGD workers
+    start from the SAME parameters, each takes one pass over its own
+    data shard, and the next iteration starts from the parameter
+    average (nnet-am-average).  feats (N, T, D), targets (N, T) int32.
+
+    Returns (params, diagnostics).  Jobs are vmapped over a leading
+    jobs axis — N independent SGD trajectories advance as one XLA
+    program per step, the TPU-native reading of run.pl's N processes."""
+    import optax
+    model = Nnet2Model(cfg)
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng, jnp.zeros((1, 4, cfg.feat_dim)))["params"]
+    tx = optax.sgd(learning_rate)
+
+    N = feats.shape[0]
+    if N % num_jobs:
+        keep = N - (N % num_jobs)
+        feats, targets = feats[:keep], targets[:keep]
+    fshard = jnp.asarray(feats.reshape(num_jobs, -1, *feats.shape[1:]))
+    tshard = jnp.asarray(targets.reshape(num_jobs, -1,
+                                         *targets.shape[1:]))
+
+    def xent(p, f, t):
+        logp = model.apply({"params": p}, f)
+        ll = jnp.take_along_axis(logp, t[..., None], axis=-1)
+        return -jnp.mean(ll)
+
+    def job_pass(p, f, t):
+        """One worker's pass over its shard (minibatch = 8 chunks)."""
+        opt = tx.init(p)
+        nb = max(f.shape[0] // 8, 1)
+
+        def step(carry, i):
+            p, opt = carry
+            fb = jax.lax.dynamic_slice_in_dim(f, i * 8, 8, 0)
+            tb = jax.lax.dynamic_slice_in_dim(t, i * 8, 8, 0)
+            loss, g = jax.value_and_grad(xent)(p, fb, tb)
+            up, opt = tx.update(g, opt, p)
+            return (optax.apply_updates(p, up), opt), loss
+
+        (p, _), losses = jax.lax.scan(step, (p, opt), jnp.arange(nb))
+        return p, losses.mean()
+
+    @jax.jit
+    def one_iter(p):
+        bc = jax.tree_util.tree_map(
+            lambda v: jnp.broadcast_to(v, (num_jobs,) + v.shape), p)
+        jp, jl = jax.vmap(job_pass)(bc, fshard, tshard)
+        avg = jax.tree_util.tree_map(lambda v: v.mean(axis=0), jp)
+        return avg, jl.mean()
+
+    loss = None
+    for it in range(num_iters):
+        params, loss = one_iter(params)
+        log.info("nnet2 iter %d: %d jobs averaged, xent %.4f", it,
+                 num_jobs, float(loss))
+    return params, {"xent": float(loss)}
