@@ -1,0 +1,285 @@
+"""Lattice-derived chain supervision (numerator FSAs).
+
+Parity target: src/chain/chain-supervision.{h,cc} — the reference
+builds each utterance's numerator graph from a LATTICE of alternatives
+(alternative pronunciations/alignments from lattice-align-phones), not
+a single forced alignment: every lattice path is an allowed phone
+sequence, and each phone's start/end may move within ±tolerance frames
+of its lattice time (ProtoSupervision → Supervision FST).
+
+TPU-first encoding: the supervision FSA stays ARC-synchronous — trellis
+nodes are lattice phone arcs (being "inside" that phone), and the time
+tolerance becomes a per-frame mask computed from each state's boundary
+frame, so the whole forward is one lax.scan of
+gather + segment-logsumexp steps over padded arc tensors (the same
+shape as the denominator forward in am/chain.py, but with per-sequence
+graphs).  The linear-chain flexible numerator
+(chain.numerator_flexible_logprob) is the special case of a one-path
+lattice with unbounded tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.core.logging import KaldiError, get_logger
+from kaldi_tpu.lattice.functions import state_times
+from kaldi_tpu.lattice.lattice import CompactLattice
+
+log = get_logger(__name__)
+
+NEG = -1e30
+
+
+@dataclasses.dataclass
+class SupervisionFsa:
+    """One utterance's numerator graph at the (subsampled) frame rate.
+
+    Arc a models one phone occurrence: entering it at frame t emits
+    entry_pdf[a], staying emits self_pdf[a].  bt[s] is state s's
+    boundary frame from the lattice; entering an arc at frame t is
+    allowed iff |t − bt[src]| ≤ tolerance, and a path may end in arc a
+    at the sequence end iff |T − bt[dst]| ≤ tolerance."""
+    src: np.ndarray          # (A,) int32
+    dst: np.ndarray          # (A,) int32
+    entry_pdf: np.ndarray    # (A,) int32
+    self_pdf: np.ndarray     # (A,) int32
+    weight: np.ndarray       # (A,) f32 log-space (graph/LM weight)
+    bt: np.ndarray           # (S,) int32 boundary frames
+    start: int
+    final: np.ndarray        # (S,) bool
+    num_frames: int          # T at the subsampled rate
+
+    @property
+    def num_states(self) -> int:
+        return len(self.bt)
+
+
+def supervision_from_phone_runs(
+        paths: Sequence[Sequence[Tuple[int, int]]],
+        path_weights: Sequence[float],
+        entry_pdf_of, self_pdf_of, num_frames: int) -> SupervisionFsa:
+    """Build a supervision FSA as a union of alternative phone paths
+    (each a [(phone, duration)] run list covering num_frames).  The
+    general entry point: lattice paths, pronunciation alternatives, or
+    a single forced alignment all reduce to this."""
+    srcs: List[int] = []
+    dsts: List[int] = []
+    epdf: List[int] = []
+    spdf: List[int] = []
+    wgt: List[float] = []
+    bt: List[int] = [0]
+    final: List[bool] = [False]
+    start = 0
+    # share states across paths by boundary-time prefix?  Keep it
+    # simple and exact: each path is its own chain; the forward over
+    # the union IS logsumexp over paths (tested against enumeration).
+    for path, pw in zip(paths, path_weights):
+        tot = sum(d for _, d in path)
+        if tot != num_frames:
+            raise KaldiError(
+                f"path covers {tot} frames, utterance has {num_frames}")
+        cur = start
+        t = 0
+        for k, (phone, dur) in enumerate(path):
+            t += dur
+            nxt = len(bt)
+            bt.append(t)
+            final.append(k == len(path) - 1)
+            srcs.append(cur)
+            dsts.append(nxt)
+            epdf.append(entry_pdf_of(phone))
+            spdf.append(self_pdf_of(phone))
+            wgt.append(pw if k == 0 else 0.0)
+            cur = nxt
+    return SupervisionFsa(
+        src=np.asarray(srcs, np.int32), dst=np.asarray(dsts, np.int32),
+        entry_pdf=np.asarray(epdf, np.int32),
+        self_pdf=np.asarray(spdf, np.int32),
+        weight=np.asarray(wgt, np.float32),
+        bt=np.asarray(bt, np.int32), start=start,
+        final=np.asarray(final, bool), num_frames=num_frames)
+
+
+def supervision_from_lattice(clat: CompactLattice, tm,
+                             entry_pdf_of, self_pdf_of,
+                             subsample: int = 3,
+                             acoustic_scale: float = 0.0
+                             ) -> SupervisionFsa:
+    """Phone-aligned CompactLattice → supervision FSA: every lattice
+    path is an allowed alignment; arc tid strings are split into phone
+    runs (SplitToPhones semantics) and boundaries land at the
+    subsampled rate.  With acoustic_scale=0 all alternatives weigh by
+    graph cost only (the reference drops lattice weights entirely;
+    keep 0.0 for parity, nonzero to weight alternatives)."""
+    times = state_times(clat)
+    srcs: List[int] = []
+    dsts: List[int] = []
+    epdf: List[int] = []
+    spdf: List[int] = []
+    wgt: List[float] = []
+    # supervision state per (lattice state): boundary at its time
+    bt: List[int] = [t // subsample for t in times]
+    final = [s in clat.finals for s in range(clat.num_states)]
+    from kaldi_tpu.pipelines.chain import phone_alignment_runs
+    for s in range(clat.num_states):
+        for a in clat.arcs[s]:
+            runs = phone_alignment_runs(tm, a.tids)
+            w = -(a.graph_cost + acoustic_scale * a.acoustic_cost)
+            t = times[s]
+            cur = s
+            for k, (phone, dur) in enumerate(runs):
+                t += dur
+                if k == len(runs) - 1:
+                    nxt = a.nextstate
+                else:
+                    nxt = len(bt)
+                    bt.append(t // subsample)
+                    final.append(False)
+                srcs.append(cur)
+                dsts.append(nxt)
+                epdf.append(entry_pdf_of(phone))
+                spdf.append(self_pdf_of(phone))
+                wgt.append(w if k == 0 else 0.0)
+                cur = nxt
+    T = max(times[s] for s in clat.finals) // subsample
+    return SupervisionFsa(
+        src=np.asarray(srcs, np.int32), dst=np.asarray(dsts, np.int32),
+        entry_pdf=np.asarray(epdf, np.int32),
+        self_pdf=np.asarray(spdf, np.int32),
+        weight=np.asarray(wgt, np.float32),
+        bt=np.asarray(bt, np.int32), start=clat.start,
+        final=np.asarray(final, bool), num_frames=T)
+
+
+def pack_supervisions(fsas: Sequence[SupervisionFsa]
+                      ) -> Dict[str, np.ndarray]:
+    """Pad a batch of FSAs to common (A_max, S_max) tensors for the
+    batched forward."""
+    B = len(fsas)
+    A = max(len(f.src) for f in fsas)
+    S = max(f.num_states for f in fsas)
+    out = {
+        "src": np.zeros((B, A), np.int32),
+        "dst": np.zeros((B, A), np.int32),
+        "entry_pdf": np.zeros((B, A), np.int32),
+        "self_pdf": np.zeros((B, A), np.int32),
+        "weight": np.full((B, A), NEG, np.float32),
+        "bt": np.zeros((B, S), np.int32),
+        "start": np.zeros(B, np.int32),
+        "final": np.zeros((B, S), bool),
+        "num_frames": np.zeros(B, np.int32),
+        "num_states": np.full(B, S, np.int32),
+    }
+    for b, f in enumerate(fsas):
+        a, s = len(f.src), f.num_states
+        out["src"][b, :a] = f.src
+        out["dst"][b, :a] = f.dst
+        out["entry_pdf"][b, :a] = f.entry_pdf
+        out["self_pdf"][b, :a] = f.self_pdf
+        out["weight"][b, :a] = f.weight
+        out["bt"][b, :s] = f.bt
+        # padding arcs self-loop on a dead state with weight −inf
+        out["src"][b, a:] = S - 1 if s < S else f.src[0]
+        out["dst"][b, a:] = S - 1 if s < S else f.dst[0]
+        out["start"][b] = f.start
+        out["final"][b, :s] = f.final
+        out["num_frames"][b] = f.num_frames
+    return out
+
+
+def _batched_segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,
+                               num_segments: int) -> jnp.ndarray:
+    """vals (B, A), segs (B, A) int → (B, num_segments): per-row
+    segment logsumexp via flattened offset ids."""
+    B, A = vals.shape
+    flat_segs = (segs + jnp.arange(B, dtype=segs.dtype)[:, None]
+                 * num_segments).reshape(-1)
+    flat = vals.reshape(-1)
+    mx = jnp.full(B * num_segments, jnp.float32(NEG))
+    mx = mx.at[flat_segs].max(flat)
+    s = jnp.zeros(B * num_segments)
+    s = s.at[flat_segs].add(jnp.exp(flat - mx[flat_segs]))
+    out = mx + jnp.log(jnp.maximum(s, 1e-30))
+    return out.reshape(B, num_segments)
+
+
+def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
+                          tolerance: int = 0) -> jnp.ndarray:
+    """Forward log-prob of each sequence through its supervision FSA.
+
+    scores (B, T, P) log acoustic scores at the subsampled rate; sup =
+    pack_supervisions output (device arrays ok).  Time tolerance t
+    lets every phone boundary move ±t frames from its lattice time
+    (chain-supervision's left/right tolerance).  Returns (B,)."""
+    src = jnp.asarray(sup["src"])
+    dst = jnp.asarray(sup["dst"])
+    entry_pdf = jnp.asarray(sup["entry_pdf"])
+    self_pdf = jnp.asarray(sup["self_pdf"])
+    weight = jnp.asarray(sup["weight"])
+    bt = jnp.asarray(sup["bt"])
+    start = jnp.asarray(sup["start"])
+    final = jnp.asarray(sup["final"])
+    num_frames = jnp.asarray(sup["num_frames"])
+    B, T, P = scores.shape
+    S = bt.shape[1]
+    tol = tolerance
+
+    bt_src = jnp.take_along_axis(bt, src, axis=1)        # (B, A)
+    bt_dst = jnp.take_along_axis(bt, dst, axis=1)
+    is_start = jnp.take_along_axis(
+        start[:, None] == jnp.arange(S)[None, :], src, axis=1)
+
+    def gather_pdf(score_t, pdfs):
+        return jnp.take_along_axis(score_t, pdfs, axis=1)
+
+    # frame 0: enter arcs out of the start state whose entry window
+    # admits frame 0
+    ok0 = is_start & (jnp.abs(0 - bt_src) <= tol)
+    alpha0 = jnp.where(ok0, weight + gather_pdf(scores[:, 0], entry_pdf),
+                       jnp.float32(NEG))                 # (B, A)
+
+    def step(carry, xs):
+        alpha, corr = carry
+        score_t, t = xs
+        act = t < num_frames                              # (B,)
+        # leave-arc → state mass: alpha of arcs whose dst boundary
+        # window admits a transition at frame t
+        ok_exit = jnp.abs(t - bt_dst) <= tol
+        state_in = _batched_segment_logsumexp(
+            jnp.where(ok_exit, alpha, jnp.float32(NEG)), dst, S)
+        # enter arc a at frame t
+        ok_entry = jnp.abs(t - bt_src) <= tol
+        enter = jnp.where(
+            ok_entry,
+            jnp.take_along_axis(state_in, src, axis=1) + weight
+            + gather_pdf(score_t, entry_pdf), jnp.float32(NEG))
+        # stay inside arc a (self-loop pdf); staying past the window
+        # end is pruned by requiring t within (bt_src−tol, bt_dst+tol)
+        ok_stay = (t > bt_src - tol) & (t < bt_dst + tol)
+        stay = jnp.where(ok_stay,
+                         alpha + gather_pdf(score_t, self_pdf),
+                         jnp.float32(NEG))
+        new = jnp.logaddexp(stay, enter)
+        m = jnp.maximum(jnp.max(new, axis=1, keepdims=True),
+                        jnp.float32(NEG))
+        new = new - m
+        new = jnp.where(act[:, None], new, alpha)
+        corr = corr + jnp.where(act, m[:, 0], 0.0)
+        return (new, corr), None
+
+    (alphaT, corr), _ = jax.lax.scan(
+        step, (alpha0, jnp.zeros(B)),
+        (jnp.swapaxes(scores[:, 1:], 0, 1),
+         jnp.arange(1, T, dtype=jnp.int32)))
+    # finish: arcs whose dst is final and whose boundary admits T
+    fin_ok = (jnp.take_along_axis(final, dst, axis=1)
+              & (jnp.abs(num_frames[:, None] - bt_dst) <= tol))
+    return corr + jax.scipy.special.logsumexp(
+        jnp.where(fin_ok, alphaT, jnp.float32(NEG)), axis=1)

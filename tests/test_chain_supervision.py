@@ -1,0 +1,232 @@
+"""Lattice-derived chain supervision (am/chain_supervision.py):
+single-path == fixed alignment, path unions == logsumexp over paths,
+large tolerance == the flexible-boundary numerator, and lattice-built
+FSAs == path-built FSAs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kaldi_tpu.am.chain_supervision import (numerator_fsa_logprob,
+                                            pack_supervisions,
+                                            supervision_from_lattice,
+                                            supervision_from_phone_runs)
+from kaldi_tpu.am.chain import numerator_logprob
+from kaldi_tpu.am.topology import HmmTopology
+from kaldi_tpu.am.tree import MonophoneContextDependency
+
+PHONES = [1, 2, 3]
+
+
+@pytest.fixture
+def pdf_maps():
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+
+    def pdfs_for(phone, is_entry):
+        window = [0] * tree.context_width
+        window[tree.central_position] = phone
+        st = topo.topology_for_phone(phone)[0]
+        cls = (st.forward_pdf_class if is_entry
+               else st.self_loop_pdf_class)
+        return tree.compute(window, cls)
+
+    return (lambda p: pdfs_for(p, True), lambda p: pdfs_for(p, False),
+            tree.num_pdfs)
+
+
+def _scores(rng, B, T, P):
+    return jnp.asarray(rng.standard_normal((B, T, P)), jnp.float32)
+
+
+def _ali_from_path(path, e_of, s_of):
+    pdfs = []
+    for ph, dur in path:
+        pdfs.append(e_of(ph))
+        pdfs.extend([s_of(ph)] * (dur - 1))
+    return np.asarray(pdfs, np.int32)
+
+
+def test_single_path_tolerance0_equals_fixed_alignment(pdf_maps):
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(0)
+    T = 12
+    path = [(1, 4), (2, 5), (3, 3)]
+    fsa = supervision_from_phone_runs([path], [0.0], e_of, s_of, T)
+    sup = pack_supervisions([fsa])
+    scores = _scores(rng, 1, T, P)
+    got = np.asarray(numerator_fsa_logprob(scores, sup, tolerance=0))
+    ali = _ali_from_path(path, e_of, s_of)[None]
+    ref = np.asarray(numerator_logprob(scores, jnp.asarray(ali),
+                                       jnp.ones((1, T), bool)))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_union_equals_logsumexp_of_paths(pdf_maps):
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(1)
+    T = 10
+    paths = [[(1, 3), (2, 7)], [(1, 5), (3, 5)], [(2, 10)]]
+    ws = [-0.3, -1.1, -2.0]
+    union = supervision_from_phone_runs(paths, ws, e_of, s_of, T)
+    scores = _scores(rng, 1, T, P)
+    got = np.asarray(numerator_fsa_logprob(
+        scores, pack_supervisions([union]), tolerance=0))
+    singles = []
+    for p, w in zip(paths, ws):
+        f = supervision_from_phone_runs([p], [w], e_of, s_of, T)
+        singles.append(np.asarray(numerator_fsa_logprob(
+            scores, pack_supervisions([f]), tolerance=0))[0])
+    np.testing.assert_allclose(got[0], np.logaddexp.reduce(singles),
+                               atol=1e-4)
+
+
+def test_large_tolerance_equals_free_boundary_enumeration(pdf_maps):
+    """tolerance ≥ T = free boundary placement: the FSA forward equals
+    brute-force logsumexp over every duration composition (the
+    flexible-numerator contract, minus its chunk-start mid-phone
+    option which whole-utterance FSAs rightly exclude)."""
+    import itertools
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(2)
+    T = 9
+    path = [(2, 3), (1, 3), (3, 3)]
+    fsa = supervision_from_phone_runs([path], [0.0], e_of, s_of, T)
+    scores = _scores(rng, 1, T, P)
+    got = np.asarray(numerator_fsa_logprob(
+        scores, pack_supervisions([fsa]), tolerance=T))
+    segs = [ph for ph, _ in path]
+    s = np.asarray(scores[0])
+    vals = []
+    for cut in itertools.combinations(range(1, T), len(segs) - 1):
+        bounds = [0] + list(cut) + [T]
+        tot = 0.0
+        for k, ph in enumerate(segs):
+            b, e = bounds[k], bounds[k + 1]
+            tot += s[b, e_of(ph)] + sum(
+                s[t, s_of(ph)] for t in range(b + 1, e))
+        vals.append(tot)
+    np.testing.assert_allclose(got[0], np.logaddexp.reduce(vals),
+                               atol=1e-3)
+
+
+def test_tolerance_widens_mass_monotonically(pdf_maps):
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(3)
+    T = 12
+    path = [(1, 4), (2, 4), (3, 4)]
+    fsa = supervision_from_phone_runs([path], [0.0], e_of, s_of, T)
+    sup = pack_supervisions([fsa])
+    scores = _scores(rng, 1, T, P)
+    vals = [float(numerator_fsa_logprob(scores, sup, tolerance=t)[0])
+            for t in (0, 1, 2, 4)]
+    assert all(b >= a - 1e-5 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] > vals[0]       # tolerance really adds paths
+
+
+def test_batch_padding_independent(pdf_maps):
+    """Batched forward == per-item forwards despite shape padding."""
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(4)
+    paths = [[(1, 4), (2, 4)], [(3, 5), (1, 5), (2, 2)]]
+    Ts = [8, 12]
+    fsas = [supervision_from_phone_runs([p], [0.0], e_of, s_of, t)
+            for p, t in zip(paths, Ts)]
+    Tmax = max(Ts)
+    scores = _scores(rng, 2, Tmax, P)
+    got = np.asarray(numerator_fsa_logprob(
+        scores, pack_supervisions(fsas), tolerance=1))
+    for b in (0, 1):
+        solo = np.asarray(numerator_fsa_logprob(
+            scores[b:b + 1, :Ts[b]],
+            pack_supervisions([fsas[b]]), tolerance=1))
+        np.testing.assert_allclose(got[b], solo[0], atol=1e-4)
+
+
+def test_supervision_from_lattice_matches_paths(pdf_maps):
+    """A two-alternative CompactLattice (same word, two alignments)
+    builds the same numerator as the explicit path union."""
+    from kaldi_tpu.am.transitions import TransitionModel
+    from kaldi_tpu.lattice.lattice import CompactArc, CompactLattice
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    tm = TransitionModel(topo, tree)
+    fwd_tid, self_tid = {}, {}
+    for tid in range(1, tm.num_transition_ids + 1):
+        ph = tm.transition_id_to_phone(tid)
+        (self_tid if tm.is_self_loop(tid) else fwd_tid).setdefault(
+            ph, tid)
+
+    def tids(path):
+        out = []
+        for ph, dur in path:
+            out.extend([fwd_tid[ph]] + [self_tid[ph]] * (dur - 1))
+        return tuple(out)
+
+    # full-rate paths over 18 frames → 6 subsampled frames
+    pa = [(1, 9), (2, 9)]
+    pb = [(1, 6), (2, 12)]
+    clat = CompactLattice()
+    s0, s1 = clat.add_state(), clat.add_state()
+    clat.start = s0
+    clat.arcs[s0].append(CompactArc(7, 0.5, 0.0, tids(pa), s1))
+    clat.arcs[s0].append(CompactArc(7, 1.5, 0.0, tids(pb), s1))
+    clat.finals[s1] = (0.0, 0.0, ())
+    fsa = supervision_from_lattice(clat, tm, e_of, s_of, subsample=3)
+    assert fsa.num_frames == 6
+
+    rng = np.random.default_rng(5)
+    scores = _scores(rng, 1, 6, P)
+    got = np.asarray(numerator_fsa_logprob(
+        scores, pack_supervisions([fsa]), tolerance=0))
+    # sub-rate paths: boundaries at 9//3=3 and 6//3=2
+    ua = supervision_from_phone_runs([[(1, 3), (2, 3)]], [-0.5],
+                                     e_of, s_of, 6)
+    ub = supervision_from_phone_runs([[(1, 2), (2, 4)]], [-1.5],
+                                     e_of, s_of, 6)
+    ra = numerator_fsa_logprob(scores, pack_supervisions([ua]), 0)[0]
+    rb = numerator_fsa_logprob(scores, pack_supervisions([ub]), 0)[0]
+    np.testing.assert_allclose(got[0], np.logaddexp(float(ra),
+                                                    float(rb)),
+                               atol=1e-4)
+
+
+def test_chain_training_with_lattice_supervision(pdf_maps):
+    """End-to-end: gradients flow through the FSA numerator and the
+    LF-MMI objective improves."""
+    import jax
+    import optax
+    from kaldi_tpu.am.chain import (denominator_logprob,
+                                    make_denominator_graph)
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    den = make_denominator_graph([[1, 2, 3], [3, 2, 1]], tree, topo)
+    rng = np.random.default_rng(6)
+    T = 12
+    paths = [[[(1, 4), (2, 4), (3, 4)], [(1, 6), (2, 3), (3, 3)]],
+             [[(3, 4), (2, 4), (1, 4)]]]
+    fsas = [supervision_from_phone_runs(
+        ps, [0.0] * len(ps), e_of, s_of, T) for ps in paths]
+    sup = pack_supervisions(fsas)
+    feats = jnp.asarray(rng.standard_normal((2, T, 4)), jnp.float32)
+    W = jnp.zeros((4, P), jnp.float32)
+    mask = jnp.ones((2, T), bool)
+
+    def loss_fn(W):
+        scores = feats @ W
+        num = numerator_fsa_logprob(scores, sup, tolerance=1)
+        d = denominator_logprob(den, scores, mask=mask)
+        return -(jnp.sum(num) - jnp.sum(d)) / (2 * T)
+
+    tx = optax.adam(0.1)
+    opt = tx.init(W)
+    losses = []
+    for _ in range(30):
+        l, g = jax.value_and_grad(loss_fn)(W)
+        up, opt = tx.update(g, opt, W)
+        W = optax.apply_updates(W, up)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1
