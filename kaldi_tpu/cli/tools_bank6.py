@@ -20,6 +20,62 @@ from kaldi_tpu.core.options import ParseOptions
 log = get_logger(__name__)
 
 
+@tool("gmm-latgen-biglm-faster")
+def gmm_latgen_biglm_faster_tool(argv):
+    """Decode with on-the-fly big-LM composition (difference LM).
+
+    Usage: gmm-latgen-biglm-faster [opts] <model> <fst> <old-arpa>
+           <new-arpa> <feats-rspec> <words-wspec>
+    <fst> is the HCLG compiled with the OLD (small) LM; word scores are
+    swapped for the new LM's during the search."""
+    import numpy as np
+    from kaldi_tpu.am.serialize import read_mdl
+    from kaldi_tpu.core.table import SequentialTableReader, TableWriter
+    from kaldi_tpu.decoder.biglm import (BiglmDecoderConfig,
+                                         BiglmFasterDecoder)
+    from kaldi_tpu.fst.arpa import ArpaModel
+    from kaldi_tpu.fst.fst import SymbolTable, VectorFst
+    po = ParseOptions(
+        "gmm-latgen-biglm-faster [opts] <model> <fst> <old-arpa> "
+        "<new-arpa> <feats-rspec> <words-wspec>")
+    po.register("beam", float, 13.0, "decoding beam")
+    po.register("max-active", int, 7000, "max active tokens")
+    po.register("acoustic-scale", float, 0.1, "acoustic scale")
+    po.register("word-symbol-table", str, "", "words.txt (REQUIRED)")
+    args = po.read(argv)
+    if len(args) != 6 or not po["word-symbol-table"]:
+        po.print_usage()
+        return 1
+    tm, am = read_mdl(args[0])
+    import struct as _struct
+    with open(args[1], "rb") as _fh:
+        _bin = _fh.read(4) == _struct.pack("<i", 2125659606)
+    if _bin:
+        from kaldi_tpu.fst.openfst_io import read_fst_path
+        HCLG = read_fst_path(args[1])
+    else:
+        HCLG = VectorFst.read_text(args[1])
+    old_lm = ArpaModel.parse(args[2])
+    new_lm = ArpaModel.parse(args[3])
+    words = SymbolTable.read(po["word-symbol-table"])
+    dec = BiglmFasterDecoder(
+        HCLG, tm.tid_to_pdf_array, old_lm.score, new_lm.score, words,
+        BiglmDecoderConfig(beam=po["beam"], max_active=po["max-active"],
+                           acoustic_scale=po["acoustic-scale"],
+                           history_len=max(new_lm.order - 1, 1)))
+    n = 0
+    with TableWriter(args[5], holder="text") as w:
+        for key, feats in SequentialTableReader(args[4], holder="mat"):
+            ll = np.asarray(am.loglikes(np.asarray(feats)))
+            _, ols, cost = dec.decode(ll)
+            text = [words.find(o) for o in ols]
+            w[key] = text
+            log.info("%s: %s (cost %.2f)", key, " ".join(text), cost)
+            n += 1
+    log.info("decoded %d utterances with big-LM composition", n)
+    return 0
+
+
 @tool("nnet3-chain-get-egs")
 def nnet3_chain_get_egs_tool(argv):
     """Cut aligned utterances into fixed-size chain training chunks.
