@@ -264,6 +264,50 @@ def mle_update(am: AmDiagGmm, accs: GmmAccs,
                  accs.tot_like / accs.tot_frames, accs.tot_frames)
 
 
+def map_update(am: AmDiagGmm, accs: GmmAccs, mean_tau: float = 10.0,
+               weight_tau: float = 0.0, var_tau: float = 0.0,
+               var_floor: float = 1e-3) -> None:
+    """gmm-adapt-map (MapDiagGmmUpdate, mle-diag-gmm.h): MAP
+    re-estimation interpolating new statistics with the prior (current)
+    parameters, per Gauvain & Lee:
+
+        μ' = (γ·x̄ + τ·μ₀) / (γ + τ)
+
+    and analogously for weights/variances when their τ > 0.  τ = 0
+    disables that parameter's update entirely for weights/vars (the
+    reference's --weight-tau / --var-tau default behaviour is
+    means-only adaptation, used for per-speaker / per-domain adapted
+    models)."""
+    occ = accs.occ                                     # (P, M)
+    safe = np.maximum(occ, 1e-10)[..., None]
+    xbar = accs.mean_acc / safe
+    valid = (am.weights > 0) & (occ > 0)
+    new_mean = (occ[..., None] * xbar + mean_tau * am.means) \
+        / (occ[..., None] + mean_tau)
+    am.means = np.where(valid[..., None], new_mean, am.means)
+    if var_tau > 0:
+        ex2 = accs.var_acc / safe
+        sample_var = np.maximum(ex2 - xbar ** 2, var_floor)
+        new_var = (occ[..., None] * sample_var + var_tau * am.vars) \
+            / (occ[..., None] + var_tau)
+        am.vars = np.where(valid[..., None],
+                           np.maximum(new_var, var_floor), am.vars)
+    if weight_tau > 0:
+        tot = occ.sum(axis=1, keepdims=True)
+        ml_w = occ / np.maximum(tot, 1e-10)
+        new_w = (tot * ml_w + weight_tau * am.weights) \
+            / (tot + weight_tau)
+        has = tot[:, 0] > 0
+        am.weights = np.where(has[:, None], new_w, am.weights)
+        am.weights /= np.maximum(am.weights.sum(axis=1, keepdims=True),
+                                 1e-10)
+    am.refresh()
+    if accs.tot_frames > 0:
+        log.info("map_update: tau=%.1f, avg loglike/frame %.4f over "
+                 "%.0f frames", mean_tau,
+                 accs.tot_like / accs.tot_frames, accs.tot_frames)
+
+
 def mixup(am: AmDiagGmm, target_tot_gauss: int, perturb: float = 0.01,
           seed: int = 0) -> AmDiagGmm:
     """gmm-mixup: split heaviest components (weighted by pdf occupancy

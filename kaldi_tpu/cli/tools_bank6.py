@@ -20,6 +20,97 @@ from kaldi_tpu.core.options import ParseOptions
 log = get_logger(__name__)
 
 
+@tool("gmm-adapt-map")
+def gmm_adapt_map_tool(argv):
+    """MAP mean adaptation of a GMM model to new data.
+
+    Usage: gmm-adapt-map [opts] <model-in> <feats-rspec> <ali-rspec>
+           <model-out>"""
+    import numpy as np
+    from kaldi_tpu.am.gmm import GmmAccs, accumulate_stats, map_update
+    from kaldi_tpu.am.serialize import read_mdl, write_mdl
+    from kaldi_tpu.core.table import (RandomAccessTableReader,
+                                      SequentialTableReader)
+    po = ParseOptions(
+        "gmm-adapt-map [opts] <model-in> <feats-rspec> <ali-rspec> "
+        "<model-out>")
+    po.register("mean-tau", float, 10.0, "prior count for means")
+    po.register("weight-tau", float, 0.0, "prior count for weights "
+                "(0 = no weight update)")
+    po.register("var-tau", float, 0.0, "prior count for variances "
+                "(0 = no variance update)")
+    args = po.read(argv)
+    if len(args) != 4:
+        po.print_usage()
+        return 1
+    tm, am = read_mdl(args[0])
+    feats = RandomAccessTableReader(args[1], holder="mat")
+    accs = GmmAccs.zeros(am.num_pdfs, am.means.shape[1],
+                         am.means.shape[2])
+    n = 0
+    for key, tids in SequentialTableReader(args[2], holder="ivec"):
+        if key not in feats:
+            continue
+        pdfs = tm.tid_to_pdf_array[np.asarray(tids, np.int64)]
+        accumulate_stats(am, np.asarray(feats[key]), pdfs, accs)
+        n += 1
+    map_update(am, accs, mean_tau=po["mean-tau"],
+               weight_tau=po["weight-tau"], var_tau=po["var-tau"])
+    write_mdl(args[3], tm, am)
+    log.info("MAP-adapted on %d utterances", n)
+    return 0
+
+
+@tool("fstshortestpath")
+def fstshortestpath_tool(argv):
+    from kaldi_tpu.cli.tools_extra import _load_fst, _save_fst
+    from kaldi_tpu.fst.fst import Arc, VectorFst
+    from kaldi_tpu.fst.ops import shortest_path
+    po = ParseOptions("fstshortestpath <fst-in> <fst-out>")
+    args = po.read(argv)
+    arcs, cost = shortest_path(_load_fst(args[0]))
+    out = VectorFst()
+    s = out.add_state()
+    out.set_start(s)
+    for a in arcs:
+        n = out.add_state()
+        out.add_arc(s, Arc(a.ilabel, a.olabel, a.weight, n))
+        s = n
+    out.set_final(s, 0.0)
+    _save_fst(args[1] if len(args) > 1 else "/dev/stdout", out)
+    return 0
+
+
+@tool("sgmm2-est")
+def sgmm2_est_tool(argv):
+    """One SGMM2 EM iteration from feats + pdf alignments on disk.
+
+    Usage: sgmm2-est [opts] <feats-rspec> <pdf-ali-rspec>
+    Prints per-iteration average loglike (model I/O flows through the
+    library; this tool is the trainer stage of steps/train_sgmm2.sh)."""
+    import numpy as np
+    from kaldi_tpu.am.sgmm2 import train_sgmm
+    from kaldi_tpu.core.table import (RandomAccessTableReader,
+                                      SequentialTableReader)
+    po = ParseOptions("sgmm2-est [opts] <feats-rspec> <pdf-ali-rspec>")
+    po.register("num-gauss", int, 8, "shared Gaussians")
+    po.register("subspace-dim", int, 4, "state-vector dimension")
+    po.register("num-iters", int, 6, "EM iterations")
+    args = po.read(argv)
+    feats_r = RandomAccessTableReader(args[0], holder="mat")
+    ali = {k: np.asarray(v, np.int32) for k, v in
+           SequentialTableReader(args[1], holder="ivec")}
+    feats = {k: np.asarray(feats_r[k]) for k in sorted(ali)
+             if k in feats_r}
+    num_pdfs = int(max(a.max() for a in ali.values())) + 1
+    _, likes = train_sgmm(feats, ali, num_pdfs=num_pdfs,
+                          num_gauss=po["num-gauss"],
+                          subspace=po["subspace-dim"],
+                          num_iters=po["num-iters"])
+    log.info("sgmm2-est: final avg loglike %.4f", likes[-1])
+    return 0
+
+
 @tool("gmm-latgen-biglm-faster")
 def gmm_latgen_biglm_faster_tool(argv):
     """Decode with on-the-fly big-LM composition (difference LM).
