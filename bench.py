@@ -57,8 +57,8 @@ def main():
              task.graph.csr.num_emitting_arcs
              + task.graph.csr.num_eps_arcs, time.time() - t0)
 
-    B = 32
-    n_batches = 3
+    B = int(os.environ.get("KALDI_TPU_BENCH_B", "32"))
+    n_batches = max(96 // B, 1)
     eval_set = sample_eval_set(task, B * n_batches, max_words=6, seed=99)
     rng = np.random.default_rng(1234)
     utts = sorted(eval_set)

@@ -478,15 +478,22 @@ class ChainTrainingOptions:
 def chain_objf(den: DenominatorGraph, scores: jnp.ndarray,
                pdf_ali: jnp.ndarray, mask: jnp.ndarray,
                opts: ChainTrainingOptions = ChainTrainingOptions(),
-               num_graph: Optional[Tuple[jnp.ndarray, ...]] = None
+               num_graph: Optional[Tuple[jnp.ndarray, ...]] = None,
+               num_fsa: Optional[Tuple] = None
                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Negative LF-MMI objective per frame (to minimize) + diagnostics.
 
     num_graph = (entry_pdf, self_pdf, num_segs[, entry_w, self_w,
     init_w, final_w]) switches the numerator to the flexible-boundary
     supervision FST (optionally normalization-weighted); pdf_ali is
-    ignored then."""
-    if num_graph is not None:
+    ignored then.  num_fsa = (packed supervision dict, tolerance)
+    switches to the lattice-derived supervision FSA
+    (am/chain_supervision.py) and takes precedence."""
+    if num_fsa is not None:
+        from kaldi_tpu.am.chain_supervision import numerator_fsa_logprob
+        num = numerator_fsa_logprob(scores, num_fsa[0],
+                                    tolerance=num_fsa[1])
+    elif num_graph is not None:
         num = numerator_flexible_logprob(
             scores, num_graph[0], num_graph[1], num_graph[2], mask,
             *num_graph[3:])

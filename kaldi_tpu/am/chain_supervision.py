@@ -194,6 +194,46 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
     return out
 
 
+def make_chain_egs_from_lattices(
+        feats: Dict[str, np.ndarray], lattices: Dict[str, CompactLattice],
+        tm, tree, topo, subsample: int = 3):
+    """Whole-utterance chain egs with lattice-derived supervision
+    (the get_egs.sh path that consumes alignment LATTICES rather than
+    single best alignments).  Returns a ChainEgs whose `sup` field
+    carries the packed supervision FSAs; feats are padded to the batch
+    max and masked."""
+    from kaldi_tpu.pipelines.chain import ChainEgs
+
+    def pdfs_for(phone, is_entry):
+        window = [0] * tree.context_width
+        window[tree.central_position] = phone
+        st = topo.topology_for_phone(phone)[0]
+        cls = (st.forward_pdf_class if is_entry
+               else st.self_loop_pdf_class)
+        return tree.compute(window, cls)
+
+    utts = sorted(lattices)
+    fsas = [supervision_from_lattice(
+        lattices[u], tm, lambda p: pdfs_for(p, True),
+        lambda p: pdfs_for(p, False), subsample=subsample)
+        for u in utts]
+    # the model subsamples time ×subsample before scoring, so scores
+    # and mask must share T_sub exactly: clamp feats to T_sub·subsample
+    T_sub = max(f.num_frames for f in fsas)
+    T_full = T_sub * subsample
+    D = next(iter(feats.values())).shape[1]
+    N = len(utts)
+    fpad = np.zeros((N, T_full, D), np.float32)
+    mask = np.zeros((N, T_sub), bool)
+    for i, u in enumerate(utts):
+        fl = min(feats[u].shape[0], T_full)
+        fpad[i, :fl] = feats[u][:fl]
+        mask[i, :fsas[i].num_frames] = True
+    return ChainEgs(feats=fpad,
+                    pdf_ali=np.zeros((N, T_sub), np.int32),
+                    mask=mask, sup=pack_supervisions(fsas))
+
+
 def _batched_segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,
                                num_segments: int) -> jnp.ndarray:
     """vals (B, A), segs (B, A) int → (B, num_segments): per-row

@@ -59,6 +59,9 @@ class ChainEgs:
     self_w: np.ndarray = None      # (N, S_max) f32
     init_w: np.ndarray = None      # (N,) f32
     final_w: np.ndarray = None     # (N,) f32
+    # lattice-derived supervision: pack_supervisions() dict of padded
+    # FSA tensors (am/chain_supervision.py); overrides both numerators
+    sup: Dict[str, np.ndarray] = None
 
 
 def make_chain_egs(feats: Dict[str, np.ndarray],
@@ -206,6 +209,9 @@ class ChainTrainConfig:
     # tolerance, see am/chain.numerator_flexible_logprob); falls back to
     # the fixed alignment path when egs lack segment arrays
     use_flexible_numerator: bool = True
+    # boundary tolerance (subsampled frames) for lattice-derived
+    # supervision FSAs (egs.sup — chain-supervision's ±tolerance)
+    supervision_tolerance: int = 1
     # "ngsgd" = natural-gradient SGD with momentum (the reference's
     # nnet3 default, ops/natural_gradient.py); "adamw" = plain adamw
     optimizer: str = "adamw"
@@ -275,24 +281,27 @@ class ChainTrainer:
         self.opt_state = self.tx.init(self.params)
 
     def _loss_fn(self, params, batch_stats, feats, pdf_ali, mask,
-                 num_graph):
+                 num_graph, sup=None):
         scores, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             feats, train=True, mutable=["batch_stats"])
+        num_fsa = ((sup, self.cfg.supervision_tolerance)
+                   if sup is not None else None)
         loss, diag = chain_objf(self.den, scores, pdf_ali, mask,
-                                self.cfg.opts, num_graph=num_graph)
+                                self.cfg.opts, num_graph=num_graph,
+                                num_fsa=num_fsa)
         loss = loss + self.cfg.orthonormal_weight * \
             semi_orthogonal_penalty(params)
         return loss, (diag, updates["batch_stats"])
 
     def _train_step(self, params, batch_stats, opt_state, feats, pdf_ali,
-                    mask, num_graph=None):
+                    mask, num_graph=None, sup=None):
         if self.mesh is not None:
             feats = jax.lax.with_sharding_constraint(
                 feats, batch_sharding(self.mesh))
         (loss, (diag, new_bs)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, batch_stats, feats,
-                                         pdf_ali, mask, num_graph)
+                                         pdf_ali, mask, num_graph, sup)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss, diag
@@ -336,7 +345,11 @@ class ChainTrainer:
             for i in range(0, N - B + 1, B):
                 idx = order[i:i + B]
                 num_graph = None
-                if (self.cfg.use_flexible_numerator
+                sup = None
+                if egs.sup is not None:
+                    sup = {k: jnp.asarray(v[idx])
+                           for k, v in egs.sup.items()}
+                elif (self.cfg.use_flexible_numerator
                         and egs.entry_pdf is not None):
                     num_graph = (jnp.asarray(egs.entry_pdf[idx]),
                                  jnp.asarray(egs.self_pdf[idx]),
@@ -353,7 +366,7 @@ class ChainTrainer:
                                     jnp.asarray(egs.feats[idx]),
                                     jnp.asarray(egs.pdf_ali[idx]),
                                     jnp.asarray(egs.mask[idx]),
-                                    num_graph)
+                                    num_graph, sup)
                 step += 1
                 self._trained_steps += 1
                 if step % log_every == 0:

@@ -192,6 +192,71 @@ def test_supervision_from_lattice_matches_paths(pdf_maps):
                                atol=1e-4)
 
 
+def test_make_chain_egs_from_lattices_and_trainer(pdf_maps):
+    """Full loop: alignment lattices → egs with packed supervision →
+    ChainTrainer (egs.sup path) learns."""
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.chain_supervision import \
+        make_chain_egs_from_lattices
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.am.transitions import TransitionModel
+    from kaldi_tpu.lattice.lattice import CompactArc, CompactLattice
+    from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    tm = TransitionModel(topo, tree)
+    den = make_denominator_graph([[1, 2, 3], [3, 2, 1]], tree, topo)
+    fwd_tid, self_tid = {}, {}
+    for tid in range(1, tm.num_transition_ids + 1):
+        ph = tm.transition_id_to_phone(tid)
+        (self_tid if tm.is_self_loop(tid) else fwd_tid).setdefault(
+            ph, tid)
+
+    def tids(path):
+        out = []
+        for ph, dur in path:
+            out.extend([fwd_tid[ph]] + [self_tid[ph]] * (dur - 1))
+        return tuple(out)
+
+    def two_alt_lattice(pa, pb):
+        clat = CompactLattice()
+        s0, s1 = clat.add_state(), clat.add_state()
+        clat.start = s0
+        clat.arcs[s0].append(CompactArc(1, 0.0, 0.0, tids(pa), s1))
+        clat.arcs[s0].append(CompactArc(1, 0.7, 0.0, tids(pb), s1))
+        clat.finals[s1] = (0.0, 0.0, ())
+        return clat
+
+    rng = np.random.default_rng(9)
+    D = 5
+    paths = {"u0": ([(1, 9), (2, 9), (3, 9)], [(1, 12), (2, 6), (3, 9)]),
+             "u1": ([(3, 9), (2, 9), (1, 9)], [(3, 6), (2, 12), (1, 9)])}
+    lattices = {u: two_alt_lattice(pa, pb)
+                for u, (pa, pb) in paths.items()}
+    proto = {p: rng.standard_normal(D) for p in PHONES}
+    feats = {}
+    for u, (pa, _) in paths.items():
+        fs = []
+        for ph, dur in pa:
+            fs.extend([proto[ph] + 0.2 * rng.standard_normal(D)
+                       for _ in range(dur)])
+        feats[u] = np.asarray(fs, np.float32)
+    egs = make_chain_egs_from_lattices(feats, lattices, tm, tree, topo,
+                                       subsample=3)
+    assert egs.sup is not None
+    assert egs.feats.shape[1] == egs.mask.shape[1] * 3
+    cfg = TdnnConfig(feat_dim=D, num_pdfs=tree.num_pdfs, hidden_dim=12,
+                     bottleneck_dim=6, num_layers=2,
+                     frame_subsampling_factor=3)
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=25, batch_size=2, learning_rate=5e-3,
+        supervision_tolerance=1))
+    out = tr.train(egs, log_every=1000)
+    assert np.isfinite(out["loss"])
+    assert out["objf"] > -5.0
+
+
 def test_chain_training_with_lattice_supervision(pdf_maps):
     """End-to-end: gradients flow through the FSA numerator and the
     LF-MMI objective improves."""
