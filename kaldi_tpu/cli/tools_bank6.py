@@ -81,6 +81,31 @@ def fstshortestpath_tool(argv):
     return 0
 
 
+@tool("fstpush")
+def fstpush_tool(argv):
+    from kaldi_tpu.cli.tools_extra import _load_fst, _save_fst
+    from kaldi_tpu.fst.ops import push_weights
+    po = ParseOptions("fstpush [--push-weights=true] <fst-in> <fst-out>")
+    po.register("push-weights", bool, True, "push weights to initial")
+    args = po.read(argv)
+    f = _load_fst(args[0])
+    if po["push-weights"]:
+        f = push_weights(f)
+    _save_fst(args[1] if len(args) > 1 else "/dev/stdout", f)
+    return 0
+
+
+@tool("fstreverse")
+def fstreverse_tool(argv):
+    from kaldi_tpu.cli.tools_extra import _load_fst, _save_fst
+    from kaldi_tpu.fst.ops import reverse
+    po = ParseOptions("fstreverse <fst-in> <fst-out>")
+    args = po.read(argv)
+    _save_fst(args[1] if len(args) > 1 else "/dev/stdout",
+              reverse(_load_fst(args[0])))
+    return 0
+
+
 @tool("sgmm2-est")
 def sgmm2_est_tool(argv):
     """One SGMM2 EM iteration from feats + pdf alignments on disk.

@@ -424,6 +424,64 @@ def shortest_distance(fst: VectorFst) -> List[float]:
     return dist
 
 
+def reverse(fst: VectorFst) -> VectorFst:
+    """fstreverse: swap start/finals and flip every arc.  A new
+    superinitial state fans out to the old finals carrying their final
+    weights (OpenFst Reverse semantics, minus its state renumbering)."""
+    out = VectorFst()
+    n = fst.num_states
+    for _ in range(n + 1):
+        out.add_state()
+    super_init = n
+    out.set_start(super_init)
+    if fst.start >= 0:
+        out.set_final(fst.start, 0.0)
+    for s in range(n):
+        for a in fst.arcs[s]:
+            out.add_arc(a.nextstate, Arc(a.ilabel, a.olabel, a.weight, s))
+        fw = fst.final(s)
+        if fw != INF:
+            out.add_arc(super_init, Arc(EPS, EPS, fw, s))
+    return out
+
+
+def push_weights(fst: VectorFst) -> VectorFst:
+    """fstpush --push_weights (to initial): reweight every arc by the
+    min-plus potentials V(s) = distance from s to a final state:
+        w'(s→d) = w + V(d) − V(s),  final'(s) = final(s) − V(s)
+    with V(start) charged on the initial arcs, so every path total is
+    unchanged while each state's cheapest continuation becomes 0 (the
+    reweighting OpenFst Push/Kaldi pushspecial perform in tropical)."""
+    n = fst.num_states
+    if fst.start < 0:
+        return fst
+    V = shortest_distance(reverse(fst))   # distance-to-final
+    # reverse() keeps original state ids 0..n-1; drop the superinitial
+    V = V[:n]
+    out = VectorFst()
+    for _ in range(n):
+        out.add_state()
+    out.set_start(fst.start)
+    v0 = V[fst.start] if V[fst.start] != INF else 0.0
+    for s in range(n):
+        vs = V[s]
+        if vs == INF:
+            continue                        # not coaccessible; dropped
+        for a in fst.arcs[s]:
+            vd = V[a.nextstate]
+            if vd == INF:
+                continue
+            w = a.weight + vd - vs
+            if s == fst.start:
+                w += v0
+            out.add_arc(s, Arc(a.ilabel, a.olabel, w, a.nextstate))
+        fw = fst.final(s)
+        if fw != INF:
+            w = fw - vs + (v0 if s == fst.start else 0.0)
+            out.set_final(s, w)
+    return connect(out)
+
+
 def shortest_path(fst: VectorFst) -> Tuple[List[Arc], float]:
     """Best path from start to a final state → (arc list, total cost)."""
     n = fst.num_states

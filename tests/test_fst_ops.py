@@ -210,3 +210,47 @@ def test_determinize_star_cyclic_lexicon_like():
         labels = [a.ilabel for a in d.arcs[s] if a.ilabel != EPS]
         assert len(labels) == len(set(labels))
     assert rand_equivalent(f, d, num_paths=50, seed=3)
+
+
+# ---------------------------------------------------------------------------
+# push / reverse (fstpush / fstreverse roles)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(6))
+def test_push_weights_preserves_language_and_normalizes(seed):
+    from kaldi_tpu.fst.ops import push_weights, rand_equivalent
+    rng = random.Random(100 + seed)
+    f = rand_acyclic_fst(rng, num_states=12, num_arcs=26)
+    if f.start < 0:
+        return
+    p = push_weights(f)
+    assert rand_equivalent(f, p, num_paths=40, seed=seed)
+    # every state's cheapest continuation is now 0 (up to the start
+    # state's constant shift)
+    from kaldi_tpu.fst.fst import INF
+    for s in range(p.num_states):
+        opts = [a.weight for a in p.arcs[s]]
+        fw = p.final(s)
+        if fw != INF:
+            opts.append(fw)
+        if not opts:
+            continue
+        base = min(opts)
+        if s != p.start:
+            assert abs(base) < 1e-6, f"state {s} min weight {base}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_reverse_reverses_paths(seed):
+    from kaldi_tpu.fst.ops import reverse, shortest_path
+    rng = random.Random(200 + seed)
+    f = rand_acyclic_fst(rng, num_states=10, num_arcs=22, eps_prob=0.0)
+    if f.start < 0:
+        return
+    r = reverse(f)
+    arcs_f, cost_f = shortest_path(f)
+    arcs_r, cost_r = shortest_path(r)
+    assert cost_r == pytest.approx(cost_f, abs=1e-6)
+    labs_f = [a.ilabel for a in arcs_f if a.ilabel]
+    labs_r = [a.ilabel for a in arcs_r if a.ilabel]
+    assert labs_r == labs_f[::-1]
