@@ -37,22 +37,29 @@ def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
 
 
 class TdnnFLayer(nn.Module):
-    """Factorized TDNN layer with bottleneck + bypass."""
+    """Factorized TDNN layer with bottleneck + bypass.
+
+    `dtype` is the computation dtype for the matmuls (params stay
+    float32): bfloat16 runs the MXU at ~4× the f32 rate — the TPU
+    equivalent of the reference's CUDA half-precision kernels."""
     dim: int
     bottleneck: int
     time_stride: int = 1            # context offset s
     bypass_scale: float = 0.66
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # factor 1: constrained (semi-orthogonal), context [t-s, t]
         h = splice(x, (-self.time_stride, 0) if self.time_stride else (0,))
-        h = nn.Dense(self.bottleneck, use_bias=False, name="linear")(h)
+        h = nn.Dense(self.bottleneck, use_bias=False, name="linear",
+                     dtype=self.dtype)(h)
         # factor 2: context [t, t+s]
         h = splice(h, (0, self.time_stride) if self.time_stride else (0,))
-        h = nn.Dense(self.dim, name="affine")(h)
+        h = nn.Dense(self.dim, name="affine", dtype=self.dtype)(h)
         h = nn.relu(h)
+        h = h.astype(jnp.float32)
         h = nn.BatchNorm(use_running_average=not train, use_bias=False,
                          use_scale=False, name="batchnorm")(h)
         if self.dropout > 0.0 and train:
@@ -72,6 +79,9 @@ class TdnnConfig:
     frame_subsampling_factor: int = 3
     # per-layer time strides: early layers short, later dilated (1d recipe)
     strides: Optional[Sequence[int]] = None
+    # "bfloat16" runs the matmuls on the MXU's fast path (params and
+    # batchnorm stay f32); "float32" is the default/reference-accuracy
+    compute_dtype: str = "float32"
 
     def layer_strides(self) -> Sequence[int]:
         if self.strides is not None:
@@ -88,21 +98,22 @@ class TdnnChain(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.config
+        dt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
         # input splice ±1 (the lda-ish input context of the 1d recipe)
         h = splice(x, (-1, 0, 1))
-        h = nn.Dense(cfg.hidden_dim, name="input_affine")(h)
-        h = nn.relu(h)
+        h = nn.Dense(cfg.hidden_dim, name="input_affine", dtype=dt)(h)
+        h = nn.relu(h).astype(jnp.float32)
         h = nn.BatchNorm(use_running_average=not train, use_bias=False,
                          use_scale=False, name="input_bn")(h)
         for i, s in enumerate(cfg.layer_strides()):
             h = TdnnFLayer(cfg.hidden_dim, cfg.bottleneck_dim, time_stride=s,
-                           name=f"tdnnf{i + 1}")(h, train=train)
+                           dtype=dt, name=f"tdnnf{i + 1}")(h, train=train)
         # frame subsampling: take every k-th frame before the output layers
         k = cfg.frame_subsampling_factor
         if k > 1:
             h = h[:, ::k, :]
-        h = nn.Dense(cfg.hidden_dim, name="prefinal")(h)
-        h = nn.relu(h)
+        h = nn.Dense(cfg.hidden_dim, name="prefinal", dtype=dt)(h)
+        h = nn.relu(h).astype(jnp.float32)
         h = nn.BatchNorm(use_running_average=not train, use_bias=False,
                          use_scale=False, name="prefinal_bn")(h)
         out = nn.Dense(cfg.num_pdfs, name="output_affine",

@@ -80,3 +80,33 @@ output-layer name=output dim=20 include-log-softmax=false
     # 20 heights × 8 filters = 160 → tdnnf3 input
     k = variables["params"]["tdnnf3"]["linear"]["kernel"]
     assert k.shape[0] == 2 * 160   # two splice taps × 160
+
+
+def test_tdnn_bfloat16_compute_matches_f32():
+    """compute_dtype="bfloat16" runs the MXU fast path with params in
+    f32: outputs stay close to the f32 reference and argmax rarely
+    moves (mixed-precision inference contract)."""
+    import jax
+    from kaldi_tpu.am.tdnn import TdnnChain, TdnnConfig
+    rng = np.random.default_rng(0)
+    base = dict(feat_dim=24, num_pdfs=64, hidden_dim=64,
+                bottleneck_dim=16, num_layers=3,
+                frame_subsampling_factor=3)
+    m32 = TdnnChain(TdnnConfig(**base))
+    m16 = TdnnChain(TdnnConfig(**base, compute_dtype="bfloat16"))
+    x = jnp.asarray(rng.standard_normal((2, 30, 24)), jnp.float32)
+    v = m32.init(jax.random.PRNGKey(0), x)
+    # zero-init output layer makes outputs 0; plant a random kernel
+    params = jax.tree_util.tree_map(lambda a: a, v["params"])
+    params["output_affine"] = {
+        "kernel": jnp.asarray(rng.standard_normal(
+            params["output_affine"]["kernel"].shape) * 0.1, jnp.float32),
+        "bias": params["output_affine"]["bias"]}
+    vv = {"params": params, "batch_stats": v["batch_stats"]}
+    o32 = np.asarray(m32.apply(vv, x))
+    o16 = np.asarray(m16.apply(vv, x))
+    assert o16.dtype == np.float32        # outputs come back f32
+    scale = np.abs(o32).max() + 1e-6
+    assert np.abs(o16 - o32).max() / scale < 0.05
+    agree = (o16.argmax(-1) == o32.argmax(-1)).mean()
+    assert agree > 0.9
