@@ -22,6 +22,7 @@ achieved TFLOP/s (the CuDevice::PrintProfile role — SURVEY.md §5).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -195,6 +196,19 @@ def main():
         log.info("bench: TDNN-F scoring %.2f ms / (16×512) frames, "
                  "%.1f TFLOP/s achieved (%d params; v5e peak ≈197 bf16 "
                  "/ ~49 f32)", dt * 1e3, tflops, params)
+        # bfloat16 fast path (same params; matmuls on the MXU bf16 rate)
+        m16 = TdnnChain(dataclasses.replace(cfg,
+                                            compute_dtype="bfloat16"))
+        fwd16 = jax.jit(lambda x: m16.apply(variables, x, train=False))
+        jax.block_until_ready(fwd16(xb))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            o = fwd16(xb)
+        jax.block_until_ready(o)
+        dt16 = (time.perf_counter() - t0) / 5
+        log.info("bench: TDNN-F scoring bf16 %.2f ms (%.1f TFLOP/s, "
+                 "%.1fx f32)", dt16 * 1e3, flops / dt16 / 1e12,
+                 dt / dt16)
     except Exception as e:      # MFU probe must never fail the bench
         log.warning("bench: MFU probe failed: %s", e)
 
