@@ -9,4 +9,11 @@ except (AttributeError, ValueError):
 
 from kaldi_tpu.cli import main
 
-sys.exit(main())
+
+def entry():
+    """console_scripts hook (pyproject [project.scripts])."""
+    return main()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
