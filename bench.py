@@ -51,7 +51,8 @@ def main():
     except Exception:
         pass
     t0 = time.time()
-    task = make_largevocab_task(vocab_size=20000, order=3, seed=7,
+    vocab = int(os.environ.get("KALDI_TPU_BENCH_VOCAB", "20000"))
+    task = make_largevocab_task(vocab_size=vocab, order=3, seed=7,
                                 closure=False)
     log.info("bench: graph %d states, %d arcs (%.1fs)",
              task.graph.csr.num_states,

@@ -50,11 +50,14 @@ class SupervisionFsa:
     dst: np.ndarray          # (A,) int32
     entry_pdf: np.ndarray    # (A,) int32
     self_pdf: np.ndarray     # (A,) int32
-    weight: np.ndarray       # (A,) f32 log-space (graph/LM weight)
+    weight: np.ndarray       # (A,) f32 log-space entry weight
     bt: np.ndarray           # (S,) int32 boundary frames
     start: int
     final: np.ndarray        # (S,) bool
     num_frames: int          # T at the subsampled rate
+    phone: Optional[np.ndarray] = None     # (A,) phone of each arc
+    self_w: Optional[np.ndarray] = None    # (A,) per-self-frame weight
+    final_w: Optional[np.ndarray] = None   # (A,) end-of-sequence weight
 
     @property
     def num_states(self) -> int:
@@ -74,6 +77,7 @@ def supervision_from_phone_runs(
     epdf: List[int] = []
     spdf: List[int] = []
     wgt: List[float] = []
+    phn: List[int] = []
     bt: List[int] = [0]
     final: List[bool] = [False]
     start = 0
@@ -97,6 +101,7 @@ def supervision_from_phone_runs(
             epdf.append(entry_pdf_of(phone))
             spdf.append(self_pdf_of(phone))
             wgt.append(pw if k == 0 else 0.0)
+            phn.append(phone)
             cur = nxt
     return SupervisionFsa(
         src=np.asarray(srcs, np.int32), dst=np.asarray(dsts, np.int32),
@@ -104,7 +109,8 @@ def supervision_from_phone_runs(
         self_pdf=np.asarray(spdf, np.int32),
         weight=np.asarray(wgt, np.float32),
         bt=np.asarray(bt, np.int32), start=start,
-        final=np.asarray(final, bool), num_frames=num_frames)
+        final=np.asarray(final, bool), num_frames=num_frames,
+        phone=np.asarray(phn, np.int32))
 
 
 def supervision_from_lattice(clat: CompactLattice, tm,
@@ -124,6 +130,7 @@ def supervision_from_lattice(clat: CompactLattice, tm,
     epdf: List[int] = []
     spdf: List[int] = []
     wgt: List[float] = []
+    phn: List[int] = []
     # supervision state per (lattice state): boundary at its time
     bt: List[int] = [t // subsample for t in times]
     final = [s in clat.finals for s in range(clat.num_states)]
@@ -147,6 +154,7 @@ def supervision_from_lattice(clat: CompactLattice, tm,
                 epdf.append(entry_pdf_of(phone))
                 spdf.append(self_pdf_of(phone))
                 wgt.append(w if k == 0 else 0.0)
+                phn.append(phone)
                 cur = nxt
     T = max(times[s] for s in clat.finals) // subsample
     return SupervisionFsa(
@@ -155,7 +163,80 @@ def supervision_from_lattice(clat: CompactLattice, tm,
         self_pdf=np.asarray(spdf, np.int32),
         weight=np.asarray(wgt, np.float32),
         bt=np.asarray(bt, np.int32), start=clat.start,
-        final=np.asarray(final, bool), num_frames=T)
+        final=np.asarray(final, bool), num_frames=T,
+        phone=np.asarray(phn, np.int32))
+
+
+def add_normalization_weights(fsa: SupervisionFsa, den
+                              ) -> SupervisionFsa:
+    """Compose the supervision FSA with the denominator's
+    normalization weights (chain-supervision.h
+    AddWeightToSupervisionFst): every arc gains the den graph's
+    phone-LM + topology log-probs, making numerator − denominator a
+    properly normalized (≤ 0) log-likelihood ratio.
+
+    Weights depend on the phone HISTORY, so states are expanded to
+    (supervision state, den LM state) pairs — lattice states that merge
+    different histories split, exactly as the reference's FST
+    composition does."""
+    lm = den.lm
+    if lm is None or fsa.phone is None:
+        raise KaldiError("add_normalization_weights needs a den graph "
+                         "with its PhoneLm and an FSA with phones")
+    pidx = {p: i for i, p in enumerate(lm.phones)}
+    out_arcs: List[Tuple[int, int, int, int, float, float, float, int]] \
+        = []   # (src', dst', epdf, spdf, entry_w, self_w, final_w, phn)
+    bt: List[int] = []
+    final: List[bool] = []
+    state_map: Dict[Tuple[int, int], int] = {}
+
+    def new_state(s: int, lmst: int) -> int:
+        key = (s, lmst)
+        if key not in state_map:
+            state_map[key] = len(bt)
+            bt.append(int(fsa.bt[s]))
+            final.append(bool(fsa.final[s]))
+        return state_map[key]
+
+    arcs_out: Dict[int, List[int]] = {}
+    for a in range(len(fsa.src)):
+        arcs_out.setdefault(int(fsa.src[a]), []).append(a)
+
+    start = new_state(fsa.start, -1)     # -1 = no phone yet
+    stack = [(fsa.start, -1)]
+    seen = {(fsa.start, -1)}
+    while stack:
+        s, lmst = stack.pop()
+        sid = state_map[(s, lmst)]
+        for a in arcs_out.get(s, []):
+            c = pidx[int(fsa.phone[a])]
+            if lmst < 0:
+                nl = lm.state_of((int(fsa.phone[a]),))
+                ew = float(den.initial[nl])
+            else:
+                nl = int(lm.next_state[lmst, c])
+                ew = float(den.l_fwd[lmst] + lm.next_logp[lmst, c])
+            d = int(fsa.dst[a])
+            did = new_state(d, nl)
+            out_arcs.append((
+                sid, did, int(fsa.entry_pdf[a]), int(fsa.self_pdf[a]),
+                float(fsa.weight[a]) + ew, float(den.l_self[nl]),
+                float(den.final[nl]) if fsa.final[d] else 0.0,
+                int(fsa.phone[a])))
+            if (d, nl) not in seen:
+                seen.add((d, nl))
+                stack.append((d, nl))
+    arr = list(zip(*out_arcs))
+    return SupervisionFsa(
+        src=np.asarray(arr[0], np.int32), dst=np.asarray(arr[1], np.int32),
+        entry_pdf=np.asarray(arr[2], np.int32),
+        self_pdf=np.asarray(arr[3], np.int32),
+        weight=np.asarray(arr[4], np.float32),
+        bt=np.asarray(bt, np.int32), start=start,
+        final=np.asarray(final, bool), num_frames=fsa.num_frames,
+        phone=np.asarray(arr[7], np.int32),
+        self_w=np.asarray(arr[5], np.float32),
+        final_w=np.asarray(arr[6], np.float32))
 
 
 def pack_supervisions(fsas: Sequence[SupervisionFsa]
@@ -171,6 +252,8 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         "entry_pdf": np.zeros((B, A), np.int32),
         "self_pdf": np.zeros((B, A), np.int32),
         "weight": np.full((B, A), NEG, np.float32),
+        "self_w": np.zeros((B, A), np.float32),
+        "final_w": np.zeros((B, A), np.float32),
         "bt": np.zeros((B, S), np.int32),
         "start": np.zeros(B, np.int32),
         "final": np.zeros((B, S), bool),
@@ -184,6 +267,10 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         out["entry_pdf"][b, :a] = f.entry_pdf
         out["self_pdf"][b, :a] = f.self_pdf
         out["weight"][b, :a] = f.weight
+        if f.self_w is not None:
+            out["self_w"][b, :a] = f.self_w
+        if f.final_w is not None:
+            out["final_w"][b, :a] = f.final_w
         out["bt"][b, :s] = f.bt
         # padding arcs self-loop on a dead state with weight −inf
         out["src"][b, a:] = S - 1 if s < S else f.src[0]
@@ -196,12 +283,13 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
 
 def make_chain_egs_from_lattices(
         feats: Dict[str, np.ndarray], lattices: Dict[str, CompactLattice],
-        tm, tree, topo, subsample: int = 3):
+        tm, tree, topo, subsample: int = 3, den=None):
     """Whole-utterance chain egs with lattice-derived supervision
     (the get_egs.sh path that consumes alignment LATTICES rather than
     single best alignments).  Returns a ChainEgs whose `sup` field
     carries the packed supervision FSAs; feats are padded to the batch
-    max and masked."""
+    max and masked.  Pass the DenominatorGraph as `den` to compose the
+    normalization weights in (objf ≤ 0 contract)."""
     from kaldi_tpu.pipelines.chain import ChainEgs
 
     def pdfs_for(phone, is_entry):
@@ -217,6 +305,8 @@ def make_chain_egs_from_lattices(
         lattices[u], tm, lambda p: pdfs_for(p, True),
         lambda p: pdfs_for(p, False), subsample=subsample)
         for u in utts]
+    if den is not None:
+        fsas = [add_normalization_weights(f, den) for f in fsas]
     # the model subsamples time ×subsample before scoring, so scores
     # and mask must share T_sub exactly: clamp feats to T_sub·subsample
     T_sub = max(f.num_frames for f in fsas)
@@ -263,6 +353,10 @@ def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
     entry_pdf = jnp.asarray(sup["entry_pdf"])
     self_pdf = jnp.asarray(sup["self_pdf"])
     weight = jnp.asarray(sup["weight"])
+    self_w = (jnp.asarray(sup["self_w"]) if "self_w" in sup
+              else jnp.zeros_like(weight))
+    final_w = (jnp.asarray(sup["final_w"]) if "final_w" in sup
+               else jnp.zeros_like(weight))
     bt = jnp.asarray(sup["bt"])
     start = jnp.asarray(sup["start"])
     final = jnp.asarray(sup["final"])
@@ -304,7 +398,7 @@ def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
         # end is pruned by requiring t within (bt_src−tol, bt_dst+tol)
         ok_stay = (t > bt_src - tol) & (t < bt_dst + tol)
         stay = jnp.where(ok_stay,
-                         alpha + gather_pdf(score_t, self_pdf),
+                         alpha + gather_pdf(score_t, self_pdf) + self_w,
                          jnp.float32(NEG))
         new = jnp.logaddexp(stay, enter)
         m = jnp.maximum(jnp.max(new, axis=1, keepdims=True),
@@ -322,4 +416,4 @@ def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
     fin_ok = (jnp.take_along_axis(final, dst, axis=1)
               & (jnp.abs(num_frames[:, None] - bt_dst) <= tol))
     return corr + jax.scipy.special.logsumexp(
-        jnp.where(fin_ok, alphaT, jnp.float32(NEG)), axis=1)
+        jnp.where(fin_ok, alphaT + final_w, jnp.float32(NEG)), axis=1)

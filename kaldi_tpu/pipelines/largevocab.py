@@ -186,6 +186,12 @@ def run(vocab: int = 20000, n_utts: int = 32, noise: float = 0.5,
                                         lattice_arcs_per_frame=lattice_arcs))
     utts = sorted(lls)
     hyps = {}
+    # warmup: compile the batch shape(s) outside the timed region (the
+    # persistent jit cache makes repeat runs warm anyway)
+    warm = utts[:batch]
+    Xw = np.zeros((len(warm), T_pad, task.num_pdfs), np.float32)
+    lw = np.ones(len(warm), np.int32) * min(64, T_pad)
+    dec.decode_lattice_batch(Xw, lw)
     timer = Timer()
     audio_s = 0.0
     for i in range(0, len(utts), batch):
@@ -199,7 +205,9 @@ def run(vocab: int = 20000, n_utts: int = 32, noise: float = 0.5,
         for u, lat in zip(chunk, lats):
             hyp = lat.best_path()[1]
             hyps[u] = [task.words.find(o) for o in hyp]
-        audio_s += lens.sum() * 0.01
+        # frames are chain-subsampled (×3): 30 ms each, same accounting
+        # as bench.py
+        audio_s += lens.sum() * 0.03
     dt = timer.elapsed()
     wer = compute_wer(eval_set, hyps)
     log.info("largevocab decode: %s | %.1f audio-s in %.1fs = "

@@ -257,6 +257,41 @@ def test_make_chain_egs_from_lattices_and_trainer(pdf_maps):
     assert out["objf"] > -5.0
 
 
+def test_normalization_weights_bound_numerator(pdf_maps):
+    """With normalization weights composed in, the supervision paths
+    are a weighted subset of the denominator's: num ≤ den for ANY
+    scores (the AddWeightToSupervisionFst contract), and the weights
+    change the numerator (they are actually applied)."""
+    import jax.numpy as jnp
+    from kaldi_tpu.am.chain import (denominator_logprob,
+                                    make_denominator_graph)
+    from kaldi_tpu.am.chain_supervision import add_normalization_weights
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    den = make_denominator_graph(
+        [[1, 2, 3], [3, 2, 1], [2, 1, 3], [1, 3, 2]], tree, topo,
+        order=2)
+    rng = np.random.default_rng(11)
+    T = 10
+    paths = [[(1, 3), (2, 4), (3, 3)], [(1, 4), (3, 3), (2, 3)]]
+    raw = supervision_from_phone_runs(paths, [0.0, 0.0], e_of, s_of, T)
+    norm = add_normalization_weights(raw, den)
+    assert norm.self_w is not None and (norm.self_w < 0).all()
+    sup_raw = pack_supervisions([raw])
+    sup_norm = pack_supervisions([norm])
+    for trial in range(5):
+        scores = _scores(rng, 1, T, P)
+        num = float(numerator_fsa_logprob(scores, sup_norm,
+                                          tolerance=1)[0])
+        d = float(denominator_logprob(den, scores,
+                                      mask=jnp.ones((1, T), bool))[0])
+        assert num <= d + 1e-3, f"trial {trial}: num {num} > den {d}"
+        num_raw = float(numerator_fsa_logprob(scores, sup_raw,
+                                              tolerance=1)[0])
+        assert num < num_raw      # weights subtract mass
+
+
 def test_chain_training_with_lattice_supervision(pdf_maps):
     """End-to-end: gradients flow through the FSA numerator and the
     LF-MMI objective improves."""
