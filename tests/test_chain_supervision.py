@@ -257,6 +257,35 @@ def test_make_chain_egs_from_lattices_and_trainer(pdf_maps):
     assert out["objf"] > -5.0
 
 
+def test_fsa_numerator_gradient_finite_difference(pdf_maps):
+    """∂logprob/∂scores from autodiff matches central finite
+    differences (the nnet-derivative-test pattern); the gradient is a
+    posterior: rows sum to ~1 over active frames."""
+    import jax
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(21)
+    T = 8
+    paths = [[(1, 3), (2, 5)], [(1, 5), (3, 3)]]
+    fsa = supervision_from_phone_runs(paths, [-0.2, -0.9], e_of, s_of, T)
+    sup = pack_supervisions([fsa])
+    scores = np.asarray(_scores(rng, 1, T, P))
+
+    def f(s):
+        return numerator_fsa_logprob(jnp.asarray(s), sup, tolerance=1)[0]
+
+    g = np.asarray(jax.grad(lambda s: f(s))(jnp.asarray(scores)))
+    # occupancy posteriors: each frame's gradient row sums to 1
+    np.testing.assert_allclose(g[0].sum(axis=1), 1.0, atol=1e-4)
+    eps = 1e-3
+    for (t, p) in [(0, 1), (3, 2), (7, 0), (5, 4 % P)]:
+        sp = scores.copy()
+        sp[0, t, p] += eps
+        sm = scores.copy()
+        sm[0, t, p] -= eps
+        fd = (float(f(sp)) - float(f(sm))) / (2 * eps)
+        assert fd == pytest.approx(float(g[0, t, p]), abs=2e-3)
+
+
 def test_normalization_weights_bound_numerator(pdf_maps):
     """With normalization weights composed in, the supervision paths
     are a weighted subset of the denominator's: num ≤ den for ANY
