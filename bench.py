@@ -91,9 +91,17 @@ def main():
     # below proves it per run)
     # record_capacity bounds the fixed-shape record fetch (measured
     # ~5.4k records/utt on this task; overflow raises, never silent)
+    # arc-budget sweep (2026-08-18, v5e): 12288→128 audio-s/s,
+    # 8192→147, 6144→156, 4096→187, 3072→194 (host-bound) — all with
+    # identical eval WER AND byte-identical best paths/costs on sampled
+    # utterances (the adaptive cost cutoff only drops beam-prunable
+    # arcs); default 4096 keeps margin over the host-bound knee
+    arc_budget = int(os.environ.get("KALDI_TPU_BENCH_ARC_BUDGET",
+                                    "4096"))
     lat_cfg = BeamDecoderConfig(beam=13.0, max_active=7000,
                                 acoustic_scale=1.0, lattice_beam=7.0,
-                                arc_budget=12288, token_capacity=2048, arc_block=8,
+                                arc_budget=arc_budget,
+                                token_capacity=2048, arc_block=8,
                                 lattice_arcs_per_frame=4096,
                                 record_capacity=16384)
     dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, lat_cfg)
