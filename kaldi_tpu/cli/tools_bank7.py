@@ -42,10 +42,19 @@ def online2_wav_nnet3_latgen_faster(argv):
     po.register("sample-frequency", float, 16000.0, "expected rate")
     po.register("num-ceps", int, 13, "MFCC cepstra (model input dim)")
     po.register("word-symbol-table", str, "", "words.txt")
+    po.register("ivector-extractor", str, "",
+                "online i-vectors appended to features (the "
+                "OnlineIvectorFeature role)")
+    po.register("ivector-period", int, 10,
+                "re-estimate the i-vector every N frames")
     args = po.read(argv)
     if len(args) != 5:
         po.print_usage()
         return 1
+    extractor = None
+    if po["ivector-extractor"]:
+        from kaldi_tpu.am.ivector import read_ivector_extractor
+        extractor = read_ivector_extractor(po["ivector-extractor"])
     tm, _ = read_mdl(args[0])
     _, fwd = _load_tdnn(args[1], po["frame-subsampling-factor"])
     dec = DenseDecoder(_load_fst(args[2]), tm.tid_to_pdf_array,
@@ -68,7 +77,13 @@ def online2_wav_nnet3_latgen_faster(argv):
             if rate != po["sample-frequency"]:
                 raise KaldiError(f"{key}: rate {rate} != "
                                  f"{po['sample-frequency']}")
-            pipe = OnlineFeaturePipeline(mfcc)
+            est = None
+            if extractor is not None:
+                from kaldi_tpu.am.ivector import OnlineIvectorEstimator
+                est = OnlineIvectorEstimator(extractor)
+            pipe = OnlineFeaturePipeline(
+                mfcc, ivector_estimator=est,
+                ivector_period=po["ivector-period"])
             scorer = OnlineNnetScorer(
                 fwd, subsample=po["frame-subsampling-factor"])
             online = SingleUtteranceDecoder(dec)

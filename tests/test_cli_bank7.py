@@ -118,3 +118,29 @@ def test_online2_wav_nnet3_latgen(tmp_path, rng):
     assert rc == 0
     out = open(f"{tmp_path}/tra.txt").read()
     assert out.startswith("u")
+
+    # with online i-vectors: model input widens by the i-vector dim
+    # (the OnlineIvectorFeature append contract)
+    from kaldi_tpu.am.ivector import (IvectorExtractor,
+                                      write_ivector_extractor)
+    ivdim = 3
+    ex = IvectorExtractor(np.zeros((2, 13)), np.ones((2, 13)),
+                          np.full(2, 0.5), ivector_dim=ivdim, seed=0)
+    ivex = str(tmp_path / "final.ie")
+    write_ivector_extractor(ivex, ex)
+    cfg_iv = TdnnConfig(feat_dim=13 + ivdim, num_pdfs=tree.num_pdfs,
+                        hidden_dim=16, bottleneck_dim=4, num_layers=2,
+                        frame_subsampling_factor=3)
+    net_iv = TdnnChain(cfg_iv)
+    v_iv = net_iv.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 30, 13 + ivdim), np.float32),
+                       train=False)
+    raw_iv = str(tmp_path / "final_iv.raw")
+    write_raw_model(raw_iv, v_iv["params"], v_iv["batch_stats"], cfg_iv)
+    rc = TOOLS["online2-wav-nnet3-latgen-faster"](
+        ["--chunk-length=0.2", f"--ivector-extractor={ivex}",
+         f"--word-symbol-table={words_txt}",
+         mdl, raw_iv, fst_txt, f"ark:{tmp_path}/wav.ark",
+         f"ark,t:{tmp_path}/tra_iv.txt"])
+    assert rc == 0
+    assert open(f"{tmp_path}/tra_iv.txt").read().startswith("u")
