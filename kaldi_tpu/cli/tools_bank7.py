@@ -47,6 +47,8 @@ def online2_wav_nnet3_latgen_faster(argv):
                 "OnlineIvectorFeature role)")
     po.register("ivector-period", int, 10,
                 "re-estimate the i-vector every N frames")
+    po.register("do-endpointing", bool, False,
+                "stop decoding at a detected endpoint")
     args = po.read(argv)
     if len(args) != 5:
         po.print_usage()
@@ -88,6 +90,7 @@ def online2_wav_nnet3_latgen_faster(argv):
                 fwd, subsample=po["frame-subsampling-factor"])
             online = SingleUtteranceDecoder(dec)
             fed = 0
+            endpointed = False
             for i in range(0, len(wave), chunk):
                 pipe.accept_waveform(np.asarray(wave[i:i + chunk],
                                                 np.float32))
@@ -98,14 +101,18 @@ def online2_wav_nnet3_latgen_faster(argv):
                 scores = scorer.read_new()
                 if scores.size:
                     online.advance_decoding(scores)
-            pipe.input_finished()
-            ready = pipe.num_frames_ready()
-            if ready > fed:
-                scorer.accept_features(pipe.get_frames(fed, ready))
-            scorer.input_finished()
-            scores = scorer.read_new()
-            if scores.size:
-                online.advance_decoding(scores)
+                if po["do-endpointing"] and online.endpoint_detected():
+                    endpointed = True
+                    break
+            if not endpointed:
+                pipe.input_finished()
+                ready = pipe.num_frames_ready()
+                if ready > fed:
+                    scorer.accept_features(pipe.get_frames(fed, ready))
+                scorer.input_finished()
+                scores = scorer.read_new()
+                if scores.size:
+                    online.advance_decoding(scores)
             _, ols, cost = online.get_best_path(use_final_probs=True)
             text = [words_tab.find(o) if words_tab else str(o)
                     for o in ols]
