@@ -58,6 +58,9 @@ class SupervisionFsa:
     phone: Optional[np.ndarray] = None     # (A,) phone of each arc
     self_w: Optional[np.ndarray] = None    # (A,) per-self-frame weight
     final_w: Optional[np.ndarray] = None   # (A,) end-of-sequence weight
+    # chunk-boundary flags (chunk_supervision): start/end mid-utterance
+    mid_start: bool = False
+    mid_end: bool = False
 
     @property
     def num_states(self) -> int:
@@ -167,6 +170,45 @@ def supervision_from_lattice(clat: CompactLattice, tm,
         phone=np.asarray(phn, np.int32))
 
 
+def chunk_supervision(fsa: SupervisionFsa, c0: int, c1: int
+                      ) -> SupervisionFsa:
+    """Restrict a supervision FSA to frames [c0, c1) (the fixed-chunk
+    cutting of get_egs.sh).  Boundary times shift by −c0; arcs whose
+    time window cannot intersect the chunk are dropped.  A chunk that
+    starts (ends) mid-utterance marks mid_start (mid_end): the forward
+    may then begin inside any arc alive at the boundary and finish in
+    any arc alive at the end, matching the reference's chunk-boundary
+    semantics (supervision need not begin at the utterance start or
+    reach a final state)."""
+    T = c1 - c0
+    keep = []
+    for a in range(len(fsa.src)):
+        lo = int(fsa.bt[fsa.src[a]]) - c0
+        hi = int(fsa.bt[fsa.dst[a]]) - c0
+        if hi < 0 or lo > T:
+            continue
+        keep.append(a)
+    keep = np.asarray(keep, np.int64)
+    # states renumber densely over the kept arcs (+ start)
+    used = sorted(set(fsa.src[keep].tolist())
+                  | set(fsa.dst[keep].tolist()) | {fsa.start})
+    remap = {s: i for i, s in enumerate(used)}
+    return SupervisionFsa(
+        src=np.asarray([remap[s] for s in fsa.src[keep]], np.int32),
+        dst=np.asarray([remap[s] for s in fsa.dst[keep]], np.int32),
+        entry_pdf=fsa.entry_pdf[keep], self_pdf=fsa.self_pdf[keep],
+        weight=fsa.weight[keep],
+        bt=np.asarray([int(fsa.bt[s]) - c0 for s in used], np.int32),
+        start=remap[fsa.start],
+        final=np.asarray([bool(fsa.final[s]) for s in used]),
+        num_frames=T,
+        phone=None if fsa.phone is None else fsa.phone[keep],
+        self_w=None if fsa.self_w is None else fsa.self_w[keep],
+        final_w=(np.zeros(len(keep), np.float32)
+                 if fsa.final_w is not None else None),
+        mid_start=c0 > 0, mid_end=c1 < fsa.num_frames)
+
+
 def add_normalization_weights(fsa: SupervisionFsa, den
                               ) -> SupervisionFsa:
     """Compose the supervision FSA with the denominator's
@@ -259,6 +301,8 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         "final": np.zeros((B, S), bool),
         "num_frames": np.zeros(B, np.int32),
         "num_states": np.full(B, S, np.int32),
+        "mid_start": np.zeros(B, bool),
+        "mid_end": np.zeros(B, bool),
     }
     for b, f in enumerate(fsas):
         a, s = len(f.src), f.num_states
@@ -278,12 +322,15 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         out["start"][b] = f.start
         out["final"][b, :s] = f.final
         out["num_frames"][b] = f.num_frames
+        out["mid_start"][b] = f.mid_start
+        out["mid_end"][b] = f.mid_end
     return out
 
 
 def make_chain_egs_from_lattices(
         feats: Dict[str, np.ndarray], lattices: Dict[str, CompactLattice],
-        tm, tree, topo, subsample: int = 3, den=None):
+        tm, tree, topo, subsample: int = 3, den=None,
+        chunk_size: Optional[int] = None):
     """Whole-utterance chain egs with lattice-derived supervision
     (the get_egs.sh path that consumes alignment LATTICES rather than
     single best alignments).  Returns a ChainEgs whose `sup` field
@@ -307,21 +354,37 @@ def make_chain_egs_from_lattices(
         for u in utts]
     if den is not None:
         fsas = [add_normalization_weights(f, den) for f in fsas]
+    # chunk_size (subsampled frames): cut each utterance into
+    # fixed-size chunks like get_egs.sh (remainders < chunk_size/2 are
+    # dropped, matching its min-chunk behaviour)
+    pieces: List[Tuple[SupervisionFsa, np.ndarray]] = []
+    for f, u in zip(fsas, utts):
+        if chunk_size is None:
+            pieces.append((f, feats[u]))
+            continue
+        c = 0
+        while c < f.num_frames:
+            c1 = min(c + chunk_size, f.num_frames)
+            if c1 - c >= max(chunk_size // 2, 1):
+                pieces.append((chunk_supervision(f, c, c1),
+                               feats[u][c * subsample:c1 * subsample]))
+            c = c1
+    sub_fsas = [p[0] for p in pieces]
     # the model subsamples time ×subsample before scoring, so scores
     # and mask must share T_sub exactly: clamp feats to T_sub·subsample
-    T_sub = max(f.num_frames for f in fsas)
+    T_sub = max(f.num_frames for f in sub_fsas)
     T_full = T_sub * subsample
     D = next(iter(feats.values())).shape[1]
-    N = len(utts)
+    N = len(pieces)
     fpad = np.zeros((N, T_full, D), np.float32)
     mask = np.zeros((N, T_sub), bool)
-    for i, u in enumerate(utts):
-        fl = min(feats[u].shape[0], T_full)
-        fpad[i, :fl] = feats[u][:fl]
-        mask[i, :fsas[i].num_frames] = True
+    for i, (f, x) in enumerate(pieces):
+        fl = min(x.shape[0], T_full)
+        fpad[i, :fl] = x[:fl]
+        mask[i, :f.num_frames] = True
     return ChainEgs(feats=fpad,
                     pdf_ali=np.zeros((N, T_sub), np.int32),
-                    mask=mask, sup=pack_supervisions(fsas))
+                    mask=mask, sup=pack_supervisions(sub_fsas))
 
 
 def _batched_segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,
@@ -369,15 +432,25 @@ def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
     bt_dst = jnp.take_along_axis(bt, dst, axis=1)
     is_start = jnp.take_along_axis(
         start[:, None] == jnp.arange(S)[None, :], src, axis=1)
+    mid_start = jnp.asarray(sup["mid_start"]) if "mid_start" in sup \
+        else jnp.zeros(B, bool)
+    mid_end = jnp.asarray(sup["mid_end"]) if "mid_end" in sup \
+        else jnp.zeros(B, bool)
 
     def gather_pdf(score_t, pdfs):
         return jnp.take_along_axis(score_t, pdfs, axis=1)
 
     # frame 0: enter arcs out of the start state whose entry window
-    # admits frame 0
-    ok0 = is_start & (jnp.abs(0 - bt_src) <= tol)
+    # admits frame 0; a mid-utterance chunk (chunk_supervision) may
+    # instead begin by entering ANY window-admissible arc, or inside
+    # one (self emission — the chunk cut the phone in half)
+    enter0 = jnp.abs(0 - bt_src) <= tol
+    ok0 = jnp.where(mid_start[:, None], enter0, is_start & enter0)
     alpha0 = jnp.where(ok0, weight + gather_pdf(scores[:, 0], entry_pdf),
                        jnp.float32(NEG))                 # (B, A)
+    stay0 = mid_start[:, None] & (0 > bt_src - tol) & (0 < bt_dst + tol)
+    alpha0 = jnp.logaddexp(alpha0, jnp.where(
+        stay0, gather_pdf(scores[:, 0], self_pdf), jnp.float32(NEG)))
 
     def step(carry, xs):
         alpha, corr = carry
@@ -412,8 +485,13 @@ def numerator_fsa_logprob(scores: jnp.ndarray, sup: Dict[str, jnp.ndarray],
         step, (alpha0, jnp.zeros(B)),
         (jnp.swapaxes(scores[:, 1:], 0, 1),
          jnp.arange(1, T, dtype=jnp.int32)))
-    # finish: arcs whose dst is final and whose boundary admits T
-    fin_ok = (jnp.take_along_axis(final, dst, axis=1)
-              & (jnp.abs(num_frames[:, None] - bt_dst) <= tol))
+    # finish: arcs whose dst is final and whose boundary admits T; a
+    # mid-utterance chunk end instead accepts any arc alive at T−1
+    fin_std = (jnp.take_along_axis(final, dst, axis=1)
+               & (jnp.abs(num_frames[:, None] - bt_dst) <= tol))
+    tend = num_frames[:, None] - 1
+    alive = (tend >= bt_src - tol) & (tend < bt_dst + tol)
+    fin_ok = jnp.where(mid_end[:, None], alive, fin_std)
+    fw_eff = jnp.where(mid_end[:, None], 0.0, final_w)
     return corr + jax.scipy.special.logsumexp(
-        jnp.where(fin_ok, alphaT + final_w, jnp.float32(NEG)), axis=1)
+        jnp.where(fin_ok, alphaT + fw_eff, jnp.float32(NEG)), axis=1)

@@ -257,6 +257,86 @@ def test_make_chain_egs_from_lattices_and_trainer(pdf_maps):
     assert out["objf"] > -5.0
 
 
+def test_chunked_supervision_matches_alignment_slices(pdf_maps):
+    """chunk_supervision on a single-path FSA at tolerance 0: each
+    chunk's numerator == the fixed-alignment numerator of that chunk's
+    pdf slice (mid-phone starts emit the self pdf — exactly what the
+    sliced alignment contains)."""
+    from kaldi_tpu.am.chain_supervision import chunk_supervision
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(31)
+    T = 16
+    path = [(1, 5), (2, 6), (3, 5)]
+    fsa = supervision_from_phone_runs([path], [0.0], e_of, s_of, T)
+    ali = _ali_from_path(path, e_of, s_of)
+    scores = _scores(rng, 1, T, P)
+    for c0, c1 in [(0, 8), (8, 16), (4, 12), (0, 16)]:
+        ck = chunk_supervision(fsa, c0, c1)
+        assert ck.mid_start == (c0 > 0) and ck.mid_end == (c1 < T)
+        got = float(numerator_fsa_logprob(
+            scores[:, c0:c1], pack_supervisions([ck]), tolerance=0)[0])
+        ref = float(numerator_logprob(
+            scores[:, c0:c1],
+            jnp.asarray(ali[None, c0:c1]),
+            jnp.ones((1, c1 - c0), bool))[0])
+        assert got == pytest.approx(ref, abs=1e-3), (c0, c1)
+
+
+def test_make_chunked_egs_from_lattices(pdf_maps):
+    """chunk_size cuts utterances into fixed chunks; ChainTrainer
+    trains on them."""
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.chain_supervision import \
+        make_chain_egs_from_lattices
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.am.transitions import TransitionModel
+    from kaldi_tpu.lattice.lattice import CompactArc, CompactLattice
+    from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    tm = TransitionModel(topo, tree)
+    den = make_denominator_graph([[1, 2, 3], [3, 2, 1]], tree, topo)
+    fwd_tid, self_tid = {}, {}
+    for tid in range(1, tm.num_transition_ids + 1):
+        ph = tm.transition_id_to_phone(tid)
+        (self_tid if tm.is_self_loop(tid) else fwd_tid).setdefault(
+            ph, tid)
+    rng = np.random.default_rng(33)
+
+    def lat_of(runs):
+        ts = []
+        for p, d in runs:
+            ts.extend([fwd_tid[p]] + [self_tid[p]] * (d - 1))
+        c = CompactLattice()
+        s0, s1 = c.add_state(), c.add_state()
+        c.start = s0
+        c.arcs[s0].append(CompactArc(1, 0.0, 0.0, tuple(ts), s1))
+        c.finals[s1] = (0.0, 0.0, ())
+        return c
+
+    runs = {"u0": [(1, 12), (2, 12), (3, 12)],
+            "u1": [(3, 12), (2, 15), (1, 9)]}
+    lattices = {u: lat_of(r) for u, r in runs.items()}
+    feats = {u: rng.standard_normal(
+        (sum(d for _, d in r) * 3, 5)).astype(np.float32)
+        for u, r in runs.items()}
+    egs = make_chain_egs_from_lattices(
+        feats, lattices, tm, tree, topo, subsample=3, den=den,
+        chunk_size=6)
+    # 12 subsampled frames per utterance → 2 chunks each
+    assert egs.feats.shape[0] == 4
+    assert egs.mask.shape[1] == 6
+    assert egs.sup["mid_start"].sum() == 2
+    cfg = TdnnConfig(feat_dim=5, num_pdfs=tree.num_pdfs, hidden_dim=8,
+                     bottleneck_dim=4, num_layers=2,
+                     frame_subsampling_factor=3)
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=8, batch_size=4, learning_rate=3e-3))
+    out = tr.train(egs, log_every=1000)
+    assert np.isfinite(out["loss"])
+
+
 def test_fsa_numerator_gradient_finite_difference(pdf_maps):
     """∂logprob/∂scores from autodiff matches central finite
     differences (the nnet-derivative-test pattern); the gradient is a
