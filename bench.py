@@ -39,7 +39,6 @@ def main():
     from kaldi_tpu.pipelines.largevocab import (make_largevocab_task,
                                                 sample_eval_set,
                                                 synth_loglikes)
-    from kaldi_tpu.lattice.determinize import determinize_lattice
     from kaldi_tpu.pipelines.score import compute_wer
 
     log = get_logger("bench")
@@ -113,6 +112,13 @@ def main():
              len(compiled), time.time() - t0)
 
     occ = {}
+    # host-side lattice pass thread pool: the TaskSequencer role —
+    # per-utterance native build+determinize calls release the GIL, so
+    # utterances from a fetched batch overlap each other AND the next
+    # batch's device compute
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=int(os.environ.get(
+        "KALDI_TPU_BENCH_HOST_WORKERS", str(min(8, os.cpu_count() or 4)))))
 
     def run_once():
         # dispatch every batch, then start async D2H copies in dispatch
@@ -123,7 +129,7 @@ def main():
             out = compiled[Xb.shape](gd, Xb, lb)
             dec.start_fetch(out, lattice=True)
             outs.append((i, Xb, out))
-        lats = []
+        futs = []
         dropped = 0
         for i, Xb, out in outs:
             occ["arcs"] = max(occ.get("arcs", 0),
@@ -133,11 +139,14 @@ def main():
             for b, host in enumerate(dec._fetch_batch(out, B,
                                                       lattice=True)):
                 dropped += int(host["dropped_arcs"])
-                raw = dec._build_lattice(host, int(lens[i + b]), Xb[b])
                 # the LatticeFasterDecoder contract outputs DETERMINIZED
                 # CompactLattices (DeterminizeLatticePhonePrunedWrapper)
-                # — determinization is part of the timed path
-                lats.append(determinize_lattice(raw))
+                # — build+determinize (fused native passes) are part of
+                # the timed path
+                futs.append(pool.submit(
+                    dec.build_compact_lattice, host, int(lens[i + b]),
+                    Xb[b]))
+        lats = [f.result() for f in futs]
         return lats, dropped
 
     log.info("bench: warmup...")

@@ -695,6 +695,19 @@ class BeamDecoder:
         return self._build_lattice(self._fetch(out, lattice=True), T,
                                    loglikes)
 
+    def decode_compact(self, loglikes: np.ndarray):
+        """Single utterance → determinized CompactLattice via the fused
+        native build+determinize path (the decode-wrappers contract:
+        lattices on disk are determinized)."""
+        if not self.L:
+            raise KaldiError("decode_compact needs lattice_arcs_per_frame")
+        T = loglikes.shape[0]
+        out = self._decode_jit(self._graph_arrays(),
+                               jnp.asarray(loglikes, jnp.float32),
+                               jnp.int32(T))
+        return self.build_compact_lattice(self._fetch(out, lattice=True),
+                                          T, loglikes)
+
     def decode_lattice_batch(self, loglikes_padded: np.ndarray,
                              num_frames: np.ndarray) -> List[Lattice]:
         if not self.L:
@@ -725,17 +738,14 @@ class BeamDecoder:
 
     # -- lattice assembly (vectorized, no per-arc Python) ------------------
 
-    def _build_lattice(self, host, T: int,
-                       loglikes: np.ndarray) -> Lattice:
-        K = self.K
-        beam = self.config.lattice_beam
+    def _decode_records(self, host, T: int, loglikes: np.ndarray):
+        """Decode the packed 2-word device records into flat arc-field
+        arrays: (counts, prev, dst, il, ol, gw, ac, init_slots,
+        init_costs).  il/ol/gw/pdf come from the host arc table by arc
+        index; acoustic cost is recomputed from the host loglikes (f32
+        multiply — bit-identical to the device value)."""
         counts = host["rec_counts"][:T]
         packed = host["rec_packed"]
-        offs = np.zeros(T + 1, np.int64)
-        np.cumsum(counts, out=offs[1:])
-        # decode the 2-word records: il/ol/gw/pdf from the host arc
-        # table by arc index; acoustic cost recomputed from the host
-        # loglikes (f32 multiply — bit-identical to the device value)
         if self._pack_pd:
             r_prev = packed[:, 0] >> self._tok_bits
             r_dst = packed[:, 0] & ((1 << self._tok_bits) - 1)
@@ -751,15 +761,54 @@ class BeamDecoder:
         ll = np.asarray(loglikes, np.float32)
         r_ac = np.float32(-self.config.acoustic_scale) \
             * ll[t_of, flat[aidx, 3]]
+        init_cost = self._g_host["init_cost"]
+        init_slots = np.nonzero(np.isfinite(init_cost))[0].astype(np.int32)
+        return (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
+                init_slots, init_cost[init_slots])
+
+    def build_compact_lattice(self, host, T: int, loglikes: np.ndarray,
+                              max_states: int = 200000):
+        """Records → determinized CompactLattice with both hot passes
+        native (the fused GetRawLattice +
+        DeterminizeLatticePhonePrunedWrapper contract): the raw
+        state-level lattice never exists as Python objects.  Falls
+        back to _build_lattice + determinize_lattice when the native
+        library is unavailable."""
+        from kaldi_tpu import native
+        from kaldi_tpu.lattice.determinize import (compact_from_arrays,
+                                                   determinize_lattice)
+        (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
+         init_slots, init_costs) = self._decode_records(host, T, loglikes)
+        res = native.build_lattice_native(
+            counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
+            init_slots, init_costs, host["tok_final"],
+            self.config.lattice_beam)
+        if res is not None:
+            (ks, kd, kil, kol, kgw, kac, fs, fw, n_kept) = res
+            det = native.determinize_lattice_native(
+                n_kept, 0, ks, kd, kil, kol, kgw, kac,
+                fs, fw, np.zeros(len(fw), np.float32),
+                max_states=max_states)
+            if det is not None:
+                return compact_from_arrays(det)
+        return determinize_lattice(self._build_lattice(host, T, loglikes),
+                                   max_states=max_states)
+
+    def _build_lattice(self, host, T: int,
+                       loglikes: np.ndarray) -> Lattice:
+        K = self.K
+        beam = self.config.lattice_beam
+        (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
+         init_slots, init_costs) = self._decode_records(host, T, loglikes)
+        offs = np.zeros(T + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
 
         # native C++ fast path (kaldi_tpu/native/lattice_build.cpp);
         # the numpy pass below is the oracle and fallback
         from kaldi_tpu import native
-        init_cost = self._g_host["init_cost"]
-        init_slots = np.nonzero(np.isfinite(init_cost))[0].astype(np.int32)
         res = native.build_lattice_native(
             counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-            init_slots, init_cost[init_slots], host["tok_final"], beam)
+            init_slots, init_costs, host["tok_final"], beam)
         if res is not None:
             (ks, kd, kil, kol, kgw, kac, fs, fw, n_kept) = res
             lat = Lattice()

@@ -28,9 +28,69 @@ from kaldi_tpu.lattice.lattice import (
 log = get_logger(__name__)
 
 
-def determinize_lattice(lat: Lattice, max_states: int = 200000
-                        ) -> CompactLattice:
-    """Word-level determinization.
+def compact_from_arrays(res) -> CompactLattice:
+    """Build a CompactLattice from the array tuple returned by
+    native.determinize_lattice_native."""
+    (a_src, a_word, a_next, a_gc, a_ac, tids, a_toff,
+     f_st, f_gc, f_ac, f_off, n_states, start) = res
+    out = CompactLattice()
+    for _ in range(n_states):
+        out.add_state()
+    out.start = start
+    for i in range(len(a_src)):
+        out.arcs[int(a_src[i])].append(CompactArc(
+            int(a_word[i]), float(a_gc[i]), float(a_ac[i]),
+            tuple(int(t) for t in tids[a_toff[i]:a_toff[i + 1]]),
+            int(a_next[i])))
+    for i in range(len(f_st)):
+        out.finals[int(f_st[i])] = (
+            float(f_gc[i]), float(f_ac[i]),
+            tuple(int(t) for t in tids[f_off[i]:f_off[i + 1]]))
+    return out
+
+
+def determinize_lattice(lat: Lattice, max_states: int = 200000,
+                        use_native: bool = True) -> CompactLattice:
+    """Word-level determinization (DeterminizeLatticePruned role).
+
+    Dispatches to the native C++ pass (native/lattice_det.cpp) when
+    available; determinize_lattice_py below is the oracle/fallback.
+    """
+    if use_native and lat.start >= 0:
+        from kaldi_tpu import native
+        import numpy as np
+        n = lat.num_states
+        cnt = sum(len(a) for a in lat.arcs)
+        src = np.empty(cnt, np.int32)
+        dst = np.empty(cnt, np.int32)
+        il = np.empty(cnt, np.int32)
+        ol = np.empty(cnt, np.int32)
+        gw = np.empty(cnt, np.float32)
+        ac = np.empty(cnt, np.float32)
+        k = 0
+        for s, arcs in enumerate(lat.arcs):
+            for a in arcs:
+                src[k] = s
+                dst[k] = a.nextstate
+                il[k] = a.ilabel
+                ol[k] = a.olabel
+                gw[k] = a.graph_cost
+                ac[k] = a.acoustic_cost
+                k += 1
+        fs = np.fromiter(lat.finals.keys(), np.int32, len(lat.finals))
+        fg = np.array([w[0] for w in lat.finals.values()], np.float32)
+        fa = np.array([w[1] for w in lat.finals.values()], np.float32)
+        res = native.determinize_lattice_native(
+            n, lat.start, src, dst, il, ol, gw, ac, fs, fg, fa,
+            max_states=max_states)
+        if res is not None:
+            return compact_from_arrays(res)
+    return determinize_lattice_py(lat, max_states)
+
+
+def determinize_lattice_py(lat: Lattice, max_states: int = 200000
+                           ) -> CompactLattice:
+    """Word-level determinization (pure-Python oracle).
 
     Det-state = normalized set of (lat_state, (gc, ac) residual,
     tid-string residual).  For each word label leaving the subset, the

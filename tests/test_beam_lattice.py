@@ -369,3 +369,26 @@ def test_arc_budget_cutoff_prefers_best_tokens():
         "budget did not bind; tighten arc_budget"
     assert ols == ref[1]
     assert abs(cost - ref[2]) < 1e-2
+
+
+def test_fused_compact_matches_two_stage(small_graph):
+    """decode_compact (fused native build+determinize) must agree
+    path-semantically with determinize_lattice_py(decode_lattice(..))."""
+    from kaldi_tpu.lattice.determinize import determinize_lattice_py
+    lang, tm, csr = small_graph
+    rng = np.random.default_rng(23)
+    dec = BeamDecoder(csr, tm.tid_to_pdf_array, BeamDecoderConfig(
+        beam=16.0, max_active=200, acoustic_scale=1.0,
+        lattice_beam=6.0, lattice_arcs_per_frame=512))
+    for _ in range(3):
+        ll = rng.standard_normal((12, tm.num_pdfs)).astype(np.float32)
+        clat = dec.decode_compact(ll)
+        ref = determinize_lattice_py(dec.decode_lattice(ll))
+        got = {w: c for w, c in clat.paths()}
+        want = {w: c for w, c in ref.paths()}
+        assert set(got) == set(want)
+        for w in want:
+            assert abs(got[w] - want[w]) < 1e-3
+        gw, gt, gc = clat.best_path()
+        rw, rt, rc = ref.best_path()
+        assert gw == rw and gt == rt and abs(gc - rc) < 1e-3
