@@ -13,7 +13,7 @@ governing measurement: XLA row gathers/scatters cost ~10–18 ns PER
 ROW (independent of row width) and scale with batch, while sorts,
 scans and elementwise passes are bandwidth-bound and amortize.  The
 frame step is therefore built around exactly ONE M-row gather (the
-packed arc fetch) and ~two K-row scatters; everything downstream
+packed arc fetch) and NO scatters at all; everything downstream
 rides sorts as payload operands instead of being re-gathered:
 
   * ε arcs are ELIMINATED before decoding (biglang.eps_precompose
@@ -30,11 +30,12 @@ rides sorts as payload operands instead of being re-gathered:
     Destination arc ranges live in a per-state table recovered with a
     cheap K-row gather AFTER top-K (never carried through sorts).
   * load balancing (the CudaFst work-queue): out-block counts are
-    prefix-summed and the M/blk block budget distributed by scattering
-    a packed [block-delta | token id] s32 (+ cost bits) at each
-    token's range start + ONE multi-array associative-scan forward
-    fill (searchsorted's binary-search while-loop costs ~11 ms on
-    TPU; scatter + log-depth scan is ~0.5 ms).
+    prefix-summed and the owning token of each of the MB block slots
+    is searchsorted(cumsum, slot, 'right'), computed as one VPU
+    compare-reduce over (MB, K) + two MB-row gathers.  (Measured
+    alternatives: jnp.searchsorted's binary-search while-loop ~11 ms;
+    seed scatter + associative-scan forward fill ~0.7 ms/frame —
+    TPU scatters serialize; the compare-reduce is ~0.05 ms.)
   * recombination = lax.sort by (next_state, cost); the first
     candidate of each equal-state run survives (atomic-min → sort +
     segment-head test).  Every per-candidate field the rest of the
@@ -148,19 +149,6 @@ def _forward_fill(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return filled
 
 
-def _forward_fill_multi(vals: tuple, mask: jnp.ndarray) -> tuple:
-    """Forward-fill several arrays under one mask in a single
-    associative scan (one log-depth pass instead of len(vals))."""
-
-    def op(a, b):
-        bf = b[-1]
-        return tuple(jnp.where(bf, bv, av)
-                     for av, bv in zip(a[:-1], b[:-1])) + (a[-1] | bf,)
-
-    out = jax.lax.associative_scan(op, tuple(vals) + (mask,))
-    return out[:-1]
-
-
 class BeamDecoder:
     """Compiled decoder bound to one graph (the packed arc table lives
     in HBM once; every decode reuses it — CudaFst residency)."""
@@ -202,11 +190,9 @@ class BeamDecoder:
         M = self.config.arc_budget or max(4 * self.K, 8192)
         self.MB = min(max(A_blk, 1), -(-M // blk))
         self.M = self.MB * blk         # expanded arc rows (sort width)
-        # seed packing: (block-index delta, token id) share one s32
-        # when the bit budget allows — one seed scatter instead of two
+        # record packing: (prev slot, dst slot) share one s32 when the
+        # bit budget allows (see _pack_pd below)
         self._tok_bits = max(1, (self.K - 1).bit_length())
-        self._pack_seeds = ((A_blk + self.MB + 2).bit_length()
-                            + self._tok_bits) <= 31
         flat = np.zeros((max(A_blk, 1) * blk, 5), np.int32)
         flat[:, 1] = np.float32(np.inf).view(np.int32)
         if A:
@@ -313,9 +299,8 @@ class BeamDecoder:
         tok = (state, cost, off, cnt) each (K,).  Returns (new_tok,
         vit (prev, tid, ol), record chunk (L, 6) | None, dropped).
 
-        Exactly one M-row gather (the arc fetch) and two K-row
-        scatters (load-balance seed, winner-slot map); every other
-        per-candidate value rides the three sorts as a payload
+        Exactly one M-row gather (the arc fetch), no scatters; every
+        other per-candidate value rides the three sorts as a payload
         operand."""
         g = self.g
         K = self.K
@@ -350,44 +335,35 @@ class BeamDecoder:
         tok_cnt = jnp.where((demand <= MB) | (tb <= cut_a), tok_cnt, 0)
 
         # 1. load-balanced BLOCK distribution (tok_off/tok_cnt are in
-        #    block units): scatter [token id, block-index delta, cost
-        #    bits] at each token's range start + ONE multi-array
-        #    forward fill over the MB block slots
+        #    block units).  cum is monotone, so the owning token of
+        #    block slot j is searchsorted(cum, j, 'right') — computed
+        #    as one VPU compare-reduce over (MB, K) plus two MB-row
+        #    gathers from K-sized token tables.  The former
+        #    seed-scatter + forward-fill pair cost ~0.7 ms/frame at
+        #    B=32 (xplane-measured: TPU scatters serialize; compares
+        #    and small gathers do not).
         cum = jnp.cumsum(tok_cnt)
         j = jnp.arange(MB, dtype=jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
-        pos_k = jnp.where(tok_cnt > 0, starts, MB)
-        karange = jnp.arange(K, dtype=jnp.int32)
         cost_sane = jnp.where(jnp.isfinite(tok_cost), tok_cost,
                               jnp.float32(1e30))
-        # three flat scatters: a packed (K, 3)-row scatter looks like
-        # one op but XLA lays it out T(4,128)-transposed and it costs
-        # ~3x the three 1-D scatters together (xplane-measured)
-        delta = tok_off - starts.astype(jnp.int32)
-        costb = jax.lax.bitcast_convert_type(cost_sane, jnp.int32)
-        if self._pack_seeds:
-            # (delta+MB, tok_id) packed into one non-negative s32:
-            # one seed scatter + a 2-array fill instead of 3 + 3
-            packed = ((delta + MB) << self._tok_bits) | karange
-            seed_pk = jnp.full((MB,), -1, jnp.int32).at[pos_k].set(
-                packed, mode="drop")
-            seeded = seed_pk >= 0
-            seed_cb = jnp.zeros((MB,), jnp.int32).at[pos_k].set(
-                costb, mode="drop")
-            pk_f, costb_f = _forward_fill_multi((seed_pk, seed_cb), seeded)
-            tok_of = jnp.clip(pk_f & ((1 << self._tok_bits) - 1), 0, K - 1)
-            delta_f = jnp.where(seeded | (pk_f >= 0),
-                                (pk_f >> self._tok_bits) - MB, 0)
-        else:
-            seed_tok = jnp.full((MB,), -1, jnp.int32).at[pos_k].set(
-                karange, mode="drop")
-            seed32 = lambda v: jnp.zeros((MB,), jnp.int32).at[pos_k].set(
-                v, mode="drop")
-            seeded = seed_tok >= 0
-            tok_of, delta_f, costb_f = _forward_fill_multi(
-                (seed_tok, seed32(delta), seed32(costb)), seeded)
-            tok_of = jnp.clip(tok_of, 0, K - 1)
-        cost_f = jax.lax.bitcast_convert_type(costb_f, jnp.float32)
+        # the count is a (MB, K) 0/1 matrix times ones — ride the MXU
+        # (f32 accumulation is exact up to 2^24 ≫ K; a VPU s32
+        # compare-reduce of the same matrix costs ~0.2 ms/frame)
+        cmp = (cum[None, :] <= j[:, None]).astype(jnp.bfloat16)
+        cnt_le = jax.lax.dot_general(
+            cmp, jnp.ones((K,), jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tok_of = jnp.minimum(cnt_le.astype(jnp.int32), K - 1)
+        # one (K, 2)-row table gather for both per-token fields (two
+        # separate 1-wide gathers each re-fuse a copy of the
+        # compare-reduce above — 2x its cost)
+        tk = jnp.stack([tok_off - starts.astype(jnp.int32),
+                        jax.lax.bitcast_convert_type(cost_sane,
+                                                     jnp.int32)], -1)
+        rows2 = tk[tok_of]
+        delta_f = rows2[:, 0]
+        cost_f = jax.lax.bitcast_convert_type(rows2[:, 1], jnp.float32)
         in_range = j < cum[K - 1]
         # cost-cutoff-pruned blocks + residual in-bin overflow
         dropped = ((demand - cum[K - 1])
