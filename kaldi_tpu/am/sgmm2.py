@@ -228,3 +228,52 @@ def train_sgmm(feats: Dict[str, np.ndarray],
         model = update(model, accs)
         log.info("sgmm2 iter %d: avg loglike %.4f", it, likes[-1])
     return model, likes
+
+
+def write_sgmm2(path: str, model: Sgmm2) -> None:
+    """Kaldi-style token-framed SGMM2 serialization (<SGMM2> header,
+    dims, then M/w/var/V as FM matrices; am-sgmm2.h Write role —
+    token layout is ours, framing primitives are core/io)."""
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<SGMM2>")
+        for tok, v in (("<NUMPDFS>", model.V.shape[0]),
+                       ("<NUMGAUSS>", model.M.shape[0]),
+                       ("<DIM>", model.M.shape[1]),
+                       ("<SUBSPACE>", model.M.shape[2])):
+            kio.write_token(f, tok)
+            kio.write_basic_int32(f, v)
+        kio.write_token(f, "<M>")
+        for i in range(model.M.shape[0]):
+            kio.write_matrix(f, model.M[i])
+        kio.write_token(f, "<W>")
+        kio.write_matrix(f, model.w)
+        kio.write_token(f, "<VARS>")
+        kio.write_matrix(f, model.var)
+        kio.write_token(f, "<V>")
+        kio.write_matrix(f, model.V)
+        kio.write_token(f, "</SGMM2>")
+
+
+def read_sgmm2(path: str) -> Sgmm2:
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        if not kio.init_kaldi_input_stream(f):
+            raise KaldiError(f"{path}: not a binary kaldi file")
+        kio.expect_token(f, "<SGMM2>")
+        dims = {}
+        for tok in ("<NUMPDFS>", "<NUMGAUSS>", "<DIM>", "<SUBSPACE>"):
+            kio.expect_token(f, tok)
+            dims[tok] = kio.read_basic_int32(f)
+        kio.expect_token(f, "<M>")
+        M = np.stack([kio.read_matrix(f)
+                      for _ in range(dims["<NUMGAUSS>"])])
+        kio.expect_token(f, "<W>")
+        w = kio.read_matrix(f)
+        kio.expect_token(f, "<VARS>")
+        var = kio.read_matrix(f)
+        kio.expect_token(f, "<V>")
+        V = kio.read_matrix(f)
+        kio.expect_token(f, "</SGMM2>")
+        return Sgmm2(M=M, w=w, var=var, V=V)

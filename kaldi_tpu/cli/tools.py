@@ -327,15 +327,17 @@ def lattice_best_path(argv):
 
 @tool("lattice-to-nbest")
 def lattice_to_nbest(argv):
-    from kaldi_tpu.lattice import nbest
+    """N best paths as single-path CompactLattices keyed utt-1..utt-N
+    (latbin/lattice-to-nbest.cc; feed to nbest-to-linear)."""
+    from kaldi_tpu.lattice.functions import nbest_paths, path_to_lattice
     po = ParseOptions("lattice-to-nbest [--n=10] <lattice-rspec> <wspec>")
     po.register("n", int, 10, "number of paths")
     args = po.read(argv)
-    with TableWriter(args[1], holder="text") as w:
+    with TableWriter(args[1], holder="clat") as w:
         for key, clat in SequentialTableReader(args[0], holder="clat"):
-            for i, (wordseq, cost) in enumerate(nbest(clat, po["n"])):
-                w[f"{key}-{i + 1}"] = [str(x) for x in wordseq] + \
-                    [f"[{cost:.3f}]"]
+            for i, (arcs, fin, _cost) in enumerate(
+                    nbest_paths(clat, po["n"])):
+                w[f"{key}-{i + 1}"] = path_to_lattice(arcs, fin)
     return 0
 
 

@@ -65,6 +65,53 @@ def nbest(clat: CompactLattice, n: int) -> List[Tuple[List[int], float]]:
     return out
 
 
+def nbest_paths(clat: CompactLattice, n: int
+                ) -> List[Tuple[List[CompactArc], Tuple[float, float, tuple],
+                                float]]:
+    """N best paths with their arcs: (arc list, final (gc, ac, tids),
+    total cost) per path — enough to rebuild a single-path
+    CompactLattice per hypothesis (lattice-to-nbest writes these)."""
+    if clat.start < 0:
+        return []
+    order = clat.top_order()
+    bwd = [INF] * clat.num_states
+    for s, (gc, ac, _) in clat.finals.items():
+        bwd[s] = gc + ac
+    for s in reversed(order):
+        for a in clat.arcs[s]:
+            bwd[s] = min(bwd[s], a.total + bwd[a.nextstate])
+    out = []
+    cnt = 0
+    heap = [(bwd[clat.start], cnt, clat.start, 0.0, [])]
+    while heap and len(out) < n:
+        f, _, s, g, arcs = heapq.heappop(heap)
+        if s in clat.finals:
+            fin = clat.finals[s]
+            out.append((arcs, fin, g + fin[0] + fin[1]))
+        for a in clat.arcs[s]:
+            if bwd[a.nextstate] == INF:
+                continue
+            cnt += 1
+            heapq.heappush(heap, (g + a.total + bwd[a.nextstate], cnt,
+                                  a.nextstate, g + a.total, arcs + [a]))
+    return out
+
+
+def path_to_lattice(arcs: List[CompactArc],
+                    final: Tuple[float, float, tuple]) -> CompactLattice:
+    """One linear path → a single-path CompactLattice."""
+    out = CompactLattice()
+    out.start = out.add_state()
+    cur = out.start
+    for a in arcs:
+        nxt = out.add_state()
+        out.arcs[cur].append(CompactArc(a.word, a.graph_cost,
+                                        a.acoustic_cost, tuple(a.tids), nxt))
+        cur = nxt
+    out.finals[cur] = (final[0], final[1], tuple(final[2]))
+    return out
+
+
 def forward_backward_post(clat: CompactLattice, acoustic_scale: float = 1.0,
                           lm_scale: float = 1.0):
     """Log-domain sum forward-backward → per-arc posterior probabilities.

@@ -233,3 +233,48 @@ class RnnLmScorer:
         lp, _ = self._state_for(full_hist)
         wid = self.words.get(word, 0)
         return float(lp[wid])
+
+
+def save_rnnlm(path: str, params, cfg: RnnLmConfig) -> None:
+    """Token-framed RNNLM model file (<RnnLm> dims + flax msgpack
+    payload; the rnnlm final.raw role)."""
+    import flax.serialization
+    from kaldi_tpu.core import io as kio
+    blob = flax.serialization.to_bytes(params)
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<RnnLm>")
+        for tok, v in (("<VocabSize>", cfg.vocab_size),
+                       ("<EmbedDim>", cfg.embed_dim),
+                       ("<HiddenDim>", cfg.hidden_dim),
+                       ("<NumBytes>", len(blob))):
+            kio.write_token(f, tok)
+            kio.write_basic_int32(f, v)
+        f.write(blob)
+        kio.write_token(f, "</RnnLm>")
+
+
+def load_rnnlm(path: str):
+    """Returns (params, model)."""
+    import flax.serialization
+    from kaldi_tpu.core import io as kio
+    from kaldi_tpu.core.logging import KaldiError
+    with kio.open_rxfilename(path) as f:
+        if not kio.init_kaldi_input_stream(f):
+            raise KaldiError(f"{path}: not a binary kaldi file")
+        kio.expect_token(f, "<RnnLm>")
+        vals = []
+        for tok in ("<VocabSize>", "<EmbedDim>", "<HiddenDim>",
+                    "<NumBytes>"):
+            kio.expect_token(f, tok)
+            vals.append(kio.read_basic_int32(f))
+        blob = f.read(vals[3])
+        kio.expect_token(f, "</RnnLm>")
+    cfg = RnnLmConfig(vocab_size=vals[0], embed_dim=vals[1],
+                      hidden_dim=vals[2])
+    model = RnnLm(cfg)
+    dummy = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 2), jnp.int32))["params"]
+    import flax.serialization as fser
+    params = fser.from_bytes(dummy, blob)
+    return params, model
