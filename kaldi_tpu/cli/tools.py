@@ -250,33 +250,73 @@ def gmm_info(argv):
     return 0
 
 
+def _load_hclg(path: str):
+    """Text or binary OpenFst vector/const file → VectorFst."""
+    from kaldi_tpu.fst.fst import VectorFst
+    with open(path, "rb") as fh:
+        is_binary = fh.read(4) == struct.pack("<i", 2125659606)
+    if is_binary:
+        from kaldi_tpu.fst.openfst_io import read_fst_path
+        return read_fst_path(path)
+    return VectorFst.read_text(path)
+
+
+class _LatgenDecoder:
+    """Decoder dispatch for the latgen tools: DenseDecoder (gather
+    Viterbi) for small graphs, BeamDecoder (the large-vocab sort
+    decoder with fused native lattice build + determinize) above
+    `dense_limit` states — the LatticeFasterDecoder operating point
+    scales to real HCLGs either way."""
+
+    def __init__(self, HCLG, tid_to_pdf, beam, lattice_beam,
+                 acoustic_scale, max_active=7000, dense_limit=20000):
+        if HCLG.num_states > dense_limit:
+            from kaldi_tpu.decoder.beam import (BeamDecoder,
+                                                BeamDecoderConfig)
+            from kaldi_tpu.fst.csr import pack_fst
+            cap = max(max_active, 512)
+            self._dec = BeamDecoder(pack_fst(HCLG), tid_to_pdf,
+                                    BeamDecoderConfig(
+                beam=beam, lattice_beam=lattice_beam,
+                acoustic_scale=acoustic_scale, max_active=max_active,
+                lattice_arcs_per_frame=max(2 * cap, 4096)))
+            self._compact = True
+            log.info("latgen: %d states → BeamDecoder (large-graph "
+                     "path)", HCLG.num_states)
+        else:
+            from kaldi_tpu.decoder.dense import (DenseDecoder,
+                                                 DenseDecoderConfig)
+            self._dec = DenseDecoder(HCLG, tid_to_pdf, DenseDecoderConfig(
+                beam=beam, lattice_beam=lattice_beam,
+                acoustic_scale=acoustic_scale))
+            self._compact = False
+
+    def decode_to_clat(self, loglikes: np.ndarray):
+        if self._compact:
+            return self._dec.decode_compact(loglikes)
+        from kaldi_tpu.lattice import determinize_lattice
+        lat, _best = self._dec.decode_lattice(loglikes)
+        return determinize_lattice(lat)
+
+
 @tool("gmm-latgen-faster")
 def gmm_latgen_faster(argv):
     from kaldi_tpu.am.serialize import read_mdl
-    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
-    from kaldi_tpu.fst.fst import VectorFst
-    from kaldi_tpu.lattice import determinize_lattice
     po = ParseOptions(
         "gmm-latgen-faster [opts] <model> <fst> <feats-rspec> "
         "<lattice-wspec> [<words-wspec>]\n"
         "<fst> may be a text FST or a binary OpenFst vector/const file")
     po.register("beam", float, 13.0, "decoding beam")
     po.register("lattice-beam", float, 6.0, "lattice beam")
+    po.register("max-active", int, 7000, "max active states")
     po.register("acoustic-scale", float, 0.1, "acoustic scale")
     po.register("word-symbol-table", str, "", "words.txt for text output")
     args = po.read(argv)
     tm, am = read_mdl(args[0])
-    with open(args[1], "rb") as _fh:
-        _is_binary = _fh.read(4) == struct.pack("<i", 2125659606)
-    if _is_binary:
-        from kaldi_tpu.fst.openfst_io import read_fst_path
-        HCLG = read_fst_path(args[1])
-    else:
-        HCLG = VectorFst.read_text(args[1])
-    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
-                       DenseDecoderConfig(beam=po["beam"],
-                                          lattice_beam=po["lattice-beam"],
-                                          acoustic_scale=po["acoustic-scale"]))
+    HCLG = _load_hclg(args[1])
+    dec = _LatgenDecoder(HCLG, tm.tid_to_pdf_array, po["beam"],
+                         po["lattice-beam"], po["acoustic-scale"],
+                         max_active=po["max-active"])
     words_tab = None
     if po["word-symbol-table"]:
         from kaldi_tpu.fst.fst import SymbolTable
@@ -287,8 +327,7 @@ def gmm_latgen_faster(argv):
     with TableWriter(args[3], holder="clat") as lw:
         for key, feats in SequentialTableReader(args[2], holder="mat"):
             ll = np.asarray(am.loglikes(np.asarray(feats)))
-            lat, best = dec.decode_lattice(ll)
-            clat = determinize_lattice(lat)
+            clat = dec.decode_to_clat(ll)
             lw[key] = clat
             wseq, _, cost = clat.best_path()
             text = [words_tab.find(w) if words_tab else str(w) for w in wseq]

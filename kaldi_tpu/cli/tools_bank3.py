@@ -997,25 +997,24 @@ def nnet3_average(argv):
 @tool("nnet3-latgen-faster")
 def nnet3_latgen_faster(argv):
     from kaldi_tpu.am.serialize import read_mdl
-    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.cli.tools import _LatgenDecoder
     from kaldi_tpu.fst.fst import SymbolTable
-    from kaldi_tpu.lattice import determinize_lattice
     po = ParseOptions("nnet3-latgen-faster [opts] <trans-model> "
                       "<raw-nnet3> <fst> <feats-rspec> <lat-wspec> "
                       "[<words-wspec>]")
     po.register("beam", float, 15.0, "decoding beam")
     po.register("lattice-beam", float, 8.0, "lattice beam")
+    po.register("max-active", int, 7000, "max active states")
     po.register("acoustic-scale", float, 1.0, "acoustic scale")
     po.register("frame-subsampling-factor", int, 3, "subsampling")
     po.register("word-symbol-table", str, "", "words.txt")
     args = po.read(argv)
     tm, _am = read_mdl(args[0])
     _, fwd = _load_tdnn(args[1], po["frame-subsampling-factor"])
-    dec = DenseDecoder(_load_fst(args[2]), tm.tid_to_pdf_array,
-                       DenseDecoderConfig(
-                           beam=po["beam"],
-                           lattice_beam=po["lattice-beam"],
-                           acoustic_scale=po["acoustic-scale"]))
+    dec = _LatgenDecoder(_load_fst(args[2]), tm.tid_to_pdf_array,
+                         po["beam"], po["lattice-beam"],
+                         po["acoustic-scale"],
+                         max_active=po["max-active"])
     words_tab = (SymbolTable.read(po["word-symbol-table"])
                  if po["word-symbol-table"] else None)
     wwriter = (TableWriter(args[5], holder="text")
@@ -1024,8 +1023,7 @@ def nnet3_latgen_faster(argv):
     with TableWriter(args[4], holder="clat") as lw:
         for key, feats in SequentialTableReader(args[3], holder="mat"):
             scores = np.asarray(fwd(np.asarray(feats, np.float32)[None]))[0]
-            lat, _best = dec.decode_lattice(scores)
-            clat = determinize_lattice(lat)
+            clat = dec.decode_to_clat(scores)
             lw[key] = clat
             wseq, _, cost = clat.best_path()
             text = [words_tab.find(w) if words_tab else str(w)

@@ -671,18 +671,25 @@ class BeamDecoder:
         return self._build_lattice(self._fetch(out, lattice=True), T,
                                    loglikes)
 
-    def decode_compact(self, loglikes: np.ndarray):
+    def decode_compact(self, loglikes: np.ndarray, bucket: int = 64):
         """Single utterance → determinized CompactLattice via the fused
         native build+determinize path (the decode-wrappers contract:
-        lattices on disk are determinized)."""
+        lattices on disk are determinized).  Frame count is padded up
+        to a `bucket` multiple so a stream of mixed-length utterances
+        reuses a handful of compiled shapes (padded frames are masked
+        by num_frames inside the scan)."""
         if not self.L:
             raise KaldiError("decode_compact needs lattice_arcs_per_frame")
         T = loglikes.shape[0]
+        ll = np.asarray(loglikes, np.float32)
+        if bucket > 1 and T % bucket:
+            pad = bucket - T % bucket
+            ll = np.concatenate(
+                [ll, np.zeros((pad, ll.shape[1]), np.float32)])
         out = self._decode_jit(self._graph_arrays(),
-                               jnp.asarray(loglikes, jnp.float32),
-                               jnp.int32(T))
+                               jnp.asarray(ll), jnp.int32(T))
         return self.build_compact_lattice(self._fetch(out, lattice=True),
-                                          T, loglikes)
+                                          T, ll)
 
     def decode_lattice_batch(self, loglikes_padded: np.ndarray,
                              num_frames: np.ndarray) -> List[Lattice]:

@@ -316,3 +316,29 @@ def test_nnet3_info_copy(tmp_path, capsys):
     assert main(["nnet3-copy", str(p), str(cp)]) == 0
     assert main(["nnet3-info", str(cp)]) == 0
     assert "tdnn1.affine" in capsys.readouterr().out
+
+
+def test_latgen_decoder_large_graph_path(tmp_path, rng):
+    """_LatgenDecoder's BeamDecoder branch (forced via dense_limit=0)
+    must produce the same best path as the DenseDecoder branch."""
+    from kaldi_tpu.cli.tools import _LatgenDecoder
+    from kaldi_tpu.fst import (ArpaModel, Lang, Lexicon, arpa_to_fst,
+                               make_unigram_arpa, mkgraph)
+    lex = Lexicon(entries=[("YES", ["Y", "EH", "S"]), ("NO", ["N", "OW"])])
+    lang = Lang(lex)
+    phones = lang.phone_list()
+    topo = HmmTopology.three_state(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    tm = TransitionModel(topo, tree)
+    HCLG = mkgraph(lang, tm, arpa_to_fst(
+        ArpaModel.parse(make_unigram_arpa({"YES": 1.0, "NO": 1.0})),
+        lang.words))
+    dense = _LatgenDecoder(HCLG, tm.tid_to_pdf_array, 16.0, 8.0, 1.0)
+    beam = _LatgenDecoder(HCLG, tm.tid_to_pdf_array, 16.0, 8.0, 1.0,
+                          max_active=512, dense_limit=0)
+    assert dense._compact is False and beam._compact is True
+    for _ in range(3):
+        ll = rng.standard_normal((15, tm.num_pdfs)).astype(np.float32)
+        dw, dt, dc = dense.decode_to_clat(ll).best_path()
+        bw, bt, bc = beam.decode_to_clat(ll).best_path()
+        assert dw == bw and abs(dc - bc) < 1e-2
