@@ -197,36 +197,40 @@ def main():
         cfg = TdnnConfig(feat_dim=40, num_pdfs=2048, hidden_dim=512,
                          bottleneck_dim=128, num_layers=9,
                          frame_subsampling_factor=3)
+        from kaldi_tpu.core.profiling import profile
         model = TdnnChain(cfg)
         xb = jnp.zeros((16, 512, 40), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), xb, train=False)
-        fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
-        jax.block_until_ready(fwd(xb))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            o = fwd(xb)
-        jax.block_until_ready(o)
-        dt = (time.perf_counter() - t0) / 5
         params = sum(int(np.prod(p.shape)) for p in
                      jax.tree_util.tree_leaves(variables["params"]))
         flops = 2 * params * 16 * 512       # ≈2·P·tokens (dense layers)
-        tflops = flops / dt / 1e12
-        log.info("bench: TDNN-F scoring %.2f ms / (16×512) frames, "
-                 "%.1f TFLOP/s achieved (%d params; v5e peak ≈197 bf16 "
-                 "/ ~49 f32)", dt * 1e3, tflops, params)
+
+        def device_ms_per_fwd(net):
+            """xplane device op time per forward — the transport-
+            independent serving number (per-call wall time over the
+            tunneled device link is dominated by RPC latency)."""
+            fwd = jax.jit(lambda x: net.apply(variables, x, train=False))
+            jax.block_until_ready(fwd(xb))
+            with profile() as prof:
+                o = None
+                for _ in range(5):
+                    o = fwd(xb)
+                jax.block_until_ready(o)
+            ops = prof().ops("XLA Ops")
+            return sum(ms for _, ms, _ in ops) / 5
+
+        dt = device_ms_per_fwd(model) * 1e-3
+        log.info("bench: TDNN-F scoring %.2f ms device / (16×512) "
+                 "frames, %.1f TFLOP/s achieved (%d params; v5e peak "
+                 "≈197 bf16 / ~49 f32)", dt * 1e3, flops / dt / 1e12,
+                 params)
         # bfloat16 fast path (same params; matmuls on the MXU bf16 rate)
         m16 = TdnnChain(dataclasses.replace(cfg,
                                             compute_dtype="bfloat16"))
-        fwd16 = jax.jit(lambda x: m16.apply(variables, x, train=False))
-        jax.block_until_ready(fwd16(xb))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            o = fwd16(xb)
-        jax.block_until_ready(o)
-        dt16 = (time.perf_counter() - t0) / 5
-        log.info("bench: TDNN-F scoring bf16 %.2f ms (%.1f TFLOP/s, "
-                 "%.1fx f32)", dt16 * 1e3, flops / dt16 / 1e12,
-                 dt / dt16)
+        dt16 = device_ms_per_fwd(m16) * 1e-3
+        log.info("bench: TDNN-F scoring bf16 %.2f ms device "
+                 "(%.1f TFLOP/s, %.1fx f32)", dt16 * 1e3,
+                 flops / dt16 / 1e12, dt / dt16)
     except Exception as e:      # MFU probe must never fail the bench
         log.warning("bench: MFU probe failed: %s", e)
 

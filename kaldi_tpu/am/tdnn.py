@@ -28,11 +28,22 @@ import numpy as np
 
 
 def splice(x: jnp.ndarray, offsets: Sequence[int]) -> jnp.ndarray:
-    """(B, T, D) → (B, T, D*len(offsets)) gathering frames at t+offset
-    with edge clamping (nnet3 Offset/Append descriptor semantics)."""
+    """(B, T, D) → (B, T, D*len(offsets)) taking frames at t+offset
+    with edge clamping (nnet3 Offset/Append descriptor semantics).
+
+    Implemented as ONE edge pad + static slices: a time shift is a
+    view, not a T-row gather.  (The gather form cost ~10 ns/row on the
+    TPU and dominated the TDNN-F forward — ~36 splice gathers per pass
+    were ~half the step time; static slices fuse into the matmuls.)"""
     T = x.shape[1]
-    idx = jnp.arange(T)
-    cols = [x[:, jnp.clip(idx + o, 0, T - 1), :] for o in offsets]
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    if lo or hi:
+        xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)), mode="edge")
+    else:
+        xp = x
+    cols = [jax.lax.slice_in_dim(xp, lo + o, lo + o + T, axis=1)
+            for o in offsets]
     return jnp.concatenate(cols, axis=-1)
 
 
