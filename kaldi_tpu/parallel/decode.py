@@ -74,3 +74,54 @@ class ShardedDecoder:
             one = jax.tree_util.tree_map(lambda x: x[b], out)
             results.append(self.dec._backtrace(one, int(num_frames[b])))
         return results
+
+
+class ShardedBeamDecoder:
+    """Data-parallel LARGE-GRAPH lattice decode on a mesh: the
+    utterance batch is sharded over 'data', the packed CSR arc table
+    is replicated into every chip's HBM (the multi-lane CudaFst
+    residency), and each shard runs the sort-recombination scan
+    independently — no collectives in the steady state, matching the
+    reference's per-process decode semantics at pod scale
+    (BASELINE.json north-star config 5)."""
+
+    def __init__(self, decoder, mesh: Mesh):
+        from kaldi_tpu.decoder.beam import BeamDecoder
+        assert isinstance(decoder, BeamDecoder)
+        self.dec = decoder
+        self.mesh = mesh
+        self._jit = None
+
+    def _build(self):
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        vmapped = jax.vmap(self.dec._decode_scan, in_axes=(None, 0, 0))
+        self._jit = jax.jit(vmapped,
+                            in_shardings=(repl, batch_sh, batch_sh),
+                            out_shardings=batch_sh)
+
+    def decode_compact_batch(self, loglikes_padded: np.ndarray,
+                             num_frames: np.ndarray):
+        """(B, T_pad, P) → determinized CompactLattices (fused native
+        build+determinize per utterance on host).  B is padded up to a
+        multiple of the data-axis size."""
+        if self._jit is None:
+            self._build()
+        ndata = self.mesh.shape["data"]
+        B = loglikes_padded.shape[0]
+        pad_b = (-B) % ndata
+        X = loglikes_padded
+        lens = num_frames
+        if pad_b:
+            X = np.concatenate(
+                [X, np.zeros((pad_b,) + X.shape[1:], X.dtype)])
+            lens = np.concatenate(
+                [lens, np.ones(pad_b, num_frames.dtype)])
+        with self.mesh:
+            out = self._jit(self.dec._graph_arrays(),
+                            jnp.asarray(X, jnp.float32),
+                            jnp.asarray(lens, jnp.int32))
+        hosts = self.dec._fetch_batch(out, B, lattice=True)
+        return [self.dec.build_compact_lattice(
+                    hosts[b], int(num_frames[b]), X[b])
+                for b in range(B)]

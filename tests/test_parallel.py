@@ -119,3 +119,35 @@ def test_chain_train_step_sharded_matches_unsharded():
     with mesh:
         r2 = t2.train(egs, log_every=100)
     assert abs(r1["loss"] - r2["loss"]) < 1e-3
+
+
+def test_sharded_beam_decode_matches_single(setup):
+    """ShardedBeamDecoder (large-graph sort decoder over the data
+    axis, graph replicated) must produce the same determinized
+    lattices as the single-device fused path."""
+    from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+    from kaldi_tpu.fst.csr import pack_fst
+    from kaldi_tpu.parallel.decode import ShardedBeamDecoder
+    lang, tm, HCLG = setup
+    rng = np.random.default_rng(5)
+    dec = BeamDecoder(pack_fst(HCLG), tm.tid_to_pdf_array,
+                      BeamDecoderConfig(beam=16.0, max_active=256,
+                                        acoustic_scale=0.5,
+                                        lattice_beam=6.0,
+                                        lattice_arcs_per_frame=512,
+                                        record_capacity=8192))
+    B, T, Pn = 5, 18, tm.num_pdfs     # not divisible by 8
+    lls = rng.standard_normal((B, T, Pn)).astype(np.float32)
+    lens = rng.integers(10, T + 1, B).astype(np.int32)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = ShardedBeamDecoder(dec, mesh)
+    got = sharded.decode_compact_batch(lls, lens)
+    assert len(got) == B
+    for b in range(B):
+        ref = dec.decode_compact(lls[b, :int(lens[b])], bucket=1)
+        gw, gt, gc = got[b].best_path()
+        rw, rt, rc = ref.best_path()
+        assert gw == rw and gt == rt and abs(gc - rc) < 1e-3
+        assert dict(got[b].paths()) == pytest.approx(dict(ref.paths()),
+                                                     abs=1e-3)
