@@ -491,8 +491,7 @@ def nnet3_chain_train(argv):
     den graph built from the model's tree/topo + phone sequences
     (ali-to-phones output, the chain-est-phone-lm input)."""
     from kaldi_tpu.am.chain import make_denominator_graph
-    from kaldi_tpu.am.nnet3_io import (infer_tdnn_config, read_raw_model,
-                                       write_raw_model)
+    from kaldi_tpu.am.nnet3_io import infer_tdnn_config, write_raw_model
     from kaldi_tpu.am.serialize import read_mdl
     from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
     from kaldi_tpu.pipelines.egs_io import read_egs_ark
@@ -531,7 +530,7 @@ def nnet3_chain_compute_prob(argv):
     import jax.numpy as jnp
     from kaldi_tpu.am.chain import (ChainTrainingOptions,
                                     make_denominator_graph, chain_objf)
-    from kaldi_tpu.am.nnet3_io import infer_tdnn_config, read_raw_model
+    from kaldi_tpu.am.nnet3_io import infer_tdnn_config
     from kaldi_tpu.am.serialize import read_mdl
     from kaldi_tpu.am.tdnn import TdnnChain
     from kaldi_tpu.pipelines.egs_io import read_egs_ark

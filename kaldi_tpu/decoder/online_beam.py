@@ -1,0 +1,220 @@
+"""Streaming large-graph decoding (LatticeFasterOnlineDecoder role).
+
+Parity target: src/decoder/lattice-faster-online-decoder.h —
+AdvanceDecoding() consumes score chunks as they arrive, BestPathEnd/
+TraceBackBestPath give a partial result at ANY time, and GetLattice
+at the end returns the determinized CompactLattice.  The reference's
+online decoder is the offline one with incremental frame consumption;
+same here: the chunk step reuses BeamDecoder._frame_step (the
+sort-recombination sweep) with the token set CARRIED across chunks,
+and appends to device-resident state:
+
+  * backpointer buffers (max_frames, K) for prev-slot and arc-index —
+    they stay in HBM; a partial traceback runs ON DEVICE (a while_loop
+    over the filled prefix) and ships only the (max_frames,) winning
+    arc-index path, exactly like the offline in-jit backtrace.
+  * the same cursor-append record buffer the offline scan uses, so
+    finalize() feeds the identical fused native
+    build+determinize passes (GetRawLattice +
+    DeterminizeLatticePhonePrunedWrapper).
+
+Everything is fixed-shape: chunks are padded to `chunk_frames`, so one
+compiled step serves the whole stream (the looped-computation
+contract of decodable-online-looped.h).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_tpu.core.logging import KaldiError, get_logger
+from kaldi_tpu.decoder.beam import BeamDecoder
+
+log = get_logger(__name__)
+
+INF = np.float32(np.inf)
+
+
+class OnlineBeamDecoder:
+    """Chunked decoding over a BeamDecoder's graph.
+
+    Usage::
+
+        ob = OnlineBeamDecoder(dec, chunk_frames=32)
+        ob.reset()
+        for scores_chunk in stream:       # (t, num_pdfs) pieces
+            ob.advance(scores_chunk)
+            words, cost = ob.partial()    # any time
+        clat = ob.finalize()              # determinized CompactLattice
+    """
+
+    def __init__(self, dec: BeamDecoder, chunk_frames: int = 32,
+                 max_frames: int = 2048):
+        if not dec.L:
+            raise KaldiError("OnlineBeamDecoder needs "
+                             "lattice_arcs_per_frame on the BeamDecoder")
+        if not dec.config.record_capacity:
+            raise KaldiError("OnlineBeamDecoder needs record_capacity "
+                             "(fixed-shape record buffer)")
+        self.dec = dec
+        self.C = chunk_frames
+        self.maxT = max_frames
+        self._chunk_jit = jax.jit(self._chunk_fn)
+        self._partial_jit = jax.jit(self._partial_fn)
+        self.reset()
+
+    # -- device functions ---------------------------------------------------
+
+    def _chunk_fn(self, g, tok, buf, cursor, bpp, bpa, cnts,
+                  frames_done, chunk_ll, n_valid):
+        dec = self.dec
+        dec.g = g
+        active = jnp.arange(self.C) < n_valid
+        (tok, buf, cursor), scanned = jax.lax.scan(
+            dec._frame_step, (tok, buf, cursor), (chunk_ll, active))
+        prev, aidxs = scanned[0], scanned[1]
+        cnt = scanned[5]
+        # chunk rows land at the filled prefix; a partial final chunk's
+        # inactive rows are overwritten by the next chunk
+        bpp = jax.lax.dynamic_update_slice(bpp, prev, (frames_done, 0))
+        bpa = jax.lax.dynamic_update_slice(bpa, aidxs, (frames_done, 0))
+        cnts = jax.lax.dynamic_update_slice(cnts, cnt, (frames_done,))
+        return tok, buf, cursor, bpp, bpa, cnts, frames_done + n_valid
+
+    def _partial_fn(self, g, tok, bpp, bpa, frames_done):
+        """Best token now (+final cost if any state is final), device
+        traceback over the filled prefix → (arc-index path, cost,
+        per-token final costs)."""
+        fs, fc = tok[0], tok[1]
+        okf = fs >= 0
+        fin = g["final"][jnp.where(okf, fs, 0)]
+        total = jnp.where(okf, fc + fin, INF)
+        any_final = jnp.isfinite(total).any()
+        use = jnp.where(any_final, total, jnp.where(okf, fc, INF))
+        best = jnp.argmin(use).astype(jnp.int32)
+        out = jnp.full((self.maxT,), -1, jnp.int32)
+
+        def cond(c):
+            return (c[0] > 0) & (c[1] >= 0)
+
+        def body(c):
+            t, idx, out = c
+            t = t - 1
+            out = jax.lax.dynamic_update_slice(out, bpa[t, idx][None],
+                                               (t,))
+            return (t, bpp[t, idx], out)
+
+        _, _, out = jax.lax.while_loop(
+            cond, body, (frames_done, best, out))
+        return out, use[best], jnp.where(okf, fin, INF)
+
+    # -- host API -------------------------------------------------------
+
+    def reset(self) -> None:
+        dec = self.dec
+        g = dec._graph_arrays()
+        K = dec.K
+        self._tok = (g["init_state"], g["init_cost"],
+                     g["init_off"], g["init_cnt"])
+        # full-stream append buffer (HBM-resident; the offline scan's
+        # T_pad·L sizing, so cursor appends can never clamp/corrupt).
+        # Only the counted prefix ever crosses the wire.
+        self._buf = jnp.zeros((self.maxT * dec.L, dec._recw), jnp.int32)
+        self._cursor = jnp.int32(0)
+        self._bpp = jnp.zeros((self.maxT, K), jnp.int32)
+        self._bpa = jnp.full((self.maxT, K), -1, jnp.int32)
+        self._cnts = jnp.zeros((self.maxT,), jnp.int32)
+        self._frames = 0
+        self._ll_parts: List[np.ndarray] = []
+        self._pending: Optional[np.ndarray] = None
+
+    def _run_chunk(self, chunk: np.ndarray, n_valid: int) -> None:
+        g = self.dec._graph_arrays()
+        (self._tok, self._buf, self._cursor, self._bpp, self._bpa,
+         self._cnts, _fd) = self._chunk_jit(
+            g, self._tok, self._buf, self._cursor, self._bpp,
+            self._bpa, self._cnts, jnp.int32(self._frames),
+            jnp.asarray(chunk, jnp.float32), jnp.int32(n_valid))
+        self._frames += n_valid
+        if self._frames + self.C > self.maxT:
+            raise KaldiError("OnlineBeamDecoder: max_frames exceeded")
+
+    def advance(self, loglikes: np.ndarray) -> None:
+        """Consume a (t, num_pdfs) score chunk (any t ≥ 0)."""
+        ll = np.asarray(loglikes, np.float32)
+        self._ll_parts.append(ll)
+        buf = (ll if self._pending is None
+               else np.concatenate([self._pending, ll]))
+        while buf.shape[0] >= self.C:
+            self._run_chunk(buf[:self.C], self.C)
+            buf = buf[self.C:]
+        self._pending = buf
+
+    def _flush(self) -> None:
+        if self._pending is not None and self._pending.shape[0]:
+            n = self._pending.shape[0]
+            pad = np.zeros((self.C - n, self._pending.shape[1]),
+                           np.float32)
+            self._run_chunk(np.concatenate([self._pending, pad]), n)
+            self._pending = np.zeros((0, self._pending.shape[1]),
+                                     np.float32)
+
+    @property
+    def num_frames_decoded(self) -> int:
+        return self._frames + (0 if self._pending is None
+                               else self._pending.shape[0])
+
+    def partial(self) -> Tuple[List[int], float]:
+        """(olabel sequence so far, best cost) — BestPathEnd +
+        TraceBackBestPath at the current frame."""
+        self._flush()
+        if self._frames == 0:
+            return [], 0.0
+        path, cost, _fin = self._partial_jit(
+            self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
+            jnp.int32(self._frames))
+        aidx = np.asarray(path)[:self._frames]
+        aidx = aidx[aidx >= 0]
+        ols = [int(o) for o in self.dec._flat[aidx, 4] if o]
+        return ols, float(cost)
+
+    def partial_tids(self) -> List[int]:
+        """tid alignment of the current best path (silence-weighting /
+        endpointing input)."""
+        self._flush()
+        if self._frames == 0:
+            return []
+        path, _cost, _fin = self._partial_jit(
+            self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
+            jnp.int32(self._frames))
+        aidx = np.asarray(path)[:self._frames]
+        aidx = aidx[aidx >= 0]
+        return [int(t) for t in self.dec._flat[aidx, 2] if t]
+
+    def finalize(self, max_states: int = 200000):
+        """Determinized CompactLattice over everything consumed (the
+        GetLattice(final=true) contract)."""
+        self._flush()
+        if self._frames == 0:
+            raise KaldiError("OnlineBeamDecoder: no frames decoded")
+        dec = self.dec
+        _path, _cost, fin = self._partial_jit(
+            dec._graph_arrays(), self._tok, self._bpp, self._bpa,
+            jnp.int32(self._frames))
+        ncur = int(self._cursor)
+        dec._check_overflow(ncur, self._buf.shape[0])
+        # bucket the prefix slice so repeated finalizes reuse a handful
+        # of compiled slice shapes; trim host-side
+        nb = min(-(-max(ncur, 1) // 4096) * 4096, self._buf.shape[0])
+        host = {
+            "rec_counts": np.asarray(self._cnts)[:self._frames],
+            "rec_packed": np.asarray(self._buf[:nb])[:ncur],
+            "tok_final": np.asarray(fin),
+        }
+        ll = np.concatenate(self._ll_parts)
+        return dec.build_compact_lattice(host, self._frames, ll,
+                                         max_states=max_states)

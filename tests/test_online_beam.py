@@ -1,0 +1,94 @@
+"""OnlineBeamDecoder: streamed large-graph decode == offline."""
+
+import numpy as np
+import pytest
+
+from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+from kaldi_tpu.decoder.online_beam import OnlineBeamDecoder
+
+
+@pytest.fixture(scope="module")
+def task():
+    from kaldi_tpu.pipelines.largevocab import make_largevocab_task
+    return make_largevocab_task(vocab_size=800, corpus_sentences=800,
+                                seed=3)
+
+
+@pytest.fixture(scope="module")
+def dec(task):
+    return BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array,
+                       BeamDecoderConfig(beam=14.0, max_active=512,
+                                         acoustic_scale=1.0,
+                                         lattice_beam=6.0,
+                                         lattice_arcs_per_frame=1024,
+                                         record_capacity=16384))
+
+
+def _utt(task, rng, n_words=4):
+    from kaldi_tpu.pipelines.largevocab import (sample_eval_set,
+                                                synth_loglikes)
+    words = list(sample_eval_set(task, 1, max_words=n_words,
+                                 seed=int(rng.integers(1 << 30))
+                                 ).values())[0]
+    return words, synth_loglikes(task, words, rng, noise=0.3)
+
+
+def test_streamed_matches_offline(task, dec):
+    rng = np.random.default_rng(5)
+    ob = OnlineBeamDecoder(dec, chunk_frames=16, max_frames=512)
+    for trial in range(3):
+        words, ll = _utt(task, rng)
+        ref = dec.decode_compact(ll, bucket=1)
+        ob.reset()
+        # ragged chunk sizes, incl. a mid-stream partial (flush +
+        # resume path)
+        cuts = [0, 7, 23, 40, ll.shape[0]]
+        for a, b in zip(cuts, cuts[1:]):
+            if a < ll.shape[0]:
+                ob.advance(ll[a:min(b, ll.shape[0])])
+            if a == 23:
+                ob.partial()          # traceback mid-stream
+        got = ob.finalize()
+        gw, gt, gc = got.best_path()
+        rw, rt, rc = ref.best_path()
+        assert gw == rw and gt == rt and abs(gc - rc) < 1e-3
+        assert dict(got.paths()) == pytest.approx(dict(ref.paths()),
+                                                  abs=1e-3)
+
+
+def test_partial_converges_to_final(task, dec):
+    rng = np.random.default_rng(9)
+    words, ll = _utt(task, rng)
+    ob = OnlineBeamDecoder(dec, chunk_frames=16, max_frames=512)
+    ob.reset()
+    T = ll.shape[0]
+    ob.advance(ll[:T // 2])
+    mid_ols, mid_cost = ob.partial()
+    assert np.isfinite(mid_cost)
+    ob.advance(ll[T // 2:])
+    end_ols, end_cost = ob.partial()
+    clat = ob.finalize()
+    bw, bt, bc = clat.best_path()
+    assert end_ols == bw                 # partial at end == best path
+    # decoded transcript matches the synthesized sentence
+    hyp = [task.words.find(w) for w in bw]
+    assert hyp == list(words)
+    # a second utterance after reset is independent
+    words2, ll2 = _utt(task, rng)
+    ob.reset()
+    ob.advance(ll2)
+    clat2 = ob.finalize()
+    hyp2 = [task.words.find(w) for w in clat2.best_path()[0]]
+    assert hyp2 == list(words2)
+
+
+def test_partial_tids_monotone_prefix(task, dec):
+    rng = np.random.default_rng(21)
+    _, ll = _utt(task, rng)
+    ob = OnlineBeamDecoder(dec, chunk_frames=16, max_frames=512)
+    ob.reset()
+    ob.advance(ll)
+    tids = ob.partial_tids()
+    assert len(tids) == ll.shape[0]      # one tid per decoded frame
+    ref_tids, _ols, _c = dec.decode(ll)
+    assert tids == ref_tids
