@@ -59,10 +59,25 @@ def online2_wav_nnet3_latgen_faster(argv):
         extractor = read_ivector_extractor(po["ivector-extractor"])
     tm, _ = read_mdl(args[0])
     _, fwd = _load_tdnn(args[1], po["frame-subsampling-factor"])
-    dec = DenseDecoder(_load_fst(args[2]), tm.tid_to_pdf_array,
-                       DenseDecoderConfig(
-                           beam=po["beam"],
-                           acoustic_scale=po["acoustic-scale"]))
+    HCLG = _load_fst(args[2])
+    if HCLG.num_states > 20000:
+        # large-graph streaming path (OnlineBeamDecoder)
+        from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+        from kaldi_tpu.fst.csr import pack_fst
+        dec = BeamDecoder(pack_fst(HCLG), tm.tid_to_pdf_array,
+                          BeamDecoderConfig(
+                              beam=po["beam"], max_active=7000,
+                              acoustic_scale=po["acoustic-scale"],
+                              lattice_beam=8.0,
+                              lattice_arcs_per_frame=8192,
+                              record_capacity=65536))
+        log.info("online2: %d states → OnlineBeamDecoder "
+                 "(large-graph streaming path)", HCLG.num_states)
+    else:
+        dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                           DenseDecoderConfig(
+                               beam=po["beam"],
+                               acoustic_scale=po["acoustic-scale"]))
     words_tab = None
     if po["word-symbol-table"]:
         from kaldi_tpu.fst.fst import SymbolTable
@@ -73,6 +88,7 @@ def online2_wav_nnet3_latgen_faster(argv):
             samp_freq=po["sample-frequency"], dither=0.0),
         num_ceps=po["num-ceps"]))
     n = 0
+    _online_beam = [None]
     with TableWriter(args[4], holder="text") as w:
         for key, (wave, rate) in SequentialTableReader(args[3],
                                                        holder="wav"):
@@ -88,7 +104,16 @@ def online2_wav_nnet3_latgen_faster(argv):
                 ivector_period=po["ivector-period"])
             scorer = OnlineNnetScorer(
                 fwd, subsample=po["frame-subsampling-factor"])
-            online = SingleUtteranceDecoder(dec)
+            if isinstance(dec, DenseDecoder):
+                online = SingleUtteranceDecoder(dec)
+            else:
+                # one compiled chunk step serves every utterance
+                if _online_beam[0] is None:
+                    from kaldi_tpu.decoder.online_beam import \
+                        OnlineBeamDecoder
+                    _online_beam[0] = OnlineBeamDecoder(dec)
+                online = _online_beam[0]
+                online.reset()
             fed = 0
             endpointed = False
             for i in range(0, len(wave), chunk):

@@ -218,3 +218,70 @@ class OnlineBeamDecoder:
         ll = np.concatenate(self._ll_parts)
         return dec.build_compact_lattice(host, self._frames, ll,
                                          max_states=max_states)
+
+    # -- SingleUtteranceNnet3Decoder-compatible surface -------------------
+
+    def advance_decoding(self, loglikes: np.ndarray) -> None:
+        self.advance(loglikes)
+
+    def get_best_path(self, use_final_probs: bool = True
+                      ) -> Tuple[List[int], List[int], float]:
+        """(tids, olabels, cost) of the current best path."""
+        self._flush()
+        if self._frames == 0:
+            raise KaldiError("OnlineBeamDecoder: no frames decoded")
+        path, cost, _fin = self._partial_jit(
+            self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
+            jnp.int32(self._frames))
+        aidx = np.asarray(path)[:self._frames]
+        aidx = aidx[aidx >= 0]
+        tids = [int(t) for t in self.dec._flat[aidx, 2] if t]
+        ols = [int(o) for o in self.dec._flat[aidx, 4] if o]
+        return tids, ols, float(cost)
+
+    def trailing_silence_frames(self, tm=None, silence_phones=()) -> int:
+        tm = tm or getattr(self, "tm", None)
+        silence_phones = set(silence_phones) or getattr(
+            self, "silence_phones", set())
+        if tm is None or not silence_phones:
+            return 0
+        n = 0
+        for tid in reversed(self.partial_tids()):
+            if tm.transition_id_to_phone(tid) in silence_phones:
+                n += 1
+            else:
+                break
+        return n
+
+    def endpoint_detected(self, rules=None, frame_shift: float = 0.03,
+                          tm=None, silence_phones=()) -> bool:
+        """online-endpoint.h EndpointDetected over the current tokens
+        (frame_shift defaults to the chain ×3-subsampled rate)."""
+        from kaldi_tpu.decoder.online import default_endpoint_rules
+        self._flush()
+        if self._frames == 0:
+            return False
+        rules = rules or default_endpoint_rules()
+        utt_len = self._frames * frame_shift
+        trailing = self.trailing_silence_frames(tm, silence_phones) \
+            * frame_shift
+        contains_nonsil = trailing < utt_len
+        fc = np.asarray(self._tok[1])
+        fs = np.asarray(self._tok[0])
+        fin = np.asarray(self.dec._g_host["final"])[np.maximum(fs, 0)]
+        total = np.where(fs >= 0, fc + fin, np.inf)
+        best_any = float(np.min(np.where(fs >= 0, fc, np.inf)))
+        best_final = float(np.min(total))
+        relative_cost = (best_final - best_any
+                         if np.isfinite(best_final) else 1e10)
+        for r in rules:
+            if r.must_contain_nonsilence and not contains_nonsil:
+                continue
+            if trailing < r.min_trailing_silence:
+                continue
+            if relative_cost > r.max_relative_cost:
+                continue
+            if utt_len < r.min_utterance_length:
+                continue
+            return True
+        return False

@@ -92,3 +92,24 @@ def test_partial_tids_monotone_prefix(task, dec):
     assert len(tids) == ll.shape[0]      # one tid per decoded frame
     ref_tids, _ols, _c = dec.decode(ll)
     assert tids == ref_tids
+
+
+def test_endpoint_and_best_path_surface(task, dec):
+    """The SingleUtteranceNnet3Decoder-compatible surface: endpointing
+    from trailing silence + relative cost, get_best_path parity."""
+    rng = np.random.default_rng(33)
+    words, ll = _utt(task, rng)
+    ob = OnlineBeamDecoder(dec, chunk_frames=16, max_frames=512)
+    ob.reset()
+    ob.advance(ll)
+    tids, ols, cost = ob.get_best_path()
+    rt, ro, rc = dec.decode(ll)
+    assert tids == rt and ols == ro and abs(cost - rc) < 1e-3
+    # rule5 fires on pure utterance length (>20 s at 0.03 shift needs
+    # 667 frames; at frame_shift=1.0 any utterance >20 frames fires)
+    assert ob.endpoint_detected(frame_shift=1.0)
+    # with a huge min length and silence requirements unmet, no rule
+    # fires at the default shift for a short utterance
+    from kaldi_tpu.decoder.online import OnlineEndpointRule
+    assert not ob.endpoint_detected(
+        rules=[OnlineEndpointRule(True, 1e9, 1e10, 1e9)])
