@@ -63,7 +63,11 @@ class OnlineBeamDecoder:
         self.dec = dec
         self.C = chunk_frames
         self.maxT = max_frames
-        self._chunk_jit = jax.jit(self._chunk_fn)
+        # donate the carried state: the chunk step then updates the
+        # record/backpointer buffers in place instead of copying
+        # hundreds of MB per step at the jit boundary
+        self._chunk_jit = jax.jit(self._chunk_fn,
+                                  donate_argnums=(1, 2, 3, 4, 5, 6))
         self._partial_jit = jax.jit(self._partial_fn)
         self.reset()
 
@@ -118,8 +122,11 @@ class OnlineBeamDecoder:
         dec = self.dec
         g = dec._graph_arrays()
         K = dec.K
-        self._tok = (g["init_state"], g["init_cost"],
-                     g["init_off"], g["init_cnt"])
+        # copies, not references: the chunk step DONATES its token
+        # carry, and the graph's init arrays must survive resets
+        self._tok = tuple(jnp.array(g[k]) for k in
+                          ("init_state", "init_cost", "init_off",
+                           "init_cnt"))
         # full-stream append buffer (HBM-resident; the offline scan's
         # T_pad·L sizing, so cursor appends can never clamp/corrupt).
         # Only the counted prefix ever crosses the wire.
@@ -285,3 +292,130 @@ class OnlineBeamDecoder:
                 continue
             return True
         return False
+
+
+class MultiStreamBeamDecoder:
+    """N concurrent streaming channels on one chip (the CudaDecoder
+    multi-lane/multi-channel model: LaneCounters/ChannelCounters in
+    cuda-decoder.h).  All channel state lives in HBM with a leading
+    channel axis; one vmapped compiled chunk step advances every
+    channel at once (idle channels ride along with n_valid = 0 —
+    identity token steps).  Channels are independently reset and
+    finalized, so utterances of different lengths stream through the
+    same lanes back-to-back, as in the batched GPU pipeline."""
+
+    def __init__(self, dec: BeamDecoder, n_channels: int = 8,
+                 chunk_frames: int = 32, max_frames: int = 2048,
+                 rec_rows: Optional[int] = None):
+        if not dec.L:
+            raise KaldiError("MultiStreamBeamDecoder needs "
+                             "lattice_arcs_per_frame")
+        self.dec = dec
+        self.N = n_channels
+        self.C = chunk_frames
+        self.maxT = max_frames
+        # per-channel record rows: must keep C·L headroom so the
+        # cursor append can never clamp into written records
+        self.rec_rows = rec_rows or min(max_frames * dec.L,
+                                        262144 + chunk_frames * dec.L)
+        one = OnlineBeamDecoder.__new__(OnlineBeamDecoder)
+        one.dec = dec
+        one.C = chunk_frames
+        one.maxT = max_frames
+        self._single = one                       # for _chunk_fn reuse
+        self._chunk_jit = jax.jit(
+            jax.vmap(one._chunk_fn,
+                     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+            donate_argnums=(1, 2, 3, 4, 5, 6))
+        self._partial_jit = jax.jit(jax.vmap(
+            one._partial_fn, in_axes=(None, 0, 0, 0, 0)))
+        self._reset_all()
+
+    def _reset_all(self) -> None:
+        dec = self.dec
+        g = dec._graph_arrays()
+        N, K = self.N, dec.K
+        tile = lambda a: jnp.broadcast_to(a, (N,) + a.shape)
+        self._tok = tuple(jnp.array(tile(g[k])) for k in
+                          ("init_state", "init_cost", "init_off",
+                           "init_cnt"))
+        self._buf = jnp.zeros((N, self.rec_rows, dec._recw), jnp.int32)
+        self._cursor = jnp.zeros((N,), jnp.int32)
+        self._bpp = jnp.zeros((N, self.maxT, K), jnp.int32)
+        self._bpa = jnp.full((N, self.maxT, K), -1, jnp.int32)
+        self._cnts = jnp.zeros((N, self.maxT), jnp.int32)
+        self._frames = np.zeros(N, np.int64)
+        # host-side cursor upper bound (≤ L records per frame): when it
+        # nears the buffer we fetch the true cursors once and either
+        # tighten the bound or raise — no per-step device round trip
+        self._cursor_ub = np.zeros(N, np.int64)
+        self._ll: List[List[np.ndarray]] = [[] for _ in range(N)]
+
+    def reset_channel(self, c: int) -> None:
+        dec = self.dec
+        g = dec._graph_arrays()
+        names = ("init_state", "init_cost", "init_off", "init_cnt")
+        self._tok = tuple(t.at[c].set(g[k])
+                          for t, k in zip(self._tok, names))
+        self._cursor = self._cursor.at[c].set(0)
+        self._bpa = self._bpa.at[c].set(-1)
+        self._cnts = self._cnts.at[c].set(0)
+        self._frames[c] = 0
+        self._cursor_ub[c] = 0
+        self._ll[c] = []
+
+    def advance(self, chunks: List[Optional[np.ndarray]]) -> None:
+        """chunks[c] = (t ≤ chunk_frames, P) scores for channel c, or
+        None for an idle channel.  One vmapped device step."""
+        assert len(chunks) == self.N
+        P = self.dec.num_pdfs
+        X = np.zeros((self.N, self.C, P), np.float32)
+        nv = np.zeros(self.N, np.int32)
+        for c, ch in enumerate(chunks):
+            if ch is None or len(ch) == 0:
+                continue
+            ch = np.asarray(ch, np.float32)
+            if ch.shape[0] > self.C:
+                raise KaldiError("advance: chunk longer than "
+                                 "chunk_frames")
+            X[c, :ch.shape[0]] = ch
+            nv[c] = ch.shape[0]
+            self._ll[c].append(ch)
+        g = self.dec._graph_arrays()
+        (self._tok, self._buf, self._cursor, self._bpp, self._bpa,
+         self._cnts, _fd) = self._chunk_jit(
+            g, self._tok, self._buf, self._cursor, self._bpp,
+            self._bpa, self._cnts,
+            jnp.asarray(self._frames, jnp.int32), jnp.asarray(X),
+            jnp.asarray(nv))
+        self._frames += nv
+        self._cursor_ub += nv.astype(np.int64) * self.dec.L
+        if (self._cursor_ub.max() + self.C * self.dec.L) > self.rec_rows:
+            actual = np.asarray(self._cursor).astype(np.int64)
+            self.dec._check_overflow(
+                int(actual.max()) + self.C * self.dec.L, self.rec_rows)
+            self._cursor_ub = actual
+        if (self._frames.max() + self.C) > self.maxT:
+            raise KaldiError("MultiStreamBeamDecoder: max_frames "
+                             "exceeded")
+
+    def finalize_channel(self, c: int, max_states: int = 200000):
+        """Determinized CompactLattice for channel c (then
+        reset_channel(c) to reuse the lane)."""
+        dec = self.dec
+        T = int(self._frames[c])
+        if T == 0:
+            raise KaldiError("finalize_channel: no frames decoded")
+        _path, _cost, fin = self._partial_jit(
+            dec._graph_arrays(), self._tok, self._bpp, self._bpa,
+            jnp.asarray(self._frames, jnp.int32))
+        ncur = int(self._cursor[c])
+        dec._check_overflow(ncur + self.C * dec.L, self.rec_rows)
+        host = {
+            "rec_counts": np.asarray(self._cnts[c])[:T],
+            "rec_packed": np.asarray(self._buf[c])[:ncur],
+            "tok_final": np.asarray(fin[c]),
+        }
+        ll = np.concatenate(self._ll[c])
+        return dec.build_compact_lattice(host, T, ll,
+                                         max_states=max_states)

@@ -113,3 +113,41 @@ def test_endpoint_and_best_path_surface(task, dec):
     from kaldi_tpu.decoder.online import OnlineEndpointRule
     assert not ob.endpoint_detected(
         rules=[OnlineEndpointRule(True, 1e9, 1e10, 1e9)])
+
+
+def test_multistream_channels_match_offline(task, dec):
+    """4 channels streaming staggered utterances of different lengths;
+    every finalized lattice must equal the offline fused path, and a
+    reset lane must decode a second utterance correctly."""
+    from kaldi_tpu.decoder.online_beam import MultiStreamBeamDecoder
+    rng = np.random.default_rng(41)
+    ms = MultiStreamBeamDecoder(dec, n_channels=4, chunk_frames=16,
+                                max_frames=256)
+    utts = [_utt(task, rng) for _ in range(6)]   # 6 utts over 4 lanes
+    queue = list(range(6))
+    active = {}                                  # channel → (utt, pos)
+    done = {}
+    while queue or active:
+        for c in range(4):
+            if c not in active and queue:
+                active[c] = (queue.pop(0), 0)
+        chunks = [None] * 4
+        for c, (u, pos) in active.items():
+            ll = utts[u][1]
+            chunks[c] = ll[pos:pos + 16]
+        ms.advance(chunks)
+        for c in list(active):
+            u, pos = active[c]
+            pos += len(chunks[c]) if chunks[c] is not None else 0
+            if pos >= utts[u][1].shape[0]:
+                done[u] = ms.finalize_channel(c)
+                ms.reset_channel(c)
+                del active[c]
+            else:
+                active[c] = (u, pos)
+    assert len(done) == 6
+    for u, (words, ll) in enumerate(utts):
+        ref = dec.decode_compact(ll, bucket=1)
+        gw, gt, gc = done[u].best_path()
+        rw, rt, rc = ref.best_path()
+        assert gw == rw and gt == rt and abs(gc - rc) < 1e-3
