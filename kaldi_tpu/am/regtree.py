@@ -209,3 +209,43 @@ class RegtreeMllr:
         out.means = newm.reshape(P, M, D)
         out.refresh()
         return out
+
+
+def write_regtree(path: str, tree: RegressionTree) -> None:
+    """Serialize a regression tree (RegressionTree::Write role) with
+    the package's Kaldi-style token framing."""
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<REGTREE>")
+        kio.write_basic_int32(f, tree.num_pdfs)
+        kio.write_basic_int32(f, tree.max_mix)
+        kio.write_basic_int32(f, tree.num_nodes)
+        for ch in tree.children:
+            if ch is None:
+                kio.write_basic_int32(f, -1)
+                kio.write_basic_int32(f, -1)
+            else:
+                kio.write_basic_int32(f, ch[0])
+                kio.write_basic_int32(f, ch[1])
+        kio.write_int_vector(f, tree.bclass.astype(np.int32))
+        kio.write_token(f, "</REGTREE>")
+
+
+def read_regtree(path: str) -> RegressionTree:
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        if not kio.init_kaldi_input_stream(f):
+            raise ValueError(f"{path}: not a binary kaldi file")
+        kio.expect_token(f, "<REGTREE>")
+        num_pdfs = kio.read_basic_int32(f)
+        max_mix = kio.read_basic_int32(f)
+        n = kio.read_basic_int32(f)
+        children = []
+        for _ in range(n):
+            l = kio.read_basic_int32(f)
+            r = kio.read_basic_int32(f)
+            children.append(None if l < 0 else (l, r))
+        bclass = np.asarray(kio.read_int_vector(f), np.int32)
+        kio.expect_token(f, "</REGTREE>")
+    return RegressionTree(children, bclass, num_pdfs, max_mix)
