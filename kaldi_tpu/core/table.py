@@ -145,6 +145,10 @@ class _Holders:
             from kaldi_tpu.pipelines.egs_io import write_chain_eg
             kio.init_kaldi_output_stream(f)
             write_chain_eg(f, value)
+        elif holder == "xeg":
+            from kaldi_tpu.pipelines.egs_io import write_xent_eg
+            kio.init_kaldi_output_stream(f)
+            write_xent_eg(f, value)
         elif holder == "post":
             # per-frame [(id, weight), ...] lists (Posterior role)
             frames = list(value)
@@ -175,6 +179,9 @@ class _Holders:
         if holder == "ceg":
             from kaldi_tpu.pipelines.egs_io import read_chain_eg
             return read_chain_eg(f)
+        if holder == "xeg":
+            from kaldi_tpu.pipelines.egs_io import read_xent_eg
+            return read_xent_eg(f)
         if holder == "mat":
             return kio.read_matrix(f) if binary else _read_text_matrix(f)
         if holder == "vec":
