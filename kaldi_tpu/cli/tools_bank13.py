@@ -327,7 +327,14 @@ def gmm_est_lvtln_trans_tool(argv):
             for u in utts:
                 if u in feats_r and u in post_r:
                     feats.append(np.asarray(feats_r[u]))
-                    posts.extend(post_r[u])
+                    # Incoming posteriors are transition-id level
+                    # (ali-to-post convention); Lvtln.select scores
+                    # per-pdf loglikes, so convert tid -> pdf here
+                    # (gmm-est-lvtln-trans.cc does the same).
+                    posts.extend(
+                        [(_tm.transition_id_to_pdf(int(tid)), w)
+                         for tid, w in frame]
+                        for frame in post_r[u])
             if not feats:
                 continue
             cls, affine, impr = lv.select(am, np.concatenate(feats), posts)

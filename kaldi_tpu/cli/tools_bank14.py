@@ -270,9 +270,14 @@ def lattice_boost_ali_tool(argv):
             if key not in ali_r:
                 log.warning("lattice-boost-ali: no alignment for %s", key)
                 continue
-            w[key] = boost_lattice_ali(
-                clat, tm, np.asarray(ali_r[key]).tolist(), po["b"],
-                silence_phones=sil, max_silence_error=po["max-silence"])
+            try:
+                w[key] = boost_lattice_ali(
+                    clat, tm, np.asarray(ali_r[key]).tolist(), po["b"],
+                    silence_phones=sil,
+                    max_silence_error=po["max-silence"])
+            except KaldiError as e:
+                log.warning("lattice-boost-ali: skipping %s: %s", key, e)
+                continue
             n += 1
     log.info("lattice-boost-ali: boosted %d lattices (b=%.3f)", n, po["b"])
     return 0

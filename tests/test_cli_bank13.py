@@ -159,7 +159,13 @@ def test_lvtln_selects_matching_class(tmp_path, rng):
     with TableWriter(f"ark:{tmp_path}/feats.ark", holder="mat") as w:
         w["spkA"] = z.astype(np.float32)
         w["spkB"] = (mu + 0.5 * rng.normal(size=(T, D))).astype(np.float32)
-    post = [[(0, 1.0)] for _ in range(T)]
+    # REAL transition-id-level posteriors (the ali-to-post convention):
+    # pick a tid of the LAST pdf so the tool's tid->pdf conversion is
+    # actually exercised (raw tids exceed num_pdfs).
+    tid = next(t for t in range(1, tm.num_transition_ids + 1)
+               if tm.transition_id_to_pdf(t) == tree.num_pdfs - 1)
+    assert tid >= tree.num_pdfs   # would IndexError/mis-score unconverted
+    post = [[(tid, 1.0)] for _ in range(T)]
     with TableWriter(f"ark:{tmp_path}/post.ark", holder="post") as w:
         w["spkA"] = post
         w["spkB"] = post
