@@ -42,13 +42,11 @@ def main():
     from kaldi_tpu.pipelines.score import compute_wer
 
     log = get_logger("bench")
-    # persistent executable cache: repeat bench runs skip the ~4 min
-    # XLA compile of the decoder scan
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    # persistent executable cache: repeat bench runs skip the XLA
+    # compile of the decoder scan (core/jit_cache.py; warm start pays
+    # only trace+lower)
+    from kaldi_tpu.core.jit_cache import enable as enable_jit_cache
+    enable_jit_cache()
     t0 = time.time()
     vocab = int(os.environ.get("KALDI_TPU_BENCH_VOCAB", "20000"))
     task = make_largevocab_task(vocab_size=vocab, order=3, seed=7,

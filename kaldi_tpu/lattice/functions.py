@@ -288,3 +288,56 @@ def _levenshtein_align(ref, hyp):
             j -= 1
     out.reverse()
     return out
+
+
+def oracle_errors(clat: CompactLattice, ref: Sequence[int]) -> int:
+    """Minimum edit distance between ``ref`` and ANY path of the
+    lattice — the oracle-WER numerator (latbin/lattice-oracle.cc,
+    which composes the lattice with an edit-distance transducer; here
+    a vectorized DP over (state, ref-position) with the j-axis as one
+    numpy row per state, fast enough to score thousands of bench
+    lattices)."""
+    if clat.start < 0:
+        return len(ref)
+    ref_arr = np.asarray(list(ref), np.int64)
+    m = len(ref_arr)
+    INF_I = np.int64(1 << 30)
+    D = np.full((clat.num_states, m + 1), INF_I, np.int64)
+    D[clat.start, 0] = 0
+    idx = np.arange(m + 1, dtype=np.int64)
+
+    def del_closure(row):
+        # deletions consume ref words in place:
+        # D[j] = min_k<=j D[k] + (j - k)  (prefix min of D[k]-k, + j)
+        return np.minimum(row, np.minimum.accumulate(row - idx) + idx)
+
+    best = INF_I
+    for s in clat.top_order():
+        row = del_closure(D[s])
+        D[s] = row
+        fin = clat.finals.get(s)
+        if fin is not None:
+            best = min(best, row[m])
+        for a in clat.arcs[s]:
+            if a.word == 0:
+                cand = row
+            else:
+                ins = row + 1                         # hyp word inserted
+                sub = np.empty(m + 1, np.int64)
+                sub[0] = INF_I
+                sub[1:] = row[:-1] + (ref_arr != a.word)
+                cand = np.minimum(ins, sub)
+            np.minimum(D[a.nextstate], cand, out=D[a.nextstate])
+    return int(best)
+
+
+def lattice_depth(clat: CompactLattice) -> Tuple[int, int]:
+    """(total frames crossed by arcs, lattice frame count) — the
+    lattice-depth statistic (latbin/lattice-depth.cc: density = arcs'
+    tid-frames / utterance frames; 1.0 means a linear lattice)."""
+    times = state_times(clat)
+    frames = sum(len(a.tids) for arcs in clat.arcs for a in arcs)
+    frames += sum(len(f[2]) for f in clat.finals.values())
+    T = max((times[s] + len(f[2]) for s, f in clat.finals.items()),
+            default=0)
+    return frames, T

@@ -62,19 +62,27 @@ def make_largevocab_task(vocab_size: int = 20000,
                          corpus_sentences: int = 8000,
                          seed: int = 7,
                          closure: bool = True,
-                         self_loop_scale: float = 1.0) -> LargeVocabTask:
+                         self_loop_scale: float = 1.0,
+                         entries: Optional[List[Tuple[str, List[str]]]]
+                         = None) -> LargeVocabTask:
     """Synthesize lexicon + Zipfian Markov corpus + pruned n-gram LM,
-    and build the decode graph (biglang direct construction)."""
+    and build the decode graph (biglang direct construction).  Pass
+    ``entries`` to supply a custom lexicon (e.g. the confusable hard
+    corpus — pipelines/hard.py); phone names must be p00-style."""
     timer = Timer()
     rng = np.random.default_rng(seed)
-    phones = [f"p{i:02d}" for i in range(num_phones)]
-    entries: List[Tuple[str, List[str]]] = []
-    for i in range(vocab_size):
-        L = int(rng.integers(3, 9))
-        entries.append((f"w{i:05d}",
-                        [phones[int(k)] for k in
-                         rng.integers(0, num_phones, L)]))
-    entries.sort()
+    if entries is None:
+        phones = [f"p{i:02d}" for i in range(num_phones)]
+        entries = []
+        for i in range(vocab_size):
+            L = int(rng.integers(3, 9))
+            entries.append((f"w{i:05d}",
+                            [phones[int(k)] for k in
+                             rng.integers(0, num_phones, L)]))
+    else:
+        vocab_size = len(entries)
+        phones = sorted({p for _, pron in entries for p in pron})
+    entries = sorted(entries)
     ws = [w for w, _ in entries]
     zipf = 1.0 / np.arange(1, vocab_size + 1)
     zipf /= zipf.sum()
