@@ -126,7 +126,7 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
                 beam: float = 13.0, max_active: int = 7000,
                 lattice_beam: float = 7.0, arc_budget: int = 4096,
                 token_capacity: int = 4096, batch: int = 32,
-                bucket: int = 96, record_capacity: int = 131072,
+                bucket: int = 96, record_capacity: int = 0,
                 pool: Optional[ThreadPoolExecutor]
                 = None) -> Tuple[Dict[str, object], Dict[str, float]]:
     """Decode every utterance to a determinized CompactLattice at one
@@ -148,6 +148,12 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
                             arc_budget=arc_budget,
                             token_capacity=token_capacity, arc_block=8,
                             lattice_arcs_per_frame=min(4096, arc_budget),
+                            # capacity 0 = uncapped record buffer: the
+                            # fetch slices exactly n_max records, so a
+                            # hard corpus can never overflow — the
+                            # quality sweep trades the async-copy
+                            # overlap (bench.py's throughput path) for
+                            # robustness at any lattice density
                             record_capacity=record_capacity)
     dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, cfg)
     gd = dec._graph_arrays()
