@@ -232,6 +232,63 @@ def main():
     except Exception as e:      # MFU probe must never fail the bench
         log.warning("bench: MFU probe failed: %s", e)
 
+    # chain TRAINING-step probe: forward + LF-MMI denominator
+    # forward-backward + backward + NG-SGD update at a realistic egs
+    # shape (src/chain/chain-training.h ComputeChainObjfAndDeriv role;
+    # VERDICT r2 #3).  Reports device frames/s and nominal TFLOP/s.
+    try:
+        from kaldi_tpu.am.chain import make_denominator_graph
+        from kaldi_tpu.am.tdnn import TdnnConfig
+        from kaldi_tpu.am.topology import HmmTopology
+        from kaldi_tpu.am.tree import MonophoneContextDependency
+        from kaldi_tpu.core.profiling import profile
+        from kaldi_tpu.pipelines.chain import (ChainTrainConfig,
+                                               ChainTrainer)
+
+        phones = list(range(1, 42))                    # 41-phone inventory
+        topo = HmmTopology.chain(phones)
+        tree = MonophoneContextDependency(phones, topo)
+        rng_np = np.random.default_rng(0)
+        seqs = [list(rng_np.integers(1, 42, 20)) for _ in range(200)]
+        den = make_denominator_graph(seqs, tree, topo, order=3)
+        ccfg = TdnnConfig(feat_dim=40, num_pdfs=tree.num_pdfs,
+                          hidden_dim=1024, bottleneck_dim=128,
+                          num_layers=13, frame_subsampling_factor=3)
+        Bt, Tt = 32, 150                # the get_egs.sh chunk contract
+        trainer = ChainTrainer(ccfg, den, ChainTrainConfig(
+            batch_size=Bt, optimizer="ngsgd", total_steps=0))
+        tp = sum(int(np.prod(p.shape)) for p in
+                 jax.tree_util.tree_leaves(trainer.params))
+        feats = jnp.asarray(
+            rng_np.standard_normal((Bt, Tt, 40)), jnp.float32)
+        pdf_ali = jnp.asarray(
+            rng_np.integers(0, tree.num_pdfs, (Bt, Tt // 3)), jnp.int32)
+        mask = jnp.ones((Bt, Tt // 3), bool)
+        st = (trainer.params, trainer.batch_stats, trainer.opt_state)
+        out = trainer._step(*st, feats, pdf_ali, mask)
+        jax.block_until_ready(out)                     # compile+warm
+        with profile() as prof:
+            for _ in range(5):
+                out = trainer._step(*st, feats, pdf_ali, mask)
+            jax.block_until_ready(out)
+        dev_s = sum(ms for _, ms, _ in prof().ops("XLA Ops")) / 5 * 1e-3
+        frames_per_s = Bt * Tt / dev_s
+        # fwd 2·P·tok + bwd 4·P·tok on the dense layers (nominal)
+        tflops = 6 * tp * Bt * Tt / dev_s / 1e12
+        log.info("bench: chain TRAIN step %.2f ms device / (%d×%d) "
+                 "egs → %.2fM frames/s, ~%.1f TFLOP/s nominal "
+                 "(%.1fM params, NG-SGD, den %d states)",
+                 dev_s * 1e3, Bt, Tt, frames_per_s / 1e6, tflops,
+                 tp / 1e6, den.num_states)
+        print(json.dumps({
+            "metric": "chain_train_step_throughput",
+            "value": round(frames_per_s / 1e6, 3),
+            "unit": "Mframes_per_second_per_chip",
+            "vs_baseline": round(tflops, 1),
+        }))
+    except Exception as e:      # probe must never fail the bench
+        log.warning("bench: chain train probe failed: %s", e)
+
     print(json.dumps({
         "metric": "lvcsr_lattice_decode_throughput",
         "value": round(value, 2),

@@ -552,3 +552,38 @@ def read_phone_lm(path: str) -> PhoneLm:
         return PhoneLm(order=order, phones=phones, hists=hists,
                        next_logp=next_logp, final_logp=final_logp,
                        next_state=next_state)
+
+
+def write_denominator_graph(f, den: DenominatorGraph) -> None:
+    """Serialize the den graph (chainbin/nnet3-chain-make-den-fst
+    writes den.fst + normalization.fst; here one file carries the flat
+    arc arrays plus the stationary-distribution initial probs and the
+    per-state topology log-probs the normalization weights need)."""
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    kio.write_token(f, "<DenGraph>")
+    d = {"num_states": np.int32(den.num_states), "src": den.src,
+         "dst": den.dst, "pdf": den.pdf, "logw": den.logw,
+         "initial": den.initial, "final": den.final}
+    if den.l_self is not None:
+        d["l_self"] = den.l_self
+        d["l_fwd"] = den.l_fwd
+    write_pytree(f, d)
+    kio.write_token(f, "</DenGraph>")
+
+
+def read_denominator_graph(f) -> DenominatorGraph:
+    from kaldi_tpu.am.serialize import read_pytree
+    from kaldi_tpu.core import io as kio
+    kio.expect_token(f, "<DenGraph>")
+    d = read_pytree(f)
+    kio.expect_token(f, "</DenGraph>")
+    return DenominatorGraph(
+        num_states=int(d["num_states"]),
+        src=d["src"].astype(np.int32), dst=d["dst"].astype(np.int32),
+        pdf=d["pdf"].astype(np.int32), logw=d["logw"].astype(np.float32),
+        initial=d["initial"].astype(np.float32),
+        final=d["final"].astype(np.float32),
+        l_self=(d["l_self"].astype(np.float32)
+                if "l_self" in d else None),
+        l_fwd=(d["l_fwd"].astype(np.float32) if "l_fwd" in d else None))

@@ -163,3 +163,64 @@ def extract_xvector(variables, model: XvectorNet,
     x = jnp.asarray(feats, jnp.float32)[None]
     emb = model.apply(variables, x, train=False, return_embedding=True)
     return np.asarray(emb)[0]
+
+
+def save_xvector_model(path: str, variables, cfg: XvectorConfig,
+                       spk_list: Sequence[str]) -> None:
+    """Serialize an x-vector net (params + batch stats + config +
+    speaker list) with Kaldi token framing — the final.raw role of the
+    sre16 xvector recipe."""
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<XvectorModel>")
+        for tok, v in (("<FeatDim>", cfg.feat_dim),
+                       ("<NumSpeakers>", cfg.num_speakers),
+                       ("<HiddenDim>", cfg.hidden_dim),
+                       ("<EmbedDim>", cfg.embed_dim)):
+            kio.write_token(f, tok)
+            kio.write_basic_int32(f, int(v))
+        kio.write_token(f, "<Contexts>")
+        kio.write_basic_int32(f, len(cfg.contexts))
+        for ctx in cfg.contexts:
+            kio.write_int_vector(f, np.asarray(ctx, np.int32))
+        kio.write_token(f, "<Spks>")
+        kio.write_basic_int32(f, len(spk_list))
+        for s in spk_list:
+            kio.write_token(f, f"<{s}>")
+        import jax
+        kio.write_token(f, "<Params>")
+        write_pytree(f, jax.tree_util.tree_map(np.asarray,
+                                               dict(variables)))
+        kio.write_token(f, "</XvectorModel>")
+
+
+def load_xvector_model(path: str):
+    """→ (variables, XvectorNet model, spk_list)."""
+    from kaldi_tpu.am.serialize import read_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        kio.init_kaldi_input_stream(f)
+        kio.expect_token(f, "<XvectorModel>")
+        vals = {}
+        for tok in ("<FeatDim>", "<NumSpeakers>", "<HiddenDim>",
+                    "<EmbedDim>"):
+            kio.expect_token(f, tok)
+            vals[tok] = kio.read_basic_int32(f)
+        kio.expect_token(f, "<Contexts>")
+        n = kio.read_basic_int32(f)
+        contexts = tuple(tuple(int(x) for x in kio.read_int_vector(f))
+                         for _ in range(n))
+        kio.expect_token(f, "<Spks>")
+        ns = kio.read_basic_int32(f)
+        spks = [kio.read_token(f)[1:-1] for _ in range(ns)]
+        kio.expect_token(f, "<Params>")
+        variables = read_pytree(f)
+        kio.expect_token(f, "</XvectorModel>")
+    cfg = XvectorConfig(feat_dim=vals["<FeatDim>"],
+                        num_speakers=vals["<NumSpeakers>"],
+                        hidden_dim=vals["<HiddenDim>"],
+                        embed_dim=vals["<EmbedDim>"],
+                        contexts=contexts)
+    return variables, XvectorNet(cfg), spks

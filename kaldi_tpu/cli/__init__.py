@@ -15,5 +15,6 @@ import kaldi_tpu.cli.tools_bank12  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank13  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank14  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank15  # noqa: F401  (registers into TOOLS)
+import kaldi_tpu.cli.tools_bank16  # noqa: F401  (registers into TOOLS)
 
 __all__ = ["TOOLS", "main"]

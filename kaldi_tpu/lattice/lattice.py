@@ -230,3 +230,42 @@ class CompactLattice:
 
         walk(self.start, [], 0.0)
         return out
+
+
+def compact_to_lattice(clat: CompactLattice) -> Lattice:
+    """CompactLattice → state-level raw Lattice: each arc's tid string
+    expands to a chain of one-frame arcs (fst::ConvertLattice's
+    inverse direction, src/lat/kaldi-lattice.h); the (graph, acoustic)
+    weight and the word label ride the first expanded arc."""
+    out = Lattice()
+    for _ in range(clat.num_states):
+        out.add_state()
+    out.start = clat.start
+
+    def expand(src: int, dst, word, gc, ac, tids, final=False):
+        cur = src
+        n = len(tids)
+        if n == 0:
+            if final:
+                out.set_final(cur, gc, ac)
+            else:
+                out.arcs[cur].append(LatticeArc(0, word, gc, ac, dst))
+            return
+        for i, tid in enumerate(tids):
+            last = i == n - 1
+            nxt = (out.add_state() if (not last or final)
+                   else dst)
+            out.arcs[cur].append(LatticeArc(
+                int(tid), word if i == 0 else 0,
+                gc if i == 0 else 0.0, ac if i == 0 else 0.0, nxt))
+            cur = nxt
+        if final:
+            out.set_final(cur, 0.0, 0.0)
+
+    for s in range(clat.num_states):
+        for a in clat.arcs[s]:
+            expand(s, a.nextstate, a.word, a.graph_cost,
+                   a.acoustic_cost, a.tids)
+    for s, (gc, ac, ftids) in clat.finals.items():
+        expand(s, None, 0, gc, ac, ftids, final=True)
+    return out
