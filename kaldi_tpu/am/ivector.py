@@ -128,32 +128,49 @@ class IvectorExtractor:
         return self.extract(*self.acc_stats(feats))
 
     # -- EM training -------------------------------------------------------
+    def em_stats(self, utt_stats: Sequence[Tuple[np.ndarray, np.ndarray]]
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One E-step pass over per-utterance (gamma, X) stats →
+        (A (G,K,K), B (G,D,K), tot_gamma (G,)): the accumulator the
+        reference's IvectorExtractorStats carries between the per-job
+        acc binaries and the single est binary
+        (ivectorbin/ivector-extractor-acc-stats.cc)."""
+        G, D, K = self.T.shape
+        A = np.zeros((G, K, K))
+        B = np.zeros((G, D, K))
+        tot_gamma = np.zeros(G)
+        for gamma, X in utt_stats:
+            TtSi = self.T * self.inv_vars[:, :, None]
+            precision = np.eye(K) + np.einsum(
+                "g,gdk,gdl->kl", gamma, TtSi, self.T)
+            cov = np.linalg.inv(precision)
+            w = cov @ np.einsum("gdk,gd->k", TtSi,
+                                X - gamma[:, None] * self.means)
+            Eww = cov + np.outer(w, w)
+            A += gamma[:, None, None] * Eww[None]
+            B += np.einsum("gd,k->gdk",
+                           X - gamma[:, None] * self.means, w)
+            tot_gamma += gamma
+        return A, B, tot_gamma
+
+    def em_update(self, A: np.ndarray, B: np.ndarray,
+                  tot_gamma: np.ndarray) -> None:
+        """M-step: per-Gaussian row solves for T
+        (IvectorExtractorStats::Update)."""
+        G, D, K = self.T.shape
+        for g in range(G):
+            if tot_gamma[g] < 1e-3:
+                continue
+            self.T[g] = np.linalg.solve(A[g] + 1e-8 * np.eye(K),
+                                        B[g].T).T
+
     def train(self, utt_stats: Sequence[Tuple[np.ndarray, np.ndarray]],
               num_iters: int = 5) -> None:
         """EM over per-utterance (gamma, X) stats
         (ivector-extractor.cc IvectorExtractorStats::Update)."""
-        G, D, K = self.T.shape
         for it in range(num_iters):
-            A = np.zeros((G, K, K))
-            B = np.zeros((G, D, K))
-            tot_gamma = np.zeros(G)
-            for gamma, X in utt_stats:
-                TtSi = self.T * self.inv_vars[:, :, None]
-                precision = np.eye(K) + np.einsum(
-                    "g,gdk,gdl->kl", gamma, TtSi, self.T)
-                cov = np.linalg.inv(precision)
-                w = cov @ np.einsum("gdk,gd->k", TtSi,
-                                    X - gamma[:, None] * self.means)
-                Eww = cov + np.outer(w, w)
-                A += gamma[:, None, None] * Eww[None]
-                B += np.einsum("gd,k->gdk",
-                               X - gamma[:, None] * self.means, w)
-                tot_gamma += gamma
-            for g in range(G):
-                if tot_gamma[g] < 1e-3:
-                    continue
-                self.T[g] = np.linalg.solve(A[g] + 1e-8 * np.eye(K),
-                                            B[g].T).T
+            A, B, tot_gamma = self.em_stats(utt_stats)
+            self.em_update(A, B, tot_gamma)
             log.info("ivector EM iter %d: total gamma %.0f", it,
                      tot_gamma.sum())
 

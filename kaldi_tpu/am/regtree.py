@@ -249,3 +249,81 @@ def read_regtree(path: str) -> RegressionTree:
         bclass = np.asarray(kio.read_int_vector(f), np.int32)
         kio.expect_token(f, "</REGTREE>")
     return RegressionTree(children, bclass, num_pdfs, max_mix)
+
+
+class RegtreeFmllrAccs:
+    """Per-base-class fMLLR accumulators (RegtreeFmllrDiagGmmAccs —
+    src/transform/regtree-fmllr-diag-gmm.h): the FmllrAccs K/G stats
+    gathered separately per regression-tree node, summed bottom-up at
+    estimate time with occupancy gating, so sparse classes inherit the
+    deepest estimable ancestor's FEATURE transform."""
+
+    def __init__(self, tree: RegressionTree, dim: int):
+        self.tree = tree
+        N = tree.num_nodes
+        self.K = np.zeros((N, dim, dim + 1))
+        self.G = np.zeros((N, dim, dim + 1, dim + 1))
+        self.beta = np.zeros(N)
+
+    def accumulate(self, am, feats: np.ndarray, pdf_ali: np.ndarray
+                   ) -> None:
+        post = np.asarray(am.component_posteriors(feats, pdf_ali))
+        T, M = post.shape
+        D = feats.shape[1]
+        x = np.asarray(feats, np.float64)
+        xp = np.concatenate([x, np.ones((T, 1))], axis=1)   # (T, D+1)
+        mu = am.means[pdf_ali]
+        iv = 1.0 / am.vars[pdf_ali]
+        g = post[:, :, None] * iv                            # (T, M, D)
+        cls = self.tree.bclass[pdf_ali[:, None] * self.tree.max_mix
+                               + np.arange(M)[None, :]]
+        for b in np.unique(cls[cls >= 0]):
+            sel = cls == b
+            gv = np.where(sel[:, :, None], g, 0.0)
+            gm = gv * mu                                     # γ/σ² μ
+            self.K[b] += np.einsum("tmi,tj->ij", gm, xp)
+            self.G[b] += np.einsum("tmi,tj,tk->ijk", gv, xp, xp)
+            self.beta[b] += np.where(sel, post, 0.0).sum()
+
+    def merge(self, other: "RegtreeFmllrAccs") -> "RegtreeFmllrAccs":
+        self.K += other.K
+        self.G += other.G
+        self.beta += other.beta
+        return self
+
+    def estimate(self, min_count: float = 200.0) -> "RegtreeFmllr":
+        from kaldi_tpu.am.transforms import FmllrAccs
+        tree = self.tree
+        N = tree.num_nodes
+        D = self.K.shape[1]
+        par = tree.parents()
+        K, G, beta = self.K.copy(), self.G.copy(), self.beta.copy()
+        for n in range(N - 1, 0, -1):
+            K[par[n]] += K[n]
+            G[par[n]] += G[n]
+            beta[par[n]] += beta[n]
+        ident = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1)
+        Ws: List[np.ndarray] = [None] * N  # type: ignore[list-item]
+        for n in range(N):
+            if beta[n] >= min_count:
+                accs = FmllrAccs(D)
+                accs.K, accs.G, accs.beta = K[n], G[n], float(beta[n])
+                Ws[n], _impr = accs.update(min_count=min_count)
+            else:
+                Ws[n] = Ws[par[n]] if par[n] >= 0 else ident
+        used = int((beta >= min_count).sum())
+        log.info("RegtreeFmllr: estimated %d/%d node transforms", used, N)
+        return RegtreeFmllr(tree, np.stack(Ws))
+
+
+class RegtreeFmllr:
+    """Per-node FEATURE transforms; apply() picks each frame's
+    transform by the aligned pdf's dominant base class — or use
+    W[0] (the root) as a plain speaker transform."""
+
+    def __init__(self, tree: RegressionTree, W: np.ndarray):
+        self.tree = tree
+        self.W = W                                    # (N, D, D+1)
+
+    def root_transform(self) -> np.ndarray:
+        return self.W[0]

@@ -290,3 +290,74 @@ class LatticeIndex:
                    min_posterior: float = 0.01) -> Dict[str, List[KwsHit]]:
         return {kw: self.search(seq, min_posterior)
                 for kw, seq in keywords.items()}
+
+
+def write_lattice_index(f, idx: LatticeIndex) -> None:
+    """Serialize the index (kwsbin/lattice-to-kws-index writes index
+    FST shards; kws-index-union merges them — write/read + merge_index
+    are that contract here).  Per-utterance payload is flat arrays;
+    postings/adjacency/ε-closure are rebuilt at read time."""
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    kio.write_token(f, "<KwsIndex>")
+    kio.write_basic_int32(f, len(idx.utts))
+    for ui, utt in enumerate(idx.utts):
+        u = idx._u[ui]
+        eps = [(s, d, v) for s, reach in u["eps"].items()
+               for d, v in reach.items()]
+        kio.write_token(f, f"<{utt}>")
+        write_pytree(f, {
+            "alpha": np.asarray(u["alpha"], np.float64),
+            "beta": np.asarray(u["beta"], np.float64),
+            "times": np.asarray(u["times"], np.int64),
+            "total": np.float64(u["total"]),
+            "eps_src": np.asarray([e[0] for e in eps], np.int64),
+            "eps_dst": np.asarray([e[1] for e in eps], np.int64),
+            "eps_val": np.asarray([e[2] for e in eps], np.float64),
+            "arcs": np.asarray(
+                [(s, d, w, 0, n) for s, d, w, _ll, n in u["arcs"]],
+                np.int64).reshape(len(u["arcs"]), 5),
+            "arc_ll": np.asarray([a[3] for a in u["arcs"]],
+                                 np.float64)})
+    kio.write_token(f, "</KwsIndex>")
+
+
+def read_lattice_index(f) -> LatticeIndex:
+    from kaldi_tpu.am.serialize import read_pytree
+    from kaldi_tpu.core import io as kio
+    kio.expect_token(f, "<KwsIndex>")
+    n = kio.read_basic_int32(f)
+    idx = LatticeIndex()
+    for _ in range(n):
+        utt = kio.read_token(f)[1:-1]
+        d = read_pytree(f)
+        arcs = [(int(s), int(dd), int(w), float(ll), int(nt))
+                for (s, dd, w, _z, nt), ll in
+                zip(d["arcs"].reshape(-1, 5), d["arc_ll"])]
+        eps: Dict[int, Dict[int, float]] = {}
+        for s, dd, v in zip(d["eps_src"], d["eps_dst"], d["eps_val"]):
+            eps.setdefault(int(s), {})[int(dd)] = float(v)
+        out: Dict[int, List[int]] = {}
+        ui = len(idx.utts)
+        idx.utts.append(utt)
+        for ai, (s, _dd, w, _ll, _nt) in enumerate(arcs):
+            out.setdefault(s, []).append(ai)
+            idx.postings.setdefault(w, []).append((ui, ai))
+        idx._u.append(dict(alpha=d["alpha"], beta=d["beta"],
+                           times=d["times"], total=float(d["total"]),
+                           eps=eps, arcs=arcs, out=out))
+    kio.expect_token(f, "</KwsIndex>")
+    return idx
+
+
+def merge_indexes(parts: List[LatticeIndex]) -> LatticeIndex:
+    """Union of index shards (kwsbin/kws-index-union)."""
+    out = LatticeIndex()
+    for part in parts:
+        base = len(out.utts)
+        out.utts.extend(part.utts)
+        out._u.extend(part._u)
+        for w, posts in part.postings.items():
+            out.postings.setdefault(w, []).extend(
+                (ui + base, ai) for ui, ai in posts)
+    return out
