@@ -1,35 +1,34 @@
-"""Subspace GMM acoustic model (SGMM2).
+"""Subspace GMM acoustic model (SGMM2) with substates and a speaker
+subspace.
 
 Parity target: src/sgmm2/ (AmSgmm2, am-sgmm2.h; Povey et al. 2011,
 "The subspace Gaussian mixture model").  The model shares a UBM-sized
-set of I full-covariance-role Gaussians across ALL tied states; each
-state j owns only a low-dimensional vector v_j ∈ R^S from which its
-per-Gaussian means and mixture weights are expanded:
+set of I Gaussians across ALL tied states; state j owns K_j substate
+vectors v_jk ∈ R^S with substate weights c_jk, from which per-Gaussian
+means and mixture weights expand; a speaker subspace N_i shifts every
+mean by a per-speaker offset:
 
-    μ_ji = M_i v_j            (M_i ∈ R^{D×S}, shared)
-    w_ji = softmax_i(w_i·v_j) (w_i ∈ R^S, shared)
-    p(x|j) = Σ_i w_ji N(x; μ_ji, Σ_i)   (Σ_i shared, diagonal here)
+    μ_jki^(s) = M_i v_jk + N_i u_s    (M_i ∈ R^{D×S}, N_i ∈ R^{D×U})
+    w_jki = softmax_i(w_i·v_jk)       (w_i ∈ R^S, shared)
+    p(x|j,s) = Σ_k c_jk Σ_i w_jki N(x; μ_jki^(s), Σ_i)
 
 TPU-first shape: everything is batched einsums —
-- all state means at once: μ = einsum('isd,js->jid', M, V)
-- per-frame loglikes over ALL (j, i): one (T,I,D)×(J,I,D) contraction
-  via the quadratic expansion, so scoring is two matmuls + logsumexp
-  like the diag-GMM path (am/gmm.py), no per-state loops.
-- EM statistics: posteriors-weighted einsums accumulated on device.
+- all substate means at once: μ = einsum('ids,jks->jkid', M, V)
+- per-frame loglikes over ALL (j, k, i): one quadratic-expansion
+  contraction + logsumexp, like the diag-GMM path (am/gmm.py); the
+  speaker offset folds in as per-Gaussian shifted inputs x − N_i u_s.
+- EM statistics: posterior-weighted einsums accumulated on device.
 
-Simplifications vs the reference, by design (documented contract):
-diagonal Σ_i (the reference supports full); one substate per state
-(substate splitting is the reference's mixup analogue); the weight
-vectors w_i are updated by the reference's quadratic-bound gradient
-step rather than repeated Newton refinement; no speaker subspace
-(N_i u_s) — speaker adaptation in this framework is fMLLR
-(am/transforms.py).
+Remaining simplification vs the reference, by design (documented
+contract): diagonal Σ_i (the reference supports full covariances);
+the weight vectors w_i are updated by one quadratic-bound step rather
+than repeated Newton refinement.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,206 +41,418 @@ log = get_logger(__name__)
 
 @dataclasses.dataclass
 class Sgmm2:
-    """Parameters.  J states, I shared Gaussians, D feats, S subspace."""
-    M: np.ndarray          # (I, D, S) subspace projections
+    """Parameters.  J states, K max substates, I shared Gaussians,
+    D feats, S phonetic subspace, U speaker subspace (0 = none).
+    Padded substates carry c == 0 and are masked everywhere."""
+    M: np.ndarray          # (I, D, S) phonetic-subspace projections
     w: np.ndarray          # (I, S) weight projections
     var: np.ndarray        # (I, D) shared diagonal covariances
-    V: np.ndarray          # (J, S) state vectors
+    V: np.ndarray          # (J, K, S) substate vectors
+    c: np.ndarray          # (J, K) substate weights (rows sum to 1)
+    N: Optional[np.ndarray] = None    # (I, D, U) speaker subspace
 
     @property
     def num_pdfs(self) -> int:
         return self.V.shape[0]
 
     @property
+    def num_substates(self) -> int:
+        return self.V.shape[1]
+
+    @property
     def dim(self) -> int:
         return self.M.shape[1]
 
+    @property
+    def spk_dim(self) -> int:
+        return 0 if self.N is None else self.N.shape[2]
+
     # -- expansion ---------------------------------------------------------
     def means(self) -> np.ndarray:
-        """(J, I, D) expanded means."""
-        return np.einsum("ids,js->jid", self.M, self.V)
+        """(J, K, I, D) expanded substate means (speaker-independent)."""
+        return np.einsum("ids,jks->jkid", self.M, self.V)
 
     def log_weights(self) -> np.ndarray:
-        """(J, I) log w_ji."""
-        logits = self.V @ self.w.T                     # (J, I)
-        return logits - jax.nn.logsumexp(
-            jnp.asarray(logits), axis=1, keepdims=True)
+        """(J, K, I) log w_jki (per-substate Gaussian weights)."""
+        logits = np.einsum("jks,is->jki", self.V, self.w)
+        return np.asarray(
+            logits - jax.nn.logsumexp(jnp.asarray(logits), axis=2,
+                                      keepdims=True))
 
-    def loglikes(self, feats: np.ndarray) -> jnp.ndarray:
+    def spk_offset(self, u: np.ndarray) -> np.ndarray:
+        """(I, D) per-Gaussian mean offsets N_i u_s."""
+        if self.N is None:
+            raise KaldiError("model has no speaker subspace")
+        return np.einsum("idu,u->id", self.N, np.asarray(u))
+
+    def loglikes(self, feats: np.ndarray,
+                 spk_u: Optional[np.ndarray] = None) -> jnp.ndarray:
         """(T, D) → (T, J) log p(x_t | j): quadratic expansion keeps it
-        two matmuls + logsumexp (MXU-shaped, like am/gmm.py)."""
+        batched matmuls + logsumexp (MXU-shaped).  ``spk_u`` applies
+        the speaker subspace by shifting each Gaussian's input."""
         x = jnp.asarray(feats, jnp.float32)            # (T, D)
-        mu = jnp.asarray(self.means(), jnp.float32)    # (J, I, D)
+        mu = jnp.asarray(self.means(), jnp.float32)    # (J, K, I, D)
         var = jnp.asarray(self.var, jnp.float32)       # (I, D)
-        logw = jnp.asarray(np.asarray(self.log_weights()), jnp.float32)
+        logw = jnp.asarray(self.log_weights(), jnp.float32)
+        logc = jnp.asarray(
+            np.log(np.maximum(self.c, 1e-30)), jnp.float32)  # (J, K)
         inv = 1.0 / var
         gconst = -0.5 * (self.dim * jnp.log(2 * jnp.pi)
                          + jnp.sum(jnp.log(var), axis=1))     # (I,)
-        # log N = gconst - ½(x²·inv) + x·(μ∘inv) - ½(μ²·inv)
-        xq = -0.5 * (x ** 2) @ inv.T                   # (T, I)
-        xl = jnp.einsum("td,jid->tji", x, mu * inv[None])
-        mq = -0.5 * jnp.sum(mu * mu * inv[None], axis=2)      # (J, I)
-        comp = (xq[:, None, :] + xl + mq[None] + gconst[None, None]
-                + logw[None])                          # (T, J, I)
-        return jax.nn.logsumexp(comp, axis=2)
+        if spk_u is not None and self.N is not None:
+            off = jnp.asarray(self.spk_offset(spk_u), jnp.float32)
+            xi = x[:, None, :] - off[None]             # (T, I, D)
+            xq = -0.5 * jnp.sum(xi * xi * inv[None], axis=2)  # (T, I)
+            xl = jnp.einsum("tid,jkid->tjki", xi * inv[None], mu)
+        else:
+            xq = -0.5 * (x ** 2) @ inv.T               # (T, I)
+            xl = jnp.einsum("td,jkid->tjki", x, mu * inv[None, None])
+        mq = -0.5 * jnp.sum(mu * mu * inv[None, None], axis=3)
+        comp = (xq[:, None, None, :] + xl + mq[None]
+                + gconst[None, None, None] + logw[None]
+                + logc[None, :, :, None])              # (T, J, K, I)
+        return jax.nn.logsumexp(comp, axis=(2, 3))
 
 
 @dataclasses.dataclass
 class Sgmm2Accs:
-    """EM sufficient statistics (MleAmSgmm2Accs role)."""
-    gamma: np.ndarray      # (J, I) posteriors mass
-    y: np.ndarray          # (J, I, D) Σ γ·x  (first-order, per j,i)
-    S: np.ndarray          # (I, D) Σ γ·x²   (for Σ_i update)
+    """EM sufficient statistics (MleAmSgmm2Accs role).  ``y`` keeps
+    speaker offsets REMOVED (x − N_i u_s), so the phonetic updates see
+    speaker-normalized data; ``Z`` keeps state means removed, for the
+    speaker-subspace update."""
+    gamma: np.ndarray      # (J, K, I) posterior mass
+    y: np.ndarray          # (J, K, I, D) Σ γ·(x − N u)
+    S: np.ndarray          # (I, D) Σ γ·(x − N u)²
+    Z: Optional[np.ndarray] = None   # (I, D, U) Σ γ·(x − M v) uᵀ
+    R: Optional[np.ndarray] = None   # (I, U, U) Σ γ·u uᵀ
     tot_like: float = 0.0
     tot_frames: float = 0.0
+
+    def __add__(self, o: "Sgmm2Accs") -> "Sgmm2Accs":
+        return Sgmm2Accs(
+            gamma=self.gamma + o.gamma, y=self.y + o.y, S=self.S + o.S,
+            Z=None if self.Z is None else self.Z + o.Z,
+            R=None if self.R is None else self.R + o.R,
+            tot_like=self.tot_like + o.tot_like,
+            tot_frames=self.tot_frames + o.tot_frames)
 
 
 def init_sgmm(num_pdfs: int, dim: int, num_gauss: int, subspace: int,
               glob_mean: np.ndarray, glob_var: np.ndarray,
-              seed: int = 0) -> Sgmm2:
+              spk_subspace: int = 0, seed: int = 0) -> Sgmm2:
     """sgmm2-init role: M_i's first column carries a perturbed global
     mean (so v = e1 reproduces a flat start), the rest small noise;
-    v_j = e1 + noise so states start near the global model."""
+    v_j0 = e1 + noise so states start near the global model; one
+    substate per state (split later with split_substates)."""
     rng = np.random.default_rng(seed)
     M = rng.standard_normal((num_gauss, dim, subspace)).astype(
         np.float64) * 0.1
     M[:, :, 0] = glob_mean[None] + rng.standard_normal(
         (num_gauss, dim)) * np.sqrt(glob_var)[None]
     w = rng.standard_normal((num_gauss, subspace)) * 0.1
-    V = np.zeros((num_pdfs, subspace))
-    V[:, 0] = 1.0
+    V = np.zeros((num_pdfs, 1, subspace))
+    V[:, 0, 0] = 1.0
     V += rng.standard_normal(V.shape) * 0.01
+    c = np.ones((num_pdfs, 1))
     var = np.tile(glob_var[None], (num_gauss, 1))
-    return Sgmm2(M=M, w=w, var=var, V=V)
+    N = (rng.standard_normal((num_gauss, dim, spk_subspace)) * 0.1
+         if spk_subspace else None)
+    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N)
 
 
-def accumulate(model: Sgmm2, feats: np.ndarray, pdf_ali: np.ndarray
-               ) -> Sgmm2Accs:
-    """E-step with fixed state alignments (gmm-acc-stats-ali shape):
-    per frame t aligned to state j_t, posteriors over the shared
-    Gaussians γ_i(t) ∝ w_{j_t,i} N(x_t; μ_{j_t,i}, Σ_i)."""
-    x = jnp.asarray(feats, jnp.float32)
-    j = jnp.asarray(pdf_ali, jnp.int32)
-    mu = jnp.asarray(model.means(), jnp.float32)[j]     # (T, I, D)
+def _frame_posteriors(model: Sgmm2, x: jnp.ndarray, j: jnp.ndarray,
+                      spk_u: Optional[np.ndarray]):
+    """(T, K, I) posteriors over (substate, Gaussian) of the aligned
+    state, plus per-frame loglikes and the shifted inputs."""
+    mu = jnp.asarray(model.means(), jnp.float32)[j]     # (T, K, I, D)
     var = jnp.asarray(model.var, jnp.float32)
-    logw = jnp.asarray(np.asarray(model.log_weights()),
-                       jnp.float32)[j]                  # (T, I)
+    logw = jnp.asarray(model.log_weights(), jnp.float32)[j]
+    logc = jnp.asarray(np.log(np.maximum(model.c, 1e-30)),
+                       jnp.float32)[j]                  # (T, K)
     inv = 1.0 / var
     gconst = -0.5 * (model.dim * jnp.log(2 * jnp.pi)
                      + jnp.sum(jnp.log(var), axis=1))
-    diff = x[:, None, :] - mu
-    logn = gconst[None] - 0.5 * jnp.sum(diff * diff * inv[None],
-                                        axis=2)         # (T, I)
-    comp = logn + logw
-    norm = jax.nn.logsumexp(comp, axis=1, keepdims=True)
-    post = jnp.exp(comp - norm)                         # (T, I)
-    J, I, D = model.num_pdfs, model.M.shape[0], model.dim
-    gamma = jax.ops.segment_sum(post, j, num_segments=J)        # (J, I)
-    y = jax.ops.segment_sum(post[:, :, None] * x[:, None, :], j,
-                            num_segments=J)             # (J, I, D)
-    S = jnp.einsum("ti,td->id", post, x * x)            # (I, D)
+    if spk_u is not None and model.N is not None:
+        off = jnp.asarray(model.spk_offset(spk_u), jnp.float32)
+        xi = x[:, None, :] - off[None]                  # (T, I, D)
+    else:
+        xi = jnp.tile(x[:, None, :], (1, model.M.shape[0], 1))
+    diff = xi[:, None, :, :] - mu                       # (T, K, I, D)
+    logn = gconst[None, None] - 0.5 * jnp.sum(
+        diff * diff * inv[None, None], axis=3)          # (T, K, I)
+    comp = logn + logw + logc[:, :, None]
+    norm = jax.nn.logsumexp(comp, axis=(1, 2), keepdims=True)
+    post = jnp.exp(comp - norm)                         # (T, K, I)
+    return post, norm[:, 0, 0], xi
+
+
+def accumulate(model: Sgmm2, feats: np.ndarray, pdf_ali: np.ndarray,
+               spk_u: Optional[np.ndarray] = None) -> Sgmm2Accs:
+    """E-step with fixed state alignments (gmm-acc-stats-ali shape):
+    per frame t aligned to state j_t, posteriors over (k, i)."""
+    x = jnp.asarray(feats, jnp.float32)
+    j = jnp.asarray(pdf_ali, jnp.int32)
+    post, norms, xi = _frame_posteriors(model, x, j, spk_u)
+    J = model.num_pdfs
+    gamma = jax.ops.segment_sum(post, j, num_segments=J)   # (J, K, I)
+    y = jax.ops.segment_sum(
+        post[:, :, :, None] * xi[:, None, :, :], j,
+        num_segments=J)                                 # (J, K, I, D)
+    S = jnp.einsum("tki,tid->id", post, xi * xi)        # (I, D)
+    Z = R = None
+    if spk_u is not None and model.N is not None:
+        # speaker-subspace stats: the utterance shares one u, so
+        #   Z_i = [Σ_t γ_i(t) (x_t − M v)] uᵀ,  R_i = [Σ_t γ_i(t)] u uᵀ
+        u = np.asarray(spk_u, np.float64)
+        mu = jnp.asarray(model.means(), jnp.float32)[j]
+        gi = np.asarray(jnp.sum(post, axis=(0, 1)), np.float64)  # (I,)
+        resid = np.asarray(jnp.einsum(
+            "tki,tkid->id", post, x[:, None, None, :] - mu),
+            np.float64)                                 # (I, D)
+        Z = np.einsum("id,u->idu", resid, u)
+        R = np.einsum("i,u,v->iuv", gi, u, u)
     return Sgmm2Accs(gamma=np.asarray(gamma, np.float64),
                      y=np.asarray(y, np.float64),
-                     S=np.asarray(S, np.float64),
-                     tot_like=float(jnp.sum(norm)),
+                     S=np.asarray(S, np.float64), Z=Z, R=R,
+                     tot_like=float(jnp.sum(norms)),
                      tot_frames=float(x.shape[0]))
 
 
 def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
-           w_step: float = 1.0) -> Sgmm2:
-    """M-step (MleAmSgmm2Updater role).  Order matters as in the
-    reference: v, then M, then w, then Σ."""
-    J, I, D = model.num_pdfs, model.M.shape[0], model.dim
-    S_dim = model.V.shape[1]
+           w_step: float = 1.0, update_spk: bool = True) -> Sgmm2:
+    """M-step (MleAmSgmm2Updater role).  Order as in the reference:
+    v, then M, then (N), then w, then c, then Σ."""
+    J, K = model.V.shape[:2]
+    I, D = model.M.shape[0], model.dim
+    S_dim = model.V.shape[2]
     inv = 1.0 / model.var                                # (I, D)
 
-    # --- v_j: maximize Σ_i γ_ji log N(μ_ji) term: per-state SPD solve
-    #   H_j = Σ_i γ_ji M_iᵀ Σ_i⁻¹ M_i,  g_j = Σ_i M_iᵀ Σ_i⁻¹ y_ji
-    MtSi = np.einsum("ids,id->ids", model.M, inv)        # M∘Σ⁻¹ by col
-    H = np.einsum("ji,idr,ids->jrs", accs.gamma,
-                  MtSi, model.M)                         # (J, S, S)
-    g = np.einsum("ids,jid->js", MtSi, accs.y)           # (J, S)
+    # --- v_jk: per-substate SPD solve
+    #   H_jk = Σ_i γ_jki M_iᵀ Σ_i⁻¹ M_i,  g_jk = Σ_i M_iᵀ Σ_i⁻¹ y_jki
+    MtSi = np.einsum("ids,id->ids", model.M, inv)
+    H = np.einsum("jki,idr,ids->jkrs", accs.gamma, MtSi, model.M)
+    g = np.einsum("ids,jkid->jks", MtSi, accs.y)
     V = model.V.copy()
-    occ_j = accs.gamma.sum(axis=1)
+    occ_jk = accs.gamma.sum(axis=2)                      # (J, K)
     for jj in range(J):
-        if occ_j[jj] < 1e-3:
-            continue
-        V[jj] = np.linalg.solve(
-            H[jj] + 1e-4 * np.eye(S_dim), g[jj])
+        for kk in range(K):
+            if occ_jk[jj, kk] < 1e-3:
+                continue
+            V[jj, kk] = np.linalg.solve(
+                H[jj, kk] + 1e-4 * np.eye(S_dim), g[jj, kk])
 
-    # --- M_i: per-Gaussian least squares over states
-    #   M_i = [Σ_j y_ji v_jᵀ][Σ_j γ_ji v_j v_jᵀ]⁻¹
-    Ynum = np.einsum("jid,js->ids", accs.y, V)           # (I, D, S)
-    Q = np.einsum("ji,jr,js->irs", accs.gamma, V, V)     # (I, S, S)
+    # --- M_i: per-Gaussian least squares over substates
+    Ynum = np.einsum("jkid,jks->ids", accs.y, V)         # (I, D, S)
+    Q = np.einsum("jki,jkr,jks->irs", accs.gamma, V, V)  # (I, S, S)
     M = model.M.copy()
-    occ_i = accs.gamma.sum(axis=0)
+    occ_i = accs.gamma.sum(axis=(0, 1))
     for ii in range(I):
         if occ_i[ii] < 1e-3:
             continue
         M[ii] = np.linalg.solve(
             Q[ii] + 1e-4 * np.eye(S_dim), Ynum[ii].T).T
 
-    # --- w_i: one quadratic-bound step on the weight auxiliary
-    #   ∂/∂w_i Σ_j [γ_ji - γ_j· w_ji] v_j  (reference eq. for w update)
-    logits = V @ model.w.T
+    # --- N_i: speaker-subspace update from (Z, R) stats
+    N = model.N
+    if (update_spk and N is not None and accs.Z is not None
+            and accs.R is not None):
+        N = N.copy()
+        U = N.shape[2]
+        for ii in range(I):
+            if accs.R[ii].trace() < 1e-3:
+                continue
+            N[ii] = np.linalg.solve(
+                accs.R[ii] + 1e-4 * np.eye(U), accs.Z[ii].T).T
+
+    # --- w_i: one quadratic-bound step on the weight auxiliary over
+    # all substate vectors (flattened (J·K, S) with their occupancy)
+    Vf = V.reshape(J * K, S_dim)
+    logits = Vf @ model.w.T                              # (JK, I)
     cur = np.exp(logits - jax.nn.logsumexp(
-        jnp.asarray(logits), axis=1, keepdims=True))     # (J, I)
-    grad = np.einsum("ji,js->is", accs.gamma - occ_j[:, None] * cur, V)
-    # bound Hessian: ¼ Σ_j γ_j· v vᵀ (reference's max-curvature bound)
-    Hw = 0.25 * np.einsum("j,jr,js->rs", occ_j, V, V) \
+        jnp.asarray(logits), axis=1, keepdims=True))
+    gam_f = accs.gamma.reshape(J * K, I)
+    occ_f = gam_f.sum(axis=1)
+    grad = np.einsum("ni,ns->is", gam_f - occ_f[:, None] * cur, Vf)
+    Hw = 0.25 * np.einsum("n,nr,ns->rs", occ_f, Vf, Vf) \
         + 1e-4 * np.eye(S_dim)
     w = model.w + w_step * np.linalg.solve(Hw, grad.T).T
 
-    # --- Σ_i: shared diagonal covariance from global scatter
-    mu = np.einsum("ids,js->jid", M, V)
+    # --- c_jk: substate weights
+    occ_j = occ_jk.sum(axis=1)
+    c = np.where(occ_j[:, None] > 0,
+                 occ_jk / np.maximum(occ_j[:, None], 1e-30), model.c)
+    # keep padded substates dead
+    c = np.where(model.c > 0, c, 0.0)
+    c /= np.maximum(c.sum(axis=1, keepdims=True), 1e-30)
+
+    # --- Σ_i: shared diagonal covariance from speaker-normalized
+    # scatter
+    mu = np.einsum("ids,jks->jkid", M, V)
     var = model.var.copy()
     for ii in range(I):
         if occ_i[ii] < 1.0:
             continue
         ex2 = accs.S[ii] / occ_i[ii]
-        cross = np.einsum("j,jd->d", accs.gamma[:, ii] / occ_i[ii],
-                          mu[:, ii] ** 2) \
-            - 2 * np.einsum("jd,jd->d", accs.y[:, ii] / occ_i[ii],
-                            mu[:, ii]) + ex2
+        cross = np.einsum("jk,jkd->d",
+                          accs.gamma[:, :, ii] / occ_i[ii],
+                          mu[:, :, ii] ** 2) \
+            - 2 * np.einsum("jkd,jkd->d",
+                            accs.y[:, :, ii] / occ_i[ii],
+                            mu[:, :, ii]) + ex2
         var[ii] = np.maximum(cross, min_var)
-    return Sgmm2(M=M, w=w, var=var, V=V)
+    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N)
+
+
+def split_substates(model: Sgmm2, accs: Sgmm2Accs, target: int,
+                    perturb: float = 0.05, seed: int = 0) -> Sgmm2:
+    """Increase the total substate count toward ``target`` by
+    splitting the highest-occupancy substates (sgmm2-mixup /
+    MleAmSgmm2Updater::SplitSubstates): each split duplicates v_jk
+    with ± a small perturbation and halves c_jk."""
+    rng = np.random.default_rng(seed)
+    J, K, S = model.V.shape
+    occ = accs.gamma.sum(axis=2)                        # (J, K)
+    alive = (model.c > 0)
+    total = int(alive.sum())
+    n_split = max(0, target - total)
+    if n_split == 0:
+        return model
+    # rank alive substates by occupancy
+    flat = [(occ[jj, kk], jj, kk) for jj in range(J)
+            for kk in range(K) if alive[jj, kk]]
+    flat.sort(reverse=True)
+    grow = {}
+    for cnt, jj, kk in flat[:n_split]:
+        grow.setdefault(jj, []).append(kk)
+    # Perturbation in the NATURAL metric (the reference's
+    # SplitSubstates uses 0.1·H_k^{-1/2}·r): the raw v-space scale is
+    # meaningless once M has fit the data — H = avg Σ_i w̄_i
+    # M_iᵀΣ⁻¹M_i is the per-unit loglike curvature, so
+    # H^{-1/2}-scaled noise moves the means by ~perturb·σ.
+    inv = 1.0 / model.var
+    MtSiM = np.einsum("idr,id,ids->irs", model.M, inv, model.M)
+    gbar = accs.gamma.sum(axis=(0, 1))
+    gbar = gbar / max(gbar.sum(), 1e-30)
+    H_avg = np.einsum("i,irs->rs", gbar, MtSiM) + 1e-4 * np.eye(S)
+    L = np.linalg.cholesky(H_avg)
+    K_new = K + max(len(v) for v in grow.values())
+    V = np.zeros((J, K_new, S))
+    c = np.zeros((J, K_new))
+    V[:, :K] = model.V
+    c[:, :K] = model.c
+    for jj, kks in grow.items():
+        nxt = K
+        for kk in kks:
+            d = perturb * np.linalg.solve(L.T, rng.standard_normal(S))
+            V[jj, nxt] = model.V[jj, kk] + d
+            V[jj, kk] = model.V[jj, kk] - d
+            c[jj, nxt] = c[jj, kk] = model.c[jj, kk] / 2.0
+            nxt += 1
+    log.info("split_substates: %d → %d substates (K %d → %d)", total,
+             int((c > 0).sum()), K, K_new)
+    return Sgmm2(M=model.M, w=model.w, var=model.var, V=V, c=c,
+                 N=model.N)
+
+
+def estimate_speaker_vector(model: Sgmm2, feats: np.ndarray,
+                            pdf_ali: np.ndarray,
+                            num_iters: int = 2) -> np.ndarray:
+    """MAP speaker vector u_s from aligned frames
+    (MleSgmm2SpeakerAccs::Update):
+    u = (I + Σ γ_i N_iᵀΣ⁻¹N_i)⁻¹ Σ_i N_iᵀΣ⁻¹ Σ_t γ_i(t)(x_t − μ)."""
+    if model.N is None:
+        raise KaldiError("model has no speaker subspace")
+    U = model.N.shape[2]
+    u = np.zeros(U)
+    x = jnp.asarray(feats, jnp.float32)
+    j = jnp.asarray(np.asarray(pdf_ali, np.int32))
+    inv = 1.0 / model.var
+    NtSi = np.einsum("idu,id->idu", model.N, inv)        # (I, D, U)
+    H_base = np.einsum("idu,idv->iuv", NtSi, model.N)    # (I, U, U)
+    for _ in range(num_iters):
+        post, _norms, _xi = _frame_posteriors(model, x, j, u)
+        gi = np.asarray(jnp.sum(post, axis=1), np.float64)   # (T, I)
+        mu = model.means()[np.asarray(pdf_ali, np.int32)]
+        resid = np.einsum("tki,tkid->tid", np.asarray(post, np.float64),
+                          np.asarray(x)[:, None, None, :] - mu)
+        g = np.einsum("idu,tid->u", NtSi, resid)
+        H = np.eye(U) + np.einsum("ti,iuv->uv", gi, H_base)
+        u = np.linalg.solve(H, g)
+    return u
 
 
 def train_sgmm(feats: Dict[str, np.ndarray],
                pdf_alis: Dict[str, np.ndarray],
                num_pdfs: int, num_gauss: int = 8, subspace: int = 4,
-               num_iters: int = 6, seed: int = 0
+               num_iters: int = 6, seed: int = 0,
+               target_substates: int = 0,
+               spk_subspace: int = 0,
+               utt2spk: Optional[Dict[str, str]] = None
                ) -> Tuple[Sgmm2, list]:
     """EM with fixed alignments (steps/train_sgmm2.sh inner loop
-    without realignment).  Returns (model, per-iter avg loglikes)."""
-    allf = np.concatenate([feats[u] for u in sorted(feats)])
+    without realignment).  With ``target_substates`` the substates are
+    split at the halfway iteration (the recipe's --increase-dim-iters
+    shape); with ``spk_subspace`` + ``utt2spk``, speaker vectors are
+    re-estimated each iteration and the N_i subspace is trained.
+    Returns (model, per-iter avg loglikes)."""
+    utts = sorted(feats)
+    allf = np.concatenate([feats[u] for u in utts])
     alla = np.concatenate([np.asarray(pdf_alis[u], np.int32)
-                           for u in sorted(feats)])
+                           for u in utts])
     if alla.max() >= num_pdfs:
         raise KaldiError("alignment pdf out of range")
     model = init_sgmm(num_pdfs, allf.shape[1], num_gauss, subspace,
-                      allf.mean(0), allf.var(0) + 1e-3, seed=seed)
+                      allf.mean(0), allf.var(0) + 1e-3,
+                      spk_subspace=spk_subspace, seed=seed)
+    spk_of = utt2spk or {}
     likes = []
     for it in range(num_iters):
-        accs = accumulate(model, allf, alla)
+        if spk_subspace and utt2spk:
+            spk_u = {s: estimate_speaker_vector(
+                model,
+                np.concatenate([feats[u] for u in utts
+                                if spk_of[u] == s]),
+                np.concatenate([np.asarray(pdf_alis[u], np.int32)
+                                for u in utts if spk_of[u] == s]))
+                for s in sorted(set(spk_of.values()))}
+            accs = None
+            for u in utts:
+                a = accumulate(model, feats[u],
+                               np.asarray(pdf_alis[u], np.int32),
+                               spk_u=spk_u[spk_of[u]])
+                accs = a if accs is None else accs + a
+        else:
+            accs = accumulate(model, allf, alla)
         likes.append(accs.tot_like / accs.tot_frames)
         model = update(model, accs)
-        log.info("sgmm2 iter %d: avg loglike %.4f", it, likes[-1])
+        # split EARLY (a third of the way in, once the subspace has
+        # roughly converged) so the split substates get enough EM
+        # iterations to specialize — splitting at the midpoint was
+        # measured to leave them still symmetric at convergence
+        if (target_substates and it == max(num_iters // 3, 1)
+                and model.num_substates * num_pdfs < 4 * target_substates):
+            model = split_substates(model, accs, target_substates,
+                                    seed=seed)
+        log.info("sgmm2 iter %d: avg loglike %.4f (substates %d)", it,
+                 likes[-1], int((model.c > 0).sum()))
     return model, likes
 
 
 def write_sgmm2(path: str, model: Sgmm2) -> None:
     """Kaldi-style token-framed SGMM2 serialization (<SGMM2> header,
-    dims, then M/w/var/V as FM matrices; am-sgmm2.h Write role —
-    token layout is ours, framing primitives are core/io)."""
+    dims, then M/w/var/V/c (+N) as FM matrices; am-sgmm2.h Write role
+    — token layout is ours, framing primitives are core/io)."""
     from kaldi_tpu.core import io as kio
+    J, K, S = model.V.shape
     with kio.open_wxfilename(path) as f:
         kio.init_kaldi_output_stream(f)
         kio.write_token(f, "<SGMM2>")
-        for tok, v in (("<NUMPDFS>", model.V.shape[0]),
+        for tok, v in (("<NUMPDFS>", J),
+                       ("<NUMSUBSTATES>", K),
                        ("<NUMGAUSS>", model.M.shape[0]),
                        ("<DIM>", model.M.shape[1]),
-                       ("<SUBSPACE>", model.M.shape[2])):
+                       ("<SUBSPACE>", S),
+                       ("<SPKSUBSPACE>", model.spk_dim)):
             kio.write_token(f, tok)
             kio.write_basic_int32(f, v)
         kio.write_token(f, "<M>")
@@ -252,7 +463,13 @@ def write_sgmm2(path: str, model: Sgmm2) -> None:
         kio.write_token(f, "<VARS>")
         kio.write_matrix(f, model.var)
         kio.write_token(f, "<V>")
-        kio.write_matrix(f, model.V)
+        kio.write_matrix(f, model.V.reshape(J * K, S))
+        kio.write_token(f, "<C>")
+        kio.write_matrix(f, model.c)
+        if model.N is not None:
+            kio.write_token(f, "<N>")
+            for i in range(model.N.shape[0]):
+                kio.write_matrix(f, model.N[i])
         kio.write_token(f, "</SGMM2>")
 
 
@@ -263,7 +480,8 @@ def read_sgmm2(path: str) -> Sgmm2:
             raise KaldiError(f"{path}: not a binary kaldi file")
         kio.expect_token(f, "<SGMM2>")
         dims = {}
-        for tok in ("<NUMPDFS>", "<NUMGAUSS>", "<DIM>", "<SUBSPACE>"):
+        for tok in ("<NUMPDFS>", "<NUMSUBSTATES>", "<NUMGAUSS>",
+                    "<DIM>", "<SUBSPACE>", "<SPKSUBSPACE>"):
             kio.expect_token(f, tok)
             dims[tok] = kio.read_basic_int32(f)
         kio.expect_token(f, "<M>")
@@ -274,6 +492,20 @@ def read_sgmm2(path: str) -> Sgmm2:
         kio.expect_token(f, "<VARS>")
         var = kio.read_matrix(f)
         kio.expect_token(f, "<V>")
-        V = kio.read_matrix(f)
+        V = np.asarray(kio.read_matrix(f)).reshape(
+            dims["<NUMPDFS>"], dims["<NUMSUBSTATES>"],
+            dims["<SUBSPACE>"])
+        kio.expect_token(f, "<C>")
+        c = np.asarray(kio.read_matrix(f))
+        N = None
+        if dims["<SPKSUBSPACE>"]:
+            kio.expect_token(f, "<N>")
+            N = np.stack([kio.read_matrix(f)
+                          for _ in range(dims["<NUMGAUSS>"])])
         kio.expect_token(f, "</SGMM2>")
-        return Sgmm2(M=M, w=w, var=var, V=V)
+        return Sgmm2(M=np.asarray(M, np.float64),
+                     w=np.asarray(w, np.float64),
+                     var=np.asarray(var, np.float64),
+                     V=np.asarray(V, np.float64),
+                     c=np.asarray(c, np.float64),
+                     N=None if N is None else np.asarray(N, np.float64))

@@ -143,47 +143,46 @@ def sgmm2_acc_stats(argv):
             continue
         accs = accumulate(model, np.asarray(feats),
                           np.asarray(alis[key], np.int32))
-        if tot is None:
-            tot = accs
-        else:
-            tot.gamma += accs.gamma
-            tot.y += accs.y
-            tot.S += accs.S
-            tot.tot_like += accs.tot_like
-            tot.tot_frames += accs.tot_frames
+        tot = accs if tot is None else tot + accs
         n += 1
     if tot is None:
         raise KaldiError("sgmm2-acc-stats: no matched utterances")
-    with kio.open_wxfilename(args[3]) as f:
-        kio.init_kaldi_output_stream(f)
-        kio.write_token(f, "<SGMM2ACCS>")
-        kio.write_basic_float(f, tot.tot_like)
-        kio.write_basic_float(f, tot.tot_frames)
-        kio.write_matrix(f, tot.gamma)
-        for j in range(tot.y.shape[0]):
-            kio.write_matrix(f, tot.y[j])
-        kio.write_matrix(f, tot.S)
-        kio.write_token(f, "</SGMM2ACCS>")
+    _write_sgmm2_accs(args[3], tot)
     log.info("sgmm2-acc-stats: %d utterances, avg loglike %.4f",
              n, tot.tot_like / max(tot.tot_frames, 1.0))
     return 0
 
 
+def _write_sgmm2_accs(path, tot):
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    d = {"gamma": tot.gamma, "y": tot.y, "S": tot.S,
+         "tot_like": np.float64(tot.tot_like),
+         "tot_frames": np.float64(tot.tot_frames)}
+    if tot.Z is not None:
+        d["Z"] = tot.Z
+        d["R"] = tot.R
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<SGMM2ACCS>")
+        write_pytree(f, d)
+        kio.write_token(f, "</SGMM2ACCS>")
+
+
 def _read_sgmm2_accs(path, J):
+    from kaldi_tpu.am.serialize import read_pytree
     from kaldi_tpu.am.sgmm2 import Sgmm2Accs
     from kaldi_tpu.core import io as kio
     with kio.open_rxfilename(path) as f:
         if not kio.init_kaldi_input_stream(f):
             raise KaldiError(f"{path}: not binary kaldi")
         kio.expect_token(f, "<SGMM2ACCS>")
-        like = kio.read_basic_float(f)
-        frames = kio.read_basic_float(f)
-        gamma = kio.read_matrix(f)
-        y = np.stack([kio.read_matrix(f) for _ in range(J)])
-        S = kio.read_matrix(f)
+        d = read_pytree(f)
         kio.expect_token(f, "</SGMM2ACCS>")
-    return Sgmm2Accs(gamma=gamma, y=y, S=S, tot_like=like,
-                     tot_frames=frames)
+    return Sgmm2Accs(gamma=d["gamma"], y=d["y"], S=d["S"],
+                     Z=d.get("Z"), R=d.get("R"),
+                     tot_like=float(d["tot_like"]),
+                     tot_frames=float(d["tot_frames"]))
 
 
 @tool("sgmm2-sum-accs")
@@ -199,24 +198,8 @@ def sgmm2_sum_accs(argv):
     tot = None
     for path in args[2:]:
         a = _read_sgmm2_accs(path, J)
-        if tot is None:
-            tot = a
-        else:
-            tot.gamma += a.gamma
-            tot.y += a.y
-            tot.S += a.S
-            tot.tot_like += a.tot_like
-            tot.tot_frames += a.tot_frames
-    with kio.open_wxfilename(args[1]) as f:
-        kio.init_kaldi_output_stream(f)
-        kio.write_token(f, "<SGMM2ACCS>")
-        kio.write_basic_float(f, tot.tot_like)
-        kio.write_basic_float(f, tot.tot_frames)
-        kio.write_matrix(f, tot.gamma)
-        for j in range(tot.y.shape[0]):
-            kio.write_matrix(f, tot.y[j])
-        kio.write_matrix(f, tot.S)
-        kio.write_token(f, "</SGMM2ACCS>")
+        tot = a if tot is None else tot + a
+    _write_sgmm2_accs(args[1], tot)
     return 0
 
 

@@ -11,16 +11,16 @@ from kaldi_tpu.am.sgmm2 import (Sgmm2, accumulate, init_sgmm,
 def _planted(rng, J=4, I=6, D=8, S=3, frames_per_state=120):
     """Sample data from a true SGMM."""
     true = init_sgmm(J, D, I, S, np.zeros(D), np.ones(D), seed=1)
-    true.V = rng.standard_normal((J, S))
+    true.V = rng.standard_normal((J, 1, S))
     true.M = rng.standard_normal((I, D, S)) * 0.8
     true.var = np.full((I, D), 0.25)
     mu = true.means()
     logw = np.asarray(true.log_weights())
     feats, ali = [], []
     for j in range(J):
-        w = np.exp(logw[j])
+        w = np.exp(logw[j, 0])
         comps = rng.choice(I, size=frames_per_state, p=w / w.sum())
-        x = mu[j, comps] + rng.standard_normal(
+        x = mu[j, 0, comps] + rng.standard_normal(
             (frames_per_state, D)) * 0.5
         feats.append(x)
         ali.append(np.full(frames_per_state, j, np.int32))
@@ -40,16 +40,18 @@ def test_loglikes_match_direct_sum():
     got = np.asarray(m.loglikes(x))
     mu = m.means()
     logw = np.asarray(m.log_weights())
+    logc = np.log(m.c)
     ref = np.zeros((7, 3))
     for t in range(7):
         for j in range(3):
             comps = []
-            for i in range(5):
-                d = x[t] - mu[j, i]
-                ln = (-0.5 * (4 * np.log(2 * np.pi)
-                              + np.log(m.var[i]).sum())
-                      - 0.5 * (d * d / m.var[i]).sum())
-                comps.append(ln + logw[j, i])
+            for k in range(m.num_substates):
+                for i in range(5):
+                    d = x[t] - mu[j, k, i]
+                    ln = (-0.5 * (4 * np.log(2 * np.pi)
+                                  + np.log(m.var[i]).sum())
+                          - 0.5 * (d * d / m.var[i]).sum())
+                    comps.append(ln + logw[j, k, i] + logc[j, k])
             ref[t, j] = np.logaddexp.reduce(comps)
     np.testing.assert_allclose(got, ref, atol=1e-3)
 
@@ -79,7 +81,7 @@ def test_subspace_ties_parameters():
     assert a.M.shape == b.M.shape == (4, 6, 3)
     assert a.w.shape == b.w.shape
     assert a.var.shape == b.var.shape
-    assert b.V.shape == (50, 3)
+    assert b.V.shape == (50, 1, 3)
 
 
 def test_sgmm_decodable_in_decoder():
@@ -124,3 +126,82 @@ def test_sgmm_decodable_in_decoder():
     assert ll.shape == (60, J)
     tids, ols, cost = dec.decode(ll.astype(np.float32))
     assert np.isfinite(cost)
+
+
+def test_substate_splitting_improves_objective():
+    """A 2-mode state distribution needs ≥2 substates: splitting must
+    raise the likelihood over the single-substate model."""
+    rng = np.random.default_rng(11)
+    # I=2 shared Gaussians + S=2 subspace cannot place two modes per
+    # state from ONE substate vector (the cross-state consistency
+    # constraints are overdetermined); substates can.  Modes live in a
+    # low-dim latent subspace so the M projections are learnable.
+    J, I, D, S = 3, 2, 6, 2
+    B = rng.standard_normal((D, 2))
+    feats, ali = [], []
+    for j in range(J):
+        for _mode in range(2):
+            z = 3.0 * rng.standard_normal(2)
+            x = (B @ z) + 0.3 * rng.standard_normal((80, D))
+            feats.append(x)
+            ali.append(np.full(80, j, np.int32))
+    feats = np.concatenate(feats).astype(np.float32)
+    ali = np.concatenate(ali)
+
+    m1, l1 = train_sgmm({"u": feats}, {"u": ali}, num_pdfs=J,
+                        num_gauss=I, subspace=S, num_iters=12, seed=0)
+    m2, l2 = train_sgmm({"u": feats}, {"u": ali}, num_pdfs=J,
+                        num_gauss=I, subspace=S, num_iters=12, seed=0,
+                        target_substates=2 * J)
+    assert m2.num_substates > 1
+    assert (m2.c > 0).sum() > (m1.c > 0).sum()
+    assert l2[-1] > l1[-1] + 0.5
+
+
+def test_speaker_subspace_improves_and_recovers():
+    """Per-speaker mean offsets in a planted direction: training WITH
+    the speaker subspace must beat training without, and estimated
+    speaker vectors must separate the two speakers."""
+    from kaldi_tpu.am.sgmm2 import estimate_speaker_vector
+    rng = np.random.default_rng(12)
+    true, feats, ali = _planted(rng, J=3, I=4, D=6, S=2,
+                                frames_per_state=100)
+    T = len(ali)
+    offs = {"spkA": 1.5 * rng.standard_normal(6),
+            "spkB": 1.5 * rng.standard_normal(6)}
+    fd, ad, u2s = {}, {}, {}
+    half = T // 2
+    fd["uA"] = (feats[:half] + offs["spkA"]).astype(np.float32)
+    ad["uA"] = ali[:half]
+    fd["uB"] = (feats[half:] + offs["spkB"]).astype(np.float32)
+    ad["uB"] = ali[half:]
+    u2s = {"uA": "spkA", "uB": "spkB"}
+
+    m_plain, l_plain = train_sgmm(fd, ad, num_pdfs=3, num_gauss=4,
+                                  subspace=2, num_iters=5, seed=0)
+    m_spk, l_spk = train_sgmm(fd, ad, num_pdfs=3, num_gauss=4,
+                              subspace=2, num_iters=5, seed=0,
+                              spk_subspace=2, utt2spk=u2s)
+    assert m_spk.N is not None and m_spk.N.shape == (4, 6, 2)
+    assert l_spk[-1] > l_plain[-1] + 0.1
+    uA = estimate_speaker_vector(m_spk, fd["uA"], ad["uA"])
+    uB = estimate_speaker_vector(m_spk, fd["uB"], ad["uB"])
+    assert np.linalg.norm(uA - uB) > 0.3
+
+
+def test_serialization_roundtrip_with_substates_and_spk(tmp_path):
+    from kaldi_tpu.am.sgmm2 import read_sgmm2, write_sgmm2
+    rng = np.random.default_rng(13)
+    m = init_sgmm(4, 5, 3, 2, np.zeros(5), np.ones(5), spk_subspace=2,
+                  seed=3)
+    # grow to 2 substates manually
+    m.V = np.concatenate([m.V, m.V + 0.1], axis=1)
+    m.c = np.concatenate([0.6 * m.c, 0.4 * m.c], axis=1)
+    write_sgmm2(str(tmp_path / "m.sgmm2"), m)
+    r = read_sgmm2(str(tmp_path / "m.sgmm2"))
+    for a, b in ((m.M, r.M), (m.w, r.w), (m.var, r.var), (m.V, r.V),
+                 (m.c, r.c), (m.N, r.N)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    x = rng.standard_normal((5, 5)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(m.loglikes(x)),
+                               np.asarray(r.loglikes(x)), atol=1e-4)
