@@ -215,17 +215,24 @@ def nnet3_chain_get_egs_tool(argv):
     po.register("chunk-size", int, 96, "frames per chunk")
     po.register("frame-subsampling-factor", int, 3, "chain ×3")
     po.register("lm-order", int, 3, "denominator phone-LM order")
+    po.register("ali-model", str, "",
+                "model whose topology produced <ali-rspec> (the GMM "
+                "that aligned the data — chain supervision is "
+                "phone-level, so the alignment may come from a "
+                "different topology than the chain model; default: "
+                "the chain model itself)")
     args = po.read(argv)
     if len(args) != 4:
         po.print_usage()
         return 1
     tm, _am = read_mdl(args[0])
+    ali_tm = read_mdl(po["ali-model"])[0] if po["ali-model"] else tm
     ali = {k: np.asarray(v) for k, v in
            SequentialTableReader(args[2], holder="ivec")}
     feats_r = RandomAccessTableReader(args[1], holder="mat")
     feats = {k: np.asarray(feats_r[k]) for k in sorted(ali)
              if k in feats_r}
-    runs = {k: phone_alignment_runs(tm, ali[k]) for k in feats}
+    runs = {k: phone_alignment_runs(ali_tm, ali[k]) for k in feats}
     phone_seqs = [[p for p, _ in runs[k]] for k in sorted(runs)]
     den = make_denominator_graph(phone_seqs, tm.tree, tm.topo,
                                  order=po["lm-order"])

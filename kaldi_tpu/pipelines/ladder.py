@@ -106,11 +106,14 @@ def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
                                       num_epochs=chain_epochs)
     wers["chain-3gram"] = chain_stage(sysd, order=3,
                                       num_epochs=chain_epochs)
+    from kaldi_tpu.pipelines.score import wilson_interval
     print("\n== WER ladder (noise %.2f, warp %.2f, heldout speakers) =="
           % (noise, speaker_warp))
     for stage in ("mono", "tri1", "tri2b", "tri3b", "chain-2gram",
                   "chain-3gram"):
-        print(f"  {stage:12s} {wers[stage]}")
+        r = wers[stage]
+        lo, hi = wilson_interval(r.errors, r.ref_words)
+        print(f"  {stage:12s} {r}  wilson95=[{lo:.2f}, {hi:.2f}]")
     log.info("ladder done in %.0fs", timer.elapsed())
     return wers
 

@@ -7,6 +7,7 @@ sequences; reports %WER ins/del/sub breakdown like sclite/score_kaldi).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, List, Sequence, Tuple
 
 
@@ -74,3 +75,21 @@ def compute_wer(refs: Dict[str, List[str]], hyps: Dict[str, List[str]]
         if tot > 0:
             stats.sentence_errors += 1
     return stats
+
+
+def wilson_interval(errors: int, total: int, z: float = 1.96
+                    ) -> Tuple[float, float]:
+    """95% Wilson score interval for an error PROPORTION, in percent —
+    the statistical-power annotation for small WER evals (treats word
+    errors as Bernoulli; correlated within-utterance errors make the
+    true interval somewhat wider, so read it as a lower bound on the
+    uncertainty)."""
+    if total <= 0:
+        return (0.0, 100.0)
+    p = errors / total
+    denom = 1.0 + z * z / total
+    center = (p + z * z / (2 * total)) / denom
+    half = (z / denom) * math.sqrt(p * (1 - p) / total
+                                   + z * z / (4 * total * total))
+    return (100.0 * max(0.0, center - half),
+            100.0 * min(1.0, center + half))
