@@ -294,9 +294,13 @@ class _LatgenDecoder:
     def decode_to_clat(self, loglikes: np.ndarray):
         if self._compact:
             return self._dec.decode_compact(loglikes)
-        from kaldi_tpu.lattice import determinize_lattice
+        from kaldi_tpu.lattice.determinize import \
+            determinize_lattice_pruned
         lat, _best = self._dec.decode_lattice(loglikes)
-        return determinize_lattice(lat)
+        # blowup → prune with halved beams and retry (the
+        # DeterminizeLatticePhonePrunedWrapper contract)
+        return determinize_lattice_pruned(
+            lat, self._dec.config.lattice_beam)
 
 
 @tool("gmm-latgen-faster")

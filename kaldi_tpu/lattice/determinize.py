@@ -241,3 +241,73 @@ def prune_lattice(clat: CompactLattice, beam: float) -> CompactLattice:
         if s in clat.finals:
             out.finals[remap[s]] = clat.finals[s]
     return out
+
+
+def prune_raw_lattice(lat: Lattice, beam: float) -> Lattice:
+    """α/β extra-cost pruning of a RAW lattice: keep arcs with
+    α(src) + cost + β(dst) ≤ best + beam (PruneLattice /
+    the retry step of DeterminizeLatticePhonePrunedWrapper)."""
+    import numpy as np
+    n = lat.num_states
+    if lat.start < 0 or n == 0:
+        return lat
+    INF = float("inf")
+    order = lat.top_order()
+    alpha = np.full(n, INF)
+    alpha[lat.start] = 0.0
+    for s in order:
+        if alpha[s] == INF:
+            continue
+        for a in lat.arcs[s]:
+            c = alpha[s] + a.graph_cost + a.acoustic_cost
+            if c < alpha[a.nextstate]:
+                alpha[a.nextstate] = c
+    beta = np.full(n, INF)
+    for s, (gc, ac) in lat.finals.items():
+        beta[s] = gc + ac
+    for s in reversed(order):
+        for a in lat.arcs[s]:
+            c = a.graph_cost + a.acoustic_cost + beta[a.nextstate]
+            if c < beta[s]:
+                beta[s] = c
+    best = beta[lat.start]          # α(start)=0 → best total path cost
+    cutoff = best + beam + 1e-6     # epsilon: keep exact-tie arcs at
+    #                                 beam 0 despite float re-association
+    out = Lattice()
+    for _ in range(n):
+        out.add_state()
+    out.start = lat.start
+    for s in range(n):
+        if alpha[s] == INF:
+            continue
+        for a in lat.arcs[s]:
+            tot = (alpha[s] + a.graph_cost + a.acoustic_cost
+                   + beta[a.nextstate])
+            if tot <= cutoff:
+                out.arcs[s].append(a)
+    for s, f in lat.finals.items():
+        if alpha[s] + f[0] + f[1] <= cutoff:
+            out.finals[s] = f
+    return out
+
+
+def determinize_lattice_pruned(lat: Lattice, lattice_beam: float,
+                               max_states: int = 200000
+                               ) -> "CompactLattice":
+    """DeterminizeLatticePhonePrunedWrapper's retry contract: on state
+    blowup, PRUNE the raw lattice with a halved beam and determinize
+    again, until it fits (the reference halves twice before giving
+    up; the final attempt at beam/8 keeps at least the best path)."""
+    from kaldi_tpu.core.logging import KaldiError
+    beam = lattice_beam
+    for attempt in range(4):
+        try:
+            pruned = prune_raw_lattice(lat, beam) if attempt else lat
+            return determinize_lattice(pruned, max_states=max_states)
+        except KaldiError:
+            beam = beam / 2.0
+            log.warning("determinize_lattice_pruned: state blowup; "
+                        "retrying with lattice-beam %.2f", beam)
+    # last resort: best path only (beam 0 keeps the Viterbi path)
+    return determinize_lattice(prune_raw_lattice(lat, 0.0),
+                               max_states=max_states)

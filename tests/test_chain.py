@@ -453,3 +453,38 @@ def test_chain_trainer_ngsgd_step(rng):
         assert np.linalg.norm(a - b) <= 3 * mc + 1e-5
         moved += float(np.linalg.norm(a - b))
     assert moved > 0.0
+
+
+def test_denominator_dense_matches_scatter():
+    """The dense (S,S)-matmul denominator recursion must equal the
+    scatter segment-op formulation in value AND gradient (the dense
+    path is the TPU fast path; scatter is the oracle)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_tpu.am.chain import denominator_logprob
+    rng = np.random.default_rng(9)
+    topo = HmmTopology.chain([1, 2, 3, 4])
+    tree = MonophoneContextDependency([1, 2, 3, 4], topo)
+    seqs = [list(rng.integers(1, 5, 12)) for _ in range(30)]
+    den = make_denominator_graph(seqs, tree, topo, order=3)
+    B, T = 3, 9
+    scores = jnp.asarray(
+        rng.standard_normal((B, T, tree.num_pdfs)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, T)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+
+    def f_dense(s):
+        return jnp.sum(denominator_logprob(
+            den, s, mask, leaky_hmm_coefficient=1e-3,
+            dense_state_limit=10000))
+
+    def f_scatter(s):
+        return jnp.sum(denominator_logprob(
+            den, s, mask, leaky_hmm_coefficient=1e-3,
+            dense_state_limit=0))
+
+    vd, gd = jax.value_and_grad(f_dense)(scores)
+    vs, gs = jax.value_and_grad(f_scatter)(scores)
+    assert float(vd) == pytest.approx(float(vs), abs=2e-3)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gs),
+                               atol=2e-3)

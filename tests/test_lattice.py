@@ -141,3 +141,40 @@ def test_prune_lattice(setup):
     assert abs(c0 - c1) < 1e-3
     for words, c in pruned.paths(max_paths=20000):
         assert c <= c0 + 2.0 + 0.1
+
+
+def test_determinize_pruned_retries_on_blowup():
+    """determinize_lattice_pruned must survive a state blowup by
+    pruning with halved beams (DeterminizeLatticePhonePrunedWrapper
+    retry contract) and still contain the best path."""
+    import numpy as np
+    from kaldi_tpu.lattice.determinize import (determinize_lattice,
+                                               determinize_lattice_pruned,
+                                               prune_raw_lattice)
+    from kaldi_tpu.lattice.lattice import Lattice, LatticeArc
+    rng = np.random.default_rng(4)
+    # a dense ambiguous sausage: T frames × K parallel word arcs per
+    # step explodes word-sequence-determinization state count
+    T, K = 10, 5
+    lat = Lattice()
+    states = [lat.add_state() for _ in range(T + 1)]
+    lat.start = states[0]
+    for t in range(T):
+        for k in range(K):
+            lat.arcs[states[t]].append(LatticeArc(
+                1 + k, 1 + k, float(rng.random() * 0.1), 0.0,
+                states[t + 1]))
+    lat.set_final(states[T], 0.0, 0.0)
+    # tiny max_states forces the blowup path
+    clat = determinize_lattice_pruned(lat, lattice_beam=8.0,
+                                      max_states=50)
+    assert clat.num_states > 0
+    # best path preserved exactly
+    ref_words, _t, ref_cost = lat.best_path()[1], None, lat.best_path()[2]
+    got_words, _tids, got_cost = clat.best_path()
+    assert got_cost == pytest.approx(ref_cost, abs=1e-4)
+
+    # prune_raw_lattice at beam 0 keeps only best-cost arcs
+    pruned = prune_raw_lattice(lat, 0.0)
+    assert pruned.num_arcs <= lat.num_arcs
+    assert pruned.best_path()[2] == pytest.approx(ref_cost, abs=1e-6)
