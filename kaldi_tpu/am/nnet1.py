@@ -181,3 +181,46 @@ def finetune_xent(params: Dict, hid_dims: Sequence[int], num_pdfs: int,
             nb += 1
         log.info("nnet1: epoch %d xent %.4f", ep, tot / max(nb, 1))
     return params, float(loss)
+
+
+def save_nnet1(path: str, params: Dict, hid_dims: Sequence[int],
+               num_pdfs: int,
+               priors: Optional[np.ndarray] = None) -> None:
+    """Serialize a SigmoidDnn (the nnet1 final.nnet role): dims +
+    params (+ optional class priors for nnet-forward's
+    --class-frame-counts division)."""
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<Nnet1>")
+        kio.write_basic_int32(f, len(hid_dims))
+        for hd in hid_dims:
+            kio.write_basic_int32(f, int(hd))
+        kio.write_basic_int32(f, int(num_pdfs))
+        kio.write_basic_int32(f, 1 if priors is not None else 0)
+        if priors is not None:
+            kio.write_vector(f, np.asarray(priors, np.float32))
+        kio.write_token(f, "<Params>")
+        import jax
+        write_pytree(f, jax.tree_util.tree_map(np.asarray,
+                                               dict(params)))
+        kio.write_token(f, "</Nnet1>")
+
+
+def load_nnet1(path: str):
+    """→ (params, hid_dims, num_pdfs, priors-or-None)."""
+    from kaldi_tpu.am.serialize import read_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        kio.init_kaldi_input_stream(f)
+        kio.expect_token(f, "<Nnet1>")
+        n = kio.read_basic_int32(f)
+        hid_dims = tuple(kio.read_basic_int32(f) for _ in range(n))
+        num_pdfs = kio.read_basic_int32(f)
+        priors = (np.asarray(kio.read_vector(f))
+                  if kio.read_basic_int32(f) else None)
+        kio.expect_token(f, "<Params>")
+        params = read_pytree(f)
+        kio.expect_token(f, "</Nnet1>")
+    return params, hid_dims, num_pdfs, priors

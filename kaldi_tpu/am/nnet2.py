@@ -164,3 +164,45 @@ def train_parallel_averaging(cfg: Nnet2Config,
         log.info("nnet2 iter %d: %d jobs averaged, xent %.4f", it,
                  num_jobs, float(loss))
     return params, {"xent": float(loss)}
+
+
+def save_nnet2(path: str, params: Dict, cfg: Nnet2Config) -> None:
+    """Serialize an Nnet2Model (the nnet2 final.mdl raw-net part)."""
+    from kaldi_tpu.am.serialize import write_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_wxfilename(path) as f:
+        kio.init_kaldi_output_stream(f)
+        kio.write_token(f, "<Nnet2>")
+        for v in (cfg.feat_dim, cfg.num_pdfs, cfg.num_hidden_layers,
+                  cfg.pnorm_input_dim, cfg.pnorm_output_dim):
+            kio.write_basic_int32(f, int(v))
+        kio.write_basic_float(f, float(cfg.p))
+        kio.write_int_vector(f, np.asarray(cfg.splice, np.int32))
+        kio.write_token(f, "<Params>")
+        import jax
+        write_pytree(f, jax.tree_util.tree_map(np.asarray,
+                                               dict(params)))
+        kio.write_token(f, "</Nnet2>")
+
+
+def load_nnet2(path: str):
+    """→ (params, Nnet2Config)."""
+    from kaldi_tpu.am.serialize import read_pytree
+    from kaldi_tpu.core import io as kio
+    with kio.open_rxfilename(path) as f:
+        kio.init_kaldi_input_stream(f)
+        kio.expect_token(f, "<Nnet2>")
+        feat_dim = kio.read_basic_int32(f)
+        num_pdfs = kio.read_basic_int32(f)
+        nh = kio.read_basic_int32(f)
+        pin = kio.read_basic_int32(f)
+        pout = kio.read_basic_int32(f)
+        p = kio.read_basic_float(f)
+        splice = tuple(int(x) for x in kio.read_int_vector(f))
+        kio.expect_token(f, "<Params>")
+        params = read_pytree(f)
+        kio.expect_token(f, "</Nnet2>")
+    cfg = Nnet2Config(feat_dim=feat_dim, num_pdfs=num_pdfs,
+                      num_hidden_layers=nh, pnorm_input_dim=pin,
+                      pnorm_output_dim=pout, splice=splice, p=p)
+    return params, cfg
