@@ -333,6 +333,14 @@ class BeamDecoder:
         cut_a = jnp.maximum(
             jnp.sum((jnp.cumsum(blk_hist) <= MB).astype(jnp.int32)) - 1, 0)
         tok_cnt = jnp.where((demand <= MB) | (tb <= cut_a), tok_cnt, 0)
+        # effective token-cost beam the budget imposed this frame: below
+        # lattice_beam means lattice arcs inside the lattice-beam margin
+        # were dropped (the HARDBENCH oracle-WER mechanism) — surfaced
+        # per utterance as min_eff_beam for escalation policies
+        eff_beam = jnp.where(
+            demand <= MB, jnp.float32(self.config.beam),
+            (cut_a.astype(jnp.float32) + 1.0)
+            * (self.config.beam / NBA))
 
         # 1. load-balanced BLOCK distribution (tok_off/tok_cnt are in
         #    block units).  cum is monotone, so the owning token of
@@ -397,7 +405,7 @@ class BeamDecoder:
         first = jnp.concatenate([jnp.ones(1, bool), st_s[1:] != st_s[:-1]])
         head = first & (st_s < S)
         n_heads = jnp.sum(head.astype(jnp.int32))
-        self._diag = (demand * blk, n_heads)
+        self._diag = (demand * blk, n_heads, eff_beam)
 
         # 4. max-active via histogram cutoff (GetCutoff / the GPU
         #    decoder's histogram prune: an adaptive beam, not an exact
@@ -496,10 +504,12 @@ class BeamDecoder:
         idn = jnp.arange(K, dtype=jnp.int32)
         vit = (jnp.where(active, vit[0], idn),
                jnp.where(active, vit[1], -1))
-        arcs_demand, n_heads = self._diag
+        arcs_demand, n_heads, eff_beam = self._diag
         out = vit + (jnp.where(active, dropped, 0),
                      jnp.where(active, arcs_demand, 0),
-                     jnp.where(active, n_heads, 0))
+                     jnp.where(active, n_heads, 0),
+                     jnp.where(active, eff_beam,
+                               jnp.float32(self.config.beam)))
         if chunk is not None:
             cnt = jnp.where(
                 active, jnp.sum((chunk[:, 0] >= 0).astype(jnp.int32)), 0)
@@ -530,7 +540,8 @@ class BeamDecoder:
         ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
             self._frame_step, (tok, buf, jnp.int32(0)),
             (loglikes, active))
-        prev, aidxs, dropped, arcs_demand, n_heads = scanned[:5]
+        prev, aidxs, dropped, arcs_demand, n_heads, eff_beam = \
+            scanned[:6]
         okf = fs >= 0
         fin = self.g["final"][jnp.where(okf, fs, 0)]
         total = jnp.where(okf, fc + fin, INF)
@@ -560,6 +571,7 @@ class BeamDecoder:
             # warnings role): peak arc demand vs M, peak heads vs K
             "max_arcs_demand": jnp.max(arcs_demand),
             "max_heads": jnp.max(n_heads),
+            "min_eff_beam": jnp.min(eff_beam),
             "best_idx": best_idx, "best_cost": use[best_idx],
             "final_cost": jnp.where(any_final, fin[best_idx], 0.0),
             "tok_state": fs, "tok_cost": fc, "tok_final": fin,
@@ -571,7 +583,7 @@ class BeamDecoder:
             # host can async-copy it without first reading the counts
             rcap = self.config.record_capacity or (T_pad * self.L)
             out["rec_packed"] = buf[:min(rcap, T_pad * self.L)]
-            out["rec_counts"] = scanned[5]
+            out["rec_counts"] = scanned[6]
         return out
 
     # ------------------------------------------------------------------
@@ -579,7 +591,8 @@ class BeamDecoder:
     # ------------------------------------------------------------------
 
     _SMALL_KEYS = ("bt_aidx", "bt_end", "best_cost",
-                   "final_cost", "dropped_arcs", "tok_final")
+                   "final_cost", "dropped_arcs", "tok_final",
+                   "min_eff_beam")
 
     def start_fetch(self, out, lattice=False):
         """Begin async device→host copies of everything a later

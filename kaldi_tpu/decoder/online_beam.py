@@ -81,7 +81,7 @@ class OnlineBeamDecoder:
         (tok, buf, cursor), scanned = jax.lax.scan(
             dec._frame_step, (tok, buf, cursor), (chunk_ll, active))
         prev, aidxs = scanned[0], scanned[1]
-        cnt = scanned[5]
+        cnt = scanned[6]
         # chunk rows land at the filled prefix; a partial final chunk's
         # inactive rows are overwritten by the next chunk
         bpp = jax.lax.dynamic_update_slice(bpp, prev, (frames_done, 0))

@@ -167,7 +167,11 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
         pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count()
                                                   or 4))
     stats = {"compile_s": compile_s, "shapes": len(compiled),
-             "arcs_peak": 0, "heads_peak": 0, "dropped": 0}
+             "arcs_peak": 0, "heads_peak": 0, "dropped": 0,
+             # frames where the arc budget imposed an effective beam
+             # below lattice_beam lose lattice arcs (the oracle-WER
+             # mechanism); min over the whole eval = worst case
+             "min_eff_beam": float("inf")}
     lats: Dict[str, object] = {}
     t0 = time.perf_counter()
     outs = []
@@ -181,6 +185,9 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
             stats["arcs_peak"], int(np.asarray(out["max_arcs_demand"]).max()))
         stats["heads_peak"] = max(
             stats["heads_peak"], int(np.asarray(out["max_heads"]).max()))
+        stats["min_eff_beam"] = min(
+            stats["min_eff_beam"],
+            float(np.asarray(out["min_eff_beam"]).min()))
         hosts = dec._fetch_batch(out, len(chunk), lattice=True)
         for b, (u, host) in enumerate(zip(chunk, hosts)):
             stats["dropped"] += int(host["dropped_arcs"])
@@ -230,6 +237,7 @@ def run_point(task, eval_set, lls, pool=None, **knobs):
         "dropped_arcs": stats["dropped"],
         "arcs_peak": stats["arcs_peak"],
         "heads_peak": stats["heads_peak"],
+        "min_eff_beam": round(stats["min_eff_beam"], 2),
         "compile_s": round(stats["compile_s"], 1),
     }
     log.info("hard point %s", rec)
