@@ -21,14 +21,25 @@ log = get_logger(__name__)
 
 @dataclasses.dataclass
 class Lexicon:
-    """word → list of pronunciations (each a list of phone strings)."""
-    entries: List[Tuple[str, List[str]]]
+    """word → list of pronunciations (each a list of phone strings).
+
+    Entries are (word, pron) or (word, pron, prob): the optional
+    pronunciation PROBABILITY is the lexiconp.txt column
+    (prepare_lang.sh --pron-probs); L carries −log(prob) on the
+    word's first arc."""
+    entries: List[Tuple]
 
     def words(self) -> List[str]:
-        return sorted({w for w, _ in self.entries})
+        return sorted({e[0] for e in self.entries})
 
     def phones(self) -> List[str]:
-        return sorted({p for _, pron in self.entries for p in pron})
+        return sorted({p for e in self.entries for p in e[1]})
+
+    def normalized(self) -> List[Tuple[str, List[str], float]]:
+        """Entries as uniform (word, pron, prob) triples."""
+        return [(e[0], list(e[1]),
+                 float(e[2]) if len(e) > 2 else 1.0)
+                for e in self.entries]
 
 
 class Lang:
@@ -36,8 +47,35 @@ class Lang:
 
     def __init__(self, lexicon: Lexicon, sil_phone: str = "SIL",
                  sil_prob: float = 0.5, optional_sil: bool = True,
-                 extra_questions: Optional[List[List[str]]] = None):
+                 extra_questions: Optional[List[List[str]]] = None,
+                 position_dependent: bool = False):
+        """``position_dependent`` rewrites every pronunciation with the
+        prepare_lang.sh default _B/_E/_I/_S word-position suffixes
+        (single-phone word → p_S; first → p_B; last → p_E; interior →
+        p_I; silence stays bare), quadrupling the non-silence phone
+        inventory — the tree questions then get position distinctions
+        for free via word_position_groups()."""
+        if position_dependent:
+            rewritten = []
+            for word, pron, prob in lexicon.normalized():
+                if len(pron) == 1:
+                    np_ = [pron[0] if pron[0] == sil_phone
+                           else pron[0] + "_S"]
+                else:
+                    np_ = []
+                    for i, p in enumerate(pron):
+                        if p == sil_phone:
+                            np_.append(p)
+                        elif i == 0:
+                            np_.append(p + "_B")
+                        elif i == len(pron) - 1:
+                            np_.append(p + "_E")
+                        else:
+                            np_.append(p + "_I")
+                rewritten.append((word, np_, prob))
+            lexicon = Lexicon(entries=rewritten)
         self.lexicon = lexicon
+        self.position_dependent = position_dependent
         self.sil_phone = sil_phone
         self.sil_prob = sil_prob
         self.optional_sil = optional_sil
@@ -79,7 +117,7 @@ class Lang:
         multiplicity of repeated prons and prefix-prons."""
         prons: Dict[tuple, int] = {}
         prefixes = set()
-        for _, pron in self.lexicon.entries:
+        for _w, pron, _p in self.lexicon.normalized():
             t = tuple(pron)
             prons[t] = prons.get(t, 0) + 1
             for i in range(1, len(t)):
@@ -94,14 +132,14 @@ class Lang:
         """Per lexicon entry: which #k to append (0 = none)."""
         prons: Dict[tuple, int] = {}
         prefixes = set()
-        for _, pron in self.lexicon.entries:
+        for _w, pron, _p in self.lexicon.normalized():
             t = tuple(pron)
             prons[t] = prons.get(t, 0) + 1
             for i in range(1, len(t)):
                 prefixes.add(t[:i])
         seen_count: Dict[tuple, int] = {}
         out = []
-        for _, pron in self.lexicon.entries:
+        for _w, pron, _p in self.lexicon.normalized():
             t = tuple(pron)
             if prons[t] > 1 or t in prefixes:
                 k = seen_count.get(t, 0) + 1
@@ -134,25 +172,33 @@ class Lang:
         # we rely on the word-level structure being unambiguous instead)
 
         assignment = self._disambig_assignment()
-        for (word, pron), k in zip(self.lexicon.entries, assignment):
+        for (word, pron, prob), k in zip(self.lexicon.normalized(),
+                                         assignment):
             wid = self.words[word]
             phones = [self.phones[p] for p in pron]
             if with_disambig and k > 0:
                 phones = phones + [self.phones[f"#{k}"]]
+            # pronunciation probability rides the first arc
+            # (make_lexicon_fst.pl --pron-probs)
+            pron_cost = -math.log(max(prob, 1e-10)) if prob < 1.0 \
+                else 0.0
             cur = loop
             for i, ph in enumerate(phones):
                 last = i == len(phones) - 1
                 olab = wid if i == 0 else EPS
+                w0 = pron_cost if i == 0 else 0.0
                 if not last:
                     nxt = fst.add_state()
-                    fst.add_arc(cur, Arc(ph, olab, 0.0, nxt))
+                    fst.add_arc(cur, Arc(ph, olab, w0, nxt))
                     cur = nxt
                 else:
                     if self.optional_sil:
-                        fst.add_arc(cur, Arc(ph, olab, no_sil_cost, loop))
-                        fst.add_arc(cur, Arc(ph, olab, sil_cost, sil_state))
+                        fst.add_arc(cur, Arc(ph, olab,
+                                             w0 + no_sil_cost, loop))
+                        fst.add_arc(cur, Arc(ph, olab,
+                                             w0 + sil_cost, sil_state))
                     else:
-                        fst.add_arc(cur, Arc(ph, olab, 0.0, loop))
+                        fst.add_arc(cur, Arc(ph, olab, w0, loop))
         if with_disambig:
             # self-loop passing the LM backoff symbol #0 through L
             ph0 = self.phones["#0"]

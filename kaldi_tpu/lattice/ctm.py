@@ -123,7 +123,7 @@ def best_path_ctm(clat: CompactLattice, tm: TransitionModel, words_table,
 def lang_prons(lang) -> Dict[int, List[List[int]]]:
     """word-id → phone-id pronunciation lists from a fst.lang.Lang."""
     out: Dict[int, List[List[int]]] = {}
-    for word, pron in lang.lexicon.entries:
+    for word, pron, _prob in lang.lexicon.normalized():
         wid = lang.words[word]
         out.setdefault(wid, []).append([lang.phones[p] for p in pron])
     return out

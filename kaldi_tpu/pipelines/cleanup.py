@@ -167,7 +167,7 @@ def clean_and_segment(feats: Dict[str, np.ndarray],
     # the escape loop must cover the FULL lexicon, not just the
     # claimed transcripts — otherwise junk audio is forced onto
     # transcript words and comes back as false "correct" matches
-    vocab = sorted({w for w, _p in lang.lexicon.entries})
+    vocab = sorted({e[0] for e in lang.lexicon.entries})
     prons = lang_prons(lang)
     out_segs: Dict[str, List[Segment]] = {}
     bad: List[str] = []

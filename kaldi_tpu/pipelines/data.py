@@ -85,8 +85,8 @@ class SyntheticSpeech:
                  formants: Optional[Dict[str, Tuple[float, float]]] = None):
         self.lexicon = lexicon
         self.samp_freq = samp_freq
-        self.pron = {w: pron for w, pron in lexicon.entries}
-        phones = sorted({p for _, pron in lexicon.entries for p in pron})
+        self.pron = {e[0]: list(e[1]) for e in lexicon.entries}
+        phones = sorted({p for e in lexicon.entries for p in e[1]})
         if formants is not None:
             self.formants = dict(formants)
         else:

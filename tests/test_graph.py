@@ -180,3 +180,62 @@ ngram 2=2
     # Best path through G should be a valid sentence with finite cost
     path, cost = shortest_path(G)
     assert cost < float("inf")
+
+
+def test_pron_probs_bias_decoding():
+    """lexiconp-style pronunciation probabilities must ride L: a word
+    with two prons decodes to the SAME word either way, but the L arc
+    costs differ by −log(prob) (make_lexicon_fst.pl --pron-probs)."""
+    import math
+    from kaldi_tpu.fst.lang import Lang, Lexicon
+    lex = Lexicon(entries=[("AY", ["a"], 0.9), ("AY", ["b"], 0.1),
+                           ("BEE", ["c"])])
+    lang = Lang(lex)
+    # find the first-arc costs of each pron in L
+    costs = {}
+    L = lang.L
+    wid = lang.words["AY"]
+    for s in range(L.num_states):
+        for a in L.arcs[s]:
+            if a.olabel == wid:
+                costs[a.ilabel] = a.weight
+    ca = costs[lang.phones["a"]]
+    cb = costs[lang.phones["b"]]
+    assert cb - ca == pytest.approx(math.log(0.9 / 0.1), abs=1e-4)
+
+
+def test_position_dependent_phones_end_to_end():
+    """prepare_lang's default _B/_E/_I/_S phones: inventory expands,
+    mkgraph still compiles, and a peaked decode recovers the words."""
+    import numpy as np
+    from kaldi_tpu.am import (HmmTopology, MonophoneContextDependency,
+                              TransitionModel)
+    from kaldi_tpu.decoder.dense import DenseDecoder, DenseDecoderConfig
+    from kaldi_tpu.fst import (ArpaModel, arpa_to_fst,
+                               make_unigram_arpa, mkgraph)
+    from kaldi_tpu.fst.lang import Lang, Lexicon
+    lex = Lexicon(entries=[("GO", ["g", "o"]), ("ON", ["o", "n"]),
+                           ("O", ["o"])])
+    lang = Lang(lex, position_dependent=True)
+    names = {lang.phones.find(p) for p in lang.phone_list()}
+    assert {"g_B", "o_E", "o_B", "n_E", "o_S", "SIL"} <= names
+    topo = HmmTopology.three_state(lang.phone_list())
+    tree = MonophoneContextDependency(lang.phone_list(), topo)
+    tm = TransitionModel(topo, tree)
+    HCLG = mkgraph(lang, tm, arpa_to_fst(ArpaModel.parse(
+        make_unigram_arpa({"GO": 1.0, "ON": 1.0, "O": 1.0})),
+        lang.words))
+    dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
+                       DenseDecoderConfig(beam=16.0,
+                                          acoustic_scale=1.0))
+    # synthesize loglikes peaked on GO's position-dependent pdfs
+    pdfs = []
+    for ph in ("g_B", "o_E"):
+        pid = lang.phones[ph]
+        for st in range(3):
+            pdfs += [tree.compute([pid], st)] * 2
+    ll = np.full((len(pdfs), tm.num_pdfs), -8.0, np.float32)
+    for t, p in enumerate(pdfs):
+        ll[t, p] = 0.0
+    _tids, ols, _cost = dec.decode(ll)
+    assert [lang.words.find(o) for o in ols] == ["GO"]
