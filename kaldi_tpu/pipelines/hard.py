@@ -127,6 +127,7 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
                 lattice_beam: float = 7.0, arc_budget: int = 4096,
                 token_capacity: int = 4096, batch: int = 32,
                 bucket: int = 96, record_capacity: int = 0,
+                arc_block: int = 8,
                 pool: Optional[ThreadPoolExecutor]
                 = None) -> Tuple[Dict[str, object], Dict[str, float]]:
     """Decode every utterance to a determinized CompactLattice at one
@@ -146,7 +147,8 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
                             acoustic_scale=1.0,
                             lattice_beam=lattice_beam,
                             arc_budget=arc_budget,
-                            token_capacity=token_capacity, arc_block=8,
+                            token_capacity=token_capacity,
+                            arc_block=arc_block,
                             lattice_arcs_per_frame=min(4096, arc_budget),
                             # capacity 0 = uncapped record buffer: the
                             # fetch slices exactly n_max records, so a
@@ -229,6 +231,7 @@ def run_point(task, eval_set, lls, pool=None, **knobs):
     rec = {
         "metric": "hard_corpus_lattice_quality",
         "arc_budget": knobs.get("arc_budget", 4096),
+        "arc_block": knobs.get("arc_block", 8),
         "max_active": knobs.get("max_active", 7000),
         "wer": round(wer.wer, 2),
         "oracle_wer": round(oracle, 2),
