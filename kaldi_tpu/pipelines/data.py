@@ -97,16 +97,44 @@ class SyntheticSpeech:
         self.sil_phone = sil_phone
 
     def render_phone(self, phone: str, dur_s: float, rng,
-                     warp: float = 1.0, noise: float = 0.0) -> np.ndarray:
+                     warp: float = 1.0, noise: float = 0.0,
+                     coart: float = 0.0,
+                     prev_f: Optional[Tuple[float, float]] = None,
+                     next_f: Optional[Tuple[float, float]] = None
+                     ) -> np.ndarray:
+        """``coart`` > 0 makes the formants GLIDE from the previous
+        phone's targets into this phone's over the first ``coart``
+        fraction of its duration, and toward the next phone's over the
+        last — real coarticulation, giving triphone context-dependency
+        genuine acoustic signal (without it a context-dependent tree
+        can only hurt on this data)."""
         n = int(dur_s * self.samp_freq)
-        t = np.arange(n) / self.samp_freq
         if phone == self.sil_phone:
             return ((0.01 + noise) * rng.standard_normal(n)
                     ).astype(np.float32)
         f1, f2 = self.formants[phone]
-        f1, f2 = f1 * warp, f2 * warp
-        sig = (0.5 * np.sin(2 * math.pi * f1 * t + rng.uniform(0, 6.28))
-               + 0.3 * np.sin(2 * math.pi * f2 * t + rng.uniform(0, 6.28)))
+        own = (f1 * warp, f2 * warp)
+        if coart > 0.0 and n > 4:
+            pf = tuple(f * warp for f in prev_f) if prev_f else own
+            nf = tuple(f * warp for f in next_f) if next_f else own
+            k = max(1, int(coart * n))
+            tracks = []
+            for d in (0, 1):
+                tr = np.full(n, own[d])
+                tr[:k] = np.linspace((pf[d] + own[d]) / 2, own[d], k)
+                tr[n - k:] = np.linspace(own[d], (own[d] + nf[d]) / 2,
+                                         k)
+                tracks.append(tr)
+            ph1 = 2 * math.pi * np.cumsum(tracks[0]) / self.samp_freq
+            ph2 = 2 * math.pi * np.cumsum(tracks[1]) / self.samp_freq
+            sig = (0.5 * np.sin(ph1 + rng.uniform(0, 6.28))
+                   + 0.3 * np.sin(ph2 + rng.uniform(0, 6.28)))
+        else:
+            t = np.arange(n) / self.samp_freq
+            sig = (0.5 * np.sin(2 * math.pi * own[0] * t
+                                + rng.uniform(0, 6.28))
+                   + 0.3 * np.sin(2 * math.pi * own[1] * t
+                                  + rng.uniform(0, 6.28)))
         # amplitude envelope + noise
         env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n))
                          / (0.01 * self.samp_freq + 1))
@@ -116,18 +144,24 @@ class SyntheticSpeech:
     def render_words(self, words: Sequence[str], rng,
                      phone_dur: Tuple[float, float] = (0.10, 0.18),
                      sil_dur: Tuple[float, float] = (0.08, 0.15),
-                     warp: float = 1.0, noise: float = 0.0
-                     ) -> np.ndarray:
-        parts = [self.render_phone(self.sil_phone,
-                                   rng.uniform(*sil_dur), rng,
-                                   noise=noise)]
+                     warp: float = 1.0, noise: float = 0.0,
+                     coart: float = 0.0) -> np.ndarray:
+        # flatten to the phone sequence first so coarticulation can
+        # see across word boundaries (silence breaks the glide)
+        seq: List[Tuple[str, float]] = [
+            (self.sil_phone, rng.uniform(*sil_dur))]
         for w in words:
             for p in self.pron[w]:
-                parts.append(self.render_phone(
-                    p, rng.uniform(*phone_dur), rng, warp=warp,
-                    noise=noise))
+                seq.append((p, rng.uniform(*phone_dur)))
+            seq.append((self.sil_phone, rng.uniform(*sil_dur)))
+        parts = []
+        for i, (p, dur) in enumerate(seq):
+            pf = (self.formants.get(seq[i - 1][0]) if i > 0 else None)
+            nf = (self.formants.get(seq[i + 1][0])
+                  if i + 1 < len(seq) else None)
             parts.append(self.render_phone(
-                self.sil_phone, rng.uniform(*sil_dur), rng, noise=noise))
+                p, dur, rng, warp=warp, noise=noise, coart=coart,
+                prev_f=pf, next_f=nf))
         return np.concatenate(parts)
 
 
@@ -139,7 +173,8 @@ def make_synthetic_dataset(lexicon: Lexicon, num_utts: int,
                            speaker_warp: float = 0.0,
                            speaker_prefix: str = "spk",
                            formants: Optional[Dict[str, Tuple[float, float]]]
-                           = None) -> DataSet:
+                           = None,
+                           coarticulation: float = 0.0) -> DataSet:
     """speaker_warp > 0 gives each speaker a fixed vocal-tract warp in
     [1−w, 1+w] (derived from the speaker NAME, so a given speaker
     sounds the same across datasets and heldout speakers — a different
@@ -165,7 +200,9 @@ def make_synthetic_dataset(lexicon: Lexicon, num_utts: int,
         n = int(rng.integers(min_words, max_words + 1))
         words = [vocab[int(rng.integers(len(vocab)))] for _ in range(n)]
         wavs[utt] = (synth.render_words(words, rng, warp=warp_of(spk),
-                                        noise=noise), samp_freq)
+                                        noise=noise,
+                                        coart=coarticulation),
+                     samp_freq)
         text[utt] = words
         utt2spk[utt] = spk
     return DataSet(wavs, text, utt2spk)

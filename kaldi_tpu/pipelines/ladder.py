@@ -89,7 +89,7 @@ def chain_stage(sysd: Dict, order: int, num_epochs: int = 40,
 
 def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
         noise: float = 0.12, speaker_warp: float = 0.12,
-        chain_epochs: int = 40):
+        chain_epochs: int = 40, coarticulation: float = 0.35):
     timer = Timer()
     # tree size scales with the corpus, as Kaldi recipes tune
     # <num-leaves> <tot-gauss> per corpus: swept at ~100 utts, 30
@@ -101,7 +101,8 @@ def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
         lexicon=confusable_lexicon(), noise=noise,
         speaker_warp=speaker_warp, heldout_speakers=True,
         formants=confusable_formants(), return_systems=True,
-        tri_leaves=leaves, tri_gauss=20 * leaves)
+        tri_leaves=leaves, tri_gauss=20 * leaves,
+        coarticulation=coarticulation)
     wers["chain-2gram"] = chain_stage(sysd, order=2,
                                       num_epochs=chain_epochs)
     wers["chain-3gram"] = chain_stage(sysd, order=3,

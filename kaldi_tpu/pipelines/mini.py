@@ -79,7 +79,8 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         return_systems: bool = False,
         tri_leaves: Optional[int] = None,
         tri_gauss: Optional[int] = None,
-        lda_dim: Optional[int] = None):
+        lda_dim: Optional[int] = None,
+        coarticulation: float = 0.0):
     """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
     make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
     defaults reproduce the easy smoke corpus."""
@@ -89,11 +90,12 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     train = make_synthetic_dataset(lex, num_utts=num_utts, max_words=5,
                                    num_speakers=4, seed=seed,
                                    noise=noise, speaker_warp=speaker_warp,
-                                   formants=formants)
+                                   formants=formants,
+                                   coarticulation=coarticulation)
     test = make_synthetic_dataset(
         lex, num_utts=num_test, max_words=5, num_speakers=3,
         seed=seed + 100, noise=noise, speaker_warp=speaker_warp,
-        formants=formants,
+        formants=formants, coarticulation=coarticulation,
         speaker_prefix="tspk" if heldout_speakers else "spk")
     base_tr = base_feats(train)
     base_te = base_feats(test)
