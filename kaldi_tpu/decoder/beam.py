@@ -188,6 +188,7 @@ class BeamDecoder:
         # distinct states, so per-frame block demand can never exceed
         # the table's total block count (no drops at the cap)
         M = self.config.arc_budget or max(4 * self.K, 8192)
+        self._A_blk = A_blk
         self.MB = min(max(A_blk, 1), -(-M // blk))
         self.M = self.MB * blk         # expanded arc rows (sort width)
         # record packing: (prev slot, dst slot) share one s32 when the
@@ -241,6 +242,47 @@ class BeamDecoder:
         self.g = None
         self._g_dev = None
         self._compiled = {}
+
+    # config fields that do NOT affect the packed graph tables or the
+    # token-array capacity K, so a decoder variant can share them
+    _SHARED_SAFE = ("beam", "max_active", "acoustic_scale",
+                    "lattice_beam", "arc_budget",
+                    "lattice_arcs_per_frame", "record_capacity")
+
+    def with_overrides(self, **overrides) -> "BeamDecoder":
+        """A sibling decoder sharing this one's packed graph (host AND
+        device copies) but with different budget/beam knobs — the
+        retry-with-wider-beam contract (gmm-align-compiled's
+        --retry-beam; DecodeUtteranceLatticeFaster's warn-and-go-on
+        becomes re-decode-wider here).  Only knobs that leave the
+        packed arc table and K untouched may change; each variant has
+        its own compiled-executable cache.  acoustic_scale may NOT
+        change when lattices are built (host acoustic-cost recovery
+        reads self.config)."""
+        import copy
+        bad = set(overrides) - set(self._SHARED_SAFE)
+        if bad:
+            raise KaldiError(f"with_overrides: {sorted(bad)} change the "
+                             "graph packing; construct a new BeamDecoder")
+        clone = copy.copy(self)
+        clone.config = dataclasses.replace(self.config, **overrides)
+        clone.maxa = min(clone.config.max_active, clone.K)
+        M = clone.config.arc_budget or max(4 * clone.K, 8192)
+        clone.MB = min(max(self._A_blk, 1), -(-M // clone.BLK))
+        clone.M = clone.MB * clone.BLK
+        clone.L = clone.config.lattice_arcs_per_frame
+        if clone.L and clone.L < clone.K:
+            raise KaldiError("lattice_arcs_per_frame must be >= "
+                             "max_active (every Viterbi arc must fit)")
+        if clone.config.record_capacity and clone.L \
+                and clone.config.record_capacity < clone.L:
+            raise KaldiError("record_capacity must be >= "
+                             "lattice_arcs_per_frame")
+        clone._compiled = {}
+        # share the device-resident graph if already uploaded; later
+        # uploads are per-instance (harmless, just not deduplicated)
+        clone._g_dev = self._g_dev
+        return clone
 
     # ------------------------------------------------------------------
     # compilation plumbing

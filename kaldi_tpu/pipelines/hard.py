@@ -127,11 +127,19 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
                 lattice_beam: float = 7.0, arc_budget: int = 4096,
                 token_capacity: int = 4096, batch: int = 32,
                 bucket: int = 96, record_capacity: int = 0,
-                arc_block: int = 8,
+                arc_block: int = 8, escalate_budget: int = 0,
                 pool: Optional[ThreadPoolExecutor]
                 = None) -> Tuple[Dict[str, object], Dict[str, float]]:
     """Decode every utterance to a determinized CompactLattice at one
-    operating point; returns (utt → lattice, stats)."""
+    operating point; returns (utt → lattice, stats).
+
+    ``escalate_budget`` > arc_budget enables demand-triggered
+    escalation: any utterance whose budget-imposed effective token
+    beam dipped below lattice_beam (i.e. lattice arcs inside the
+    lattice-beam margin were provably at risk) is RE-DECODED with the
+    wider budget — the retry-with-wider-beam contract
+    (gmm-align-compiled --retry-beam), applied to the arc budget.
+    Throughput accounting includes the retries."""
     from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
     from kaldi_tpu.core.jit_cache import enable as enable_jit_cache
     import jax
@@ -173,31 +181,57 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
              # frames where the arc budget imposed an effective beam
              # below lattice_beam lose lattice arcs (the oracle-WER
              # mechanism); min over the whole eval = worst case
-             "min_eff_beam": float("inf")}
+             "min_eff_beam": float("inf"), "n_escalated": 0}
     lats: Dict[str, object] = {}
     t0 = time.perf_counter()
-    outs = []
-    for chunk, Xb, lb in batches:
-        out = compiled[Xb.shape](gd, Xb, lb)
-        dec.start_fetch(out, lattice=True)
-        outs.append((chunk, Xb, out))
-    futs = []
-    for chunk, Xb, out in outs:
-        stats["arcs_peak"] = max(
-            stats["arcs_peak"], int(np.asarray(out["max_arcs_demand"]).max()))
-        stats["heads_peak"] = max(
-            stats["heads_peak"], int(np.asarray(out["max_heads"]).max()))
-        stats["min_eff_beam"] = min(
-            stats["min_eff_beam"],
-            float(np.asarray(out["min_eff_beam"]).min()))
-        hosts = dec._fetch_batch(out, len(chunk), lattice=True)
-        for b, (u, host) in enumerate(zip(chunk, hosts)):
-            stats["dropped"] += int(host["dropped_arcs"])
-            futs.append((u, pool.submit(
-                dec.build_compact_lattice, host,
-                int(len(lls[u])), Xb[b])))
-    for u, f in futs:
-        lats[u] = f.result()
+
+    def decode_all(decoder, batch_list, exes):
+        """One sweep over batches: decode, flag, build.  Returns the
+        utterances whose effective beam dipped below lattice_beam."""
+        outs = []
+        for chunk, Xb, lb in batch_list:
+            out = exes[Xb.shape](gd, Xb, lb)
+            decoder.start_fetch(out, lattice=True)
+            outs.append((chunk, Xb, out))
+        futs, flagged = [], []
+        for chunk, Xb, out in outs:
+            stats["arcs_peak"] = max(
+                stats["arcs_peak"],
+                int(np.asarray(out["max_arcs_demand"]).max()))
+            stats["heads_peak"] = max(
+                stats["heads_peak"],
+                int(np.asarray(out["max_heads"]).max()))
+            hosts = decoder._fetch_batch(out, len(chunk), lattice=True)
+            for b, (u, host) in enumerate(zip(chunk, hosts)):
+                eff = float(host["min_eff_beam"])
+                stats["min_eff_beam"] = min(stats["min_eff_beam"], eff)
+                if escalate_budget > arc_budget \
+                        and decoder is dec and eff < lattice_beam:
+                    flagged.append(u)
+                    continue
+                stats["dropped"] += int(host["dropped_arcs"])
+                futs.append((u, pool.submit(
+                    decoder.build_compact_lattice, host,
+                    int(len(lls[u])), Xb[b])))
+        for u, f in futs:
+            lats[u] = f.result()
+        return flagged
+
+    flagged = decode_all(dec, batches, compiled)
+    if flagged:
+        stats["n_escalated"] = len(flagged)
+        esc = dec.with_overrides(
+            arc_budget=escalate_budget,
+            lattice_arcs_per_frame=min(4096, escalate_budget))
+        esc_batches = _batches({u: lls[u] for u in flagged},
+                               task.num_pdfs, batch, bucket)
+        tc = time.perf_counter()
+        esc_exes = {Xb.shape: esc._get_compiled(Xb.shape)
+                    for _, Xb, _ in esc_batches}
+        esc_compile = time.perf_counter() - tc
+        stats["compile_s"] += esc_compile
+        t0 += esc_compile        # throughput excludes compiles (cached)
+        decode_all(esc, esc_batches, esc_exes)
     stats["wall_s"] = time.perf_counter() - t0
     stats["audio_s"] = sum(len(x) for x in lls.values()) * 0.03
     if own_pool:
@@ -243,6 +277,9 @@ def run_point(task, eval_set, lls, pool=None, **knobs):
         "min_eff_beam": round(stats["min_eff_beam"], 2),
         "compile_s": round(stats["compile_s"], 1),
     }
+    if knobs.get("escalate_budget"):
+        rec["escalate_budget"] = knobs["escalate_budget"]
+        rec["n_escalated"] = stats["n_escalated"]
     log.info("hard point %s", rec)
     return rec
 

@@ -96,13 +96,23 @@ def run(num_utts: int = 100, num_test: int = 30, seed: int = 1,
     # leaves/600 gauss generalizes best (100-leaf trees over-split and
     # regress below mono); grow ~linearly beyond that.
     leaves = max(30, num_utts // 4)
+    # Speaker count must scale with the corpus: with only 4 training
+    # speakers the triphone tree's context splits latch onto speaker
+    # idiosyncrasies (the warp) instead of coarticulation, and tri1
+    # regresses below mono on heldout speakers at ≥400 utts — the
+    # leaves sweep showed the regression at EVERY tree size, so it is
+    # a data property, not a tuning one.  Kaldi corpora have hundreds
+    # of speakers (mini_librispeech: 118 train).
+    n_spk = max(4, num_utts // 20)
+    n_tspk = max(3, num_test // 20)
     wers, sysd = mini.run(
         num_utts=num_utts, num_test=num_test, seed=seed,
         lexicon=confusable_lexicon(), noise=noise,
         speaker_warp=speaker_warp, heldout_speakers=True,
         formants=confusable_formants(), return_systems=True,
         tri_leaves=leaves, tri_gauss=20 * leaves,
-        coarticulation=coarticulation)
+        coarticulation=coarticulation,
+        num_speakers=n_spk, num_test_speakers=n_tspk)
     wers["chain-2gram"] = chain_stage(sysd, order=2,
                                       num_epochs=chain_epochs)
     wers["chain-3gram"] = chain_stage(sysd, order=3,

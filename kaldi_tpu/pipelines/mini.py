@@ -80,7 +80,9 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         tri_leaves: Optional[int] = None,
         tri_gauss: Optional[int] = None,
         lda_dim: Optional[int] = None,
-        coarticulation: float = 0.0):
+        coarticulation: float = 0.0,
+        num_speakers: int = 4,
+        num_test_speakers: int = 3):
     """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
     make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
     defaults reproduce the easy smoke corpus."""
@@ -88,12 +90,13 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     lex = lexicon or mini_lexicon()
     lang = Lang(lex)
     train = make_synthetic_dataset(lex, num_utts=num_utts, max_words=5,
-                                   num_speakers=4, seed=seed,
+                                   num_speakers=num_speakers, seed=seed,
                                    noise=noise, speaker_warp=speaker_warp,
                                    formants=formants,
                                    coarticulation=coarticulation)
     test = make_synthetic_dataset(
-        lex, num_utts=num_test, max_words=5, num_speakers=3,
+        lex, num_utts=num_test, max_words=5,
+        num_speakers=num_test_speakers,
         seed=seed + 100, noise=noise, speaker_warp=speaker_warp,
         formants=formants, coarticulation=coarticulation,
         speaker_prefix="tspk" if heldout_speakers else "spk")

@@ -392,3 +392,39 @@ def test_fused_compact_matches_two_stage(small_graph):
         gw, gt, gc = clat.best_path()
         rw, rt, rc = ref.best_path()
         assert gw == rw and gt == rt and abs(gc - rc) < 1e-3
+
+
+def test_with_overrides_matches_fresh_decoder(small_graph):
+    """A with_overrides sibling (shared packed graph, wider budget)
+    must be indistinguishable from a freshly constructed decoder at
+    that budget — lattices path-identical, costs equal."""
+    from kaldi_tpu.core.logging import KaldiError
+    lang, tm, csr = small_graph
+    rng = np.random.default_rng(41)
+    tight = BeamDecoderConfig(beam=16.0, max_active=200,
+                              acoustic_scale=1.0, lattice_beam=6.0,
+                              arc_budget=64, arc_block=4,
+                              lattice_arcs_per_frame=512)
+    wide = BeamDecoderConfig(beam=16.0, max_active=200,
+                             acoustic_scale=1.0, lattice_beam=6.0,
+                             arc_budget=4096, arc_block=4,
+                             lattice_arcs_per_frame=512)
+    base = BeamDecoder(csr, tm.tid_to_pdf_array, tight)
+    clone = base.with_overrides(arc_budget=4096)
+    fresh = BeamDecoder(csr, tm.tid_to_pdf_array, wide)
+    assert clone.M == fresh.M and clone.MB == fresh.MB
+    for _ in range(3):
+        ll = rng.standard_normal((10, tm.num_pdfs)).astype(np.float32)
+        got = {w: c for w, c in clone.decode_compact(ll, bucket=1).paths()}
+        want = {w: c for w, c in fresh.decode_compact(ll, bucket=1).paths()}
+        assert set(got) == set(want) and got
+        for w in want:
+            assert abs(got[w] - want[w]) < 1e-4
+        # the base (tight) decoder still works independently
+        tids_b, ols_b, cost_b = base.decode(ll)
+        tids_c, ols_c, cost_c = clone.decode(ll)
+        assert cost_c <= cost_b + 1e-4   # wider budget never worse
+    with pytest.raises(KaldiError):
+        base.with_overrides(arc_block=8)
+    with pytest.raises(KaldiError):
+        base.with_overrides(token_capacity=64)
