@@ -237,6 +237,35 @@ def accumulate_fmllr_for_utt(accs: FmllrAccs, am, feats: np.ndarray,
     accs.accumulate(post, np.asarray(feats), means, inv_vars)
 
 
+def accumulate_fmllr_from_post(accs: FmllrAccs, am, feats: np.ndarray,
+                               frame_post) -> None:
+    """Accumulate fMLLR stats from per-frame PDF posteriors
+    (gmm-est-fmllr's posterior path: lattice-to-post →
+    weight-silence-post → AccumulateFromPosteriors).  frame_post is a
+    length-T list of [(pdf, weight), ...]; each entry becomes a
+    weighted pseudo-frame, so soft lattice posteriors contribute
+    fractionally where a 1-best alignment would commit fully."""
+    ts, pdfs, ws = [], [], []
+    for t, items in enumerate(frame_post):
+        for pdf, w in items:
+            if w <= 0:
+                continue
+            ts.append(t)
+            pdfs.append(int(pdf))
+            ws.append(float(w))
+    if not ts:
+        return
+    t_arr = np.asarray(ts, np.int64)
+    pdf_arr = np.asarray(pdfs, np.int32)
+    w_arr = np.asarray(ws, np.float32)
+    x = np.asarray(feats, np.float32)[t_arr]
+    post = np.asarray(am.component_posteriors(x, pdf_arr)) \
+        * w_arr[:, None]
+    means = am.means[pdf_arr]
+    inv_vars = 1.0 / am.vars[pdf_arr]
+    accs.accumulate(post, x, means, inv_vars)
+
+
 def compose_transforms(a: np.ndarray, b: np.ndarray,
                        b_is_affine: bool = False) -> np.ndarray:
     """Compose feature transforms so apply(x, result) == apply(apply(x,

@@ -736,30 +736,15 @@ def lattice_add_penalty(argv):
 def lattice_to_post(argv):
     """Arc posteriors → per-frame tid posteriors
     (latbin/lattice-to-post.cc)."""
-    from kaldi_tpu.lattice.functions import (forward_backward_post,
-                                             state_times)
+    from kaldi_tpu.lattice.functions import frame_posteriors
     po = ParseOptions("lattice-to-post [--acoustic-scale=1.0] <rspec> "
                       "<post-wspec>")
     po.register("acoustic-scale", float, 1.0, "acoustic scale")
     args = po.read(argv)
     with TableWriter(args[1], holder="post") as w:
         for key, clat in SequentialTableReader(args[0], holder="clat"):
-            post, _total = forward_backward_post(
+            w[key] = frame_posteriors(
                 clat, acoustic_scale=po["acoustic-scale"])
-            times = state_times(clat)
-            T = max((times[s] + len(a.tids)
-                     for s in range(clat.num_states)
-                     for a in clat.arcs[s]), default=0)
-            frames: List[Dict[int, float]] = [dict() for _ in range(T)]
-            for s in range(clat.num_states):
-                for i, a in enumerate(clat.arcs[s]):
-                    p = post.get((s, i), 0.0)
-                    if p <= 0:
-                        continue
-                    for k, tid in enumerate(a.tids):
-                        t = times[s] + k
-                        frames[t][tid] = frames[t].get(tid, 0.0) + p
-            w[key] = [sorted(fr.items()) for fr in frames]
     return 0
 
 

@@ -138,6 +138,9 @@ class _Holders:
         elif holder == "clat":
             from kaldi_tpu.lattice.io import write_compact_lattice
             write_compact_lattice(f, value)
+        elif holder == "lat":
+            from kaldi_tpu.lattice.io import write_lattice
+            write_lattice(f, value)
         elif holder == "fst":
             from kaldi_tpu.fst.openfst_io import write_vector_fst
             write_vector_fst(f, value)
@@ -176,6 +179,9 @@ class _Holders:
         if holder == "clat":
             from kaldi_tpu.lattice.io import read_compact_lattice
             return read_compact_lattice(f)
+        if holder == "lat":
+            from kaldi_tpu.lattice.io import read_lattice
+            return read_lattice(f)
         if holder == "fst":
             from kaldi_tpu.fst.openfst_io import read_fst
             return read_fst(f)

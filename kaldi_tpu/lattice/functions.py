@@ -150,6 +150,29 @@ def forward_backward_post(clat: CompactLattice, acoustic_scale: float = 1.0,
     return post, total
 
 
+def frame_posteriors(clat: CompactLattice, acoustic_scale: float = 1.0
+                     ) -> List[List[Tuple[int, float]]]:
+    """Per-frame transition-id posteriors from a CompactLattice
+    (latbin/lattice-to-post.cc LatticeForwardBackward flow): arc
+    posteriors spread over each arc's tid string by state time."""
+    post, _total = forward_backward_post(clat,
+                                         acoustic_scale=acoustic_scale)
+    times = state_times(clat)
+    T = max((times[s] + len(a.tids)
+             for s in range(clat.num_states)
+             for a in clat.arcs[s]), default=0)
+    frames: List[Dict[int, float]] = [dict() for _ in range(T)]
+    for s in range(clat.num_states):
+        for i, a in enumerate(clat.arcs[s]):
+            p = post.get((s, i), 0.0)
+            if p <= 0:
+                continue
+            for k, tid in enumerate(a.tids):
+                t = times[s] + k
+                frames[t][tid] = frames[t].get(tid, 0.0) + p
+    return [sorted(fr.items()) for fr in frames]
+
+
 def state_times(clat: CompactLattice) -> List[int]:
     """Frame index of each compact-lattice state (CompactLatticeStateTimes:
     arcs advance time by the length of their tid string)."""

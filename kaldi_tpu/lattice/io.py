@@ -10,7 +10,8 @@ from typing import BinaryIO
 
 from kaldi_tpu.core import io as kio
 from kaldi_tpu.core.logging import KaldiError
-from kaldi_tpu.lattice.lattice import CompactArc, CompactLattice
+from kaldi_tpu.lattice.lattice import (CompactArc, CompactLattice,
+                                       Lattice, LatticeArc)
 
 
 def write_compact_lattice(f: BinaryIO, clat: CompactLattice) -> None:
@@ -62,3 +63,56 @@ def read_compact_lattice(f: BinaryIO) -> CompactLattice:
         clat.finals[s] = (gc, ac, tids)
     kio.expect_token(f, "</CLat>")
     return clat
+
+
+def write_lattice(f: BinaryIO, lat: Lattice) -> None:
+    """Raw state-level Lattice as a table value (kaldi-lattice.h
+    LatticeHolder role — 'ark:...' tables of non-compact lattices,
+    the lattice-determinize-non-compact / --write-compact=false
+    format)."""
+    kio.init_kaldi_output_stream(f)
+    kio.write_token(f, "<Lat>")
+    kio.write_basic_int32(f, lat.num_states)
+    kio.write_basic_int32(f, lat.start)
+    for s in range(lat.num_states):
+        kio.write_basic_int32(f, len(lat.arcs[s]))
+        for a in lat.arcs[s]:
+            kio.write_basic_int32(f, a.ilabel)
+            kio.write_basic_int32(f, a.olabel)
+            kio.write_basic_float(f, a.graph_cost)
+            kio.write_basic_float(f, a.acoustic_cost)
+            kio.write_basic_int32(f, a.nextstate)
+    kio.write_basic_int32(f, len(lat.finals))
+    for s, (gc, ac) in sorted(lat.finals.items()):
+        kio.write_basic_int32(f, s)
+        kio.write_basic_float(f, gc)
+        kio.write_basic_float(f, ac)
+    kio.write_token(f, "</Lat>")
+
+
+def read_lattice(f: BinaryIO) -> Lattice:
+    if not kio.init_kaldi_input_stream(f):
+        raise KaldiError("expected binary lattice")
+    kio.expect_token(f, "<Lat>")
+    n = kio.read_basic_int32(f)
+    lat = Lattice()
+    for _ in range(n):
+        lat.add_state()
+    lat.start = kio.read_basic_int32(f)
+    for s in range(n):
+        na = kio.read_basic_int32(f)
+        for _ in range(na):
+            il = kio.read_basic_int32(f)
+            ol = kio.read_basic_int32(f)
+            gc = kio.read_basic_float(f)
+            ac = kio.read_basic_float(f)
+            ns = kio.read_basic_int32(f)
+            lat.arcs[s].append(LatticeArc(il, ol, gc, ac, ns))
+    nf = kio.read_basic_int32(f)
+    for _ in range(nf):
+        s = kio.read_basic_int32(f)
+        gc = kio.read_basic_float(f)
+        ac = kio.read_basic_float(f)
+        lat.finals[s] = (gc, ac)
+    kio.expect_token(f, "</Lat>")
+    return lat

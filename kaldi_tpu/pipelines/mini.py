@@ -40,6 +40,7 @@ from kaldi_tpu.pipelines.tri import (
     TriTrainConfig,
     apply_mllt_to_model,
     estimate_fmllr_per_speaker,
+    estimate_fmllr_per_speaker_post,
     estimate_lda,
     estimate_mllt,
     train_tri,
@@ -200,14 +201,28 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
               .astype(np.float32) for u, f in lda_tr.items()}
     tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang, tri2b, tri2b_ali,
                                  tcfg)
-    # two-pass SAT decode: 1st pass without transform → align → fMLLR →
-    # re-decode (steps/decode_fmllr.sh)
+    # two-pass SAT decode: 1st pass without transform → LATTICE
+    # posteriors (silence down-weighted) → fMLLR → re-decode
+    # (steps/decode_fmllr.sh: lattice-to-post | weight-silence-post |
+    # gmm-est-fmllr).  Soft posteriors keep first-pass errors from
+    # corrupting the transform the way a hard 1-best alignment does —
+    # with heldout speakers at ~10% first-pass WER the hard-alignment
+    # variant regressed tri3b below tri2b.
+    from kaldi_tpu.lattice.functions import frame_posteriors
+    from kaldi_tpu.pipelines.decode import decode_gmm_lattice
     HCLG3 = mkgraph(lang, tri3b.tm, G)
-    first = decode_gmm(lda_te, tri3b.am, tri3b.tm, HCLG3, lang, dcfg)
-    test_ali = {u: first.alignments[u] for u in lda_te}
-    fmllr_te = estimate_fmllr_per_speaker(
-        tri3b.am, lda_te, test_ali, tri3b.tm,
-        {u: test.utt2spk[u] for u in lda_te}, min_count=50.0)
+    first = decode_gmm_lattice(lda_te, tri3b.am, tri3b.tm, HCLG3, lang,
+                               beam=dcfg.beam,
+                               acoustic_scale=dcfg.acoustic_scale)
+    # lattice acoustic costs are stored pre-scaled → scale 1.0 here
+    posts_te = {u: frame_posteriors(first.lattices[u],
+                                    acoustic_scale=1.0)
+                for u in lda_te}
+    fmllr_te = estimate_fmllr_per_speaker_post(
+        tri3b.am, lda_te, posts_te, tri3b.tm,
+        {u: test.utt2spk[u] for u in lda_te},
+        silence_phones=lang.silence_phones, silence_weight=0.01,
+        min_count=50.0)
     sat_te = {u: apply_transform(f, fmllr_te.get(test.utt2spk[u],
                                                  np.eye(f.shape[1],
                                                         f.shape[1] + 1)))

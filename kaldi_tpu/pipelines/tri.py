@@ -287,6 +287,43 @@ def apply_mllt_to_model(am: AmDiagGmm, M: np.ndarray) -> None:
     am.refresh()
 
 
+def estimate_fmllr_per_speaker_post(am: AmDiagGmm,
+                                    feats: Dict[str, np.ndarray],
+                                    posts: Dict[str, list],
+                                    tm: TransitionModel,
+                                    utt2spk: Dict[str, str],
+                                    silence_phones=(),
+                                    silence_weight: float = 0.01,
+                                    min_count: float = 100.0
+                                    ) -> Dict[str, np.ndarray]:
+    """Per-speaker fMLLR from LATTICE posteriors (the decode_fmllr.sh
+    contract: lattice-to-post | weight-silence-post | gmm-est-fmllr).
+    posts maps utt → per-frame [(tid, weight), ...]; silence-phone
+    posteriors are down-weighted so first-pass errors on silence
+    frames don't corrupt the transform the way a hard 1-best
+    alignment does."""
+    from kaldi_tpu.am.transforms import accumulate_fmllr_from_post
+    sil = set(silence_phones)
+    accs: Dict[str, FmllrAccs] = {}
+    for u, frames in posts.items():
+        spk = utt2spk[u]
+        if spk not in accs:
+            accs[spk] = FmllrAccs(am.dim)
+        pdf_frames = []
+        for items in frames:
+            row = []
+            for tid, w in items:
+                if tm.transition_id_to_phone(tid) in sil:
+                    w *= silence_weight
+                row.append((tm.transition_id_to_pdf(tid), w))
+            pdf_frames.append(row)
+        accumulate_fmllr_from_post(accs[spk], am,
+                                   np.asarray(feats[u], np.float32),
+                                   pdf_frames)
+    return {spk: a.update(min_count=min_count)[0]
+            for spk, a in accs.items()}
+
+
 def estimate_fmllr_per_speaker(am: AmDiagGmm, feats: Dict[str, np.ndarray],
                                ali: Dict[str, List[int]],
                                tm: TransitionModel,
