@@ -228,6 +228,27 @@ def accumulate_stats(am: AmDiagGmm, feats: np.ndarray, pdf_ali: np.ndarray,
     return float(tot)
 
 
+def accumulate_stats_twofeats(am: AmDiagGmm, feats_post: np.ndarray,
+                              feats_stats: np.ndarray,
+                              pdf_ali: np.ndarray,
+                              accs: GmmAccs) -> None:
+    """gmm-acc-stats-twofeats: component POSTERIORS computed on one
+    feature stream (the adapted/SAT features the model was trained
+    on), Gaussian STATS accumulated on another (the unadapted
+    features).  One gmm-est pass over these stats yields the SAT
+    'alimdl' — the model the first, transform-less decoding pass uses
+    (steps/train_sat.sh final stage; steps/decode_fmllr.sh reads
+    final.alimdl)."""
+    post = np.asarray(am.component_posteriors(feats_post, pdf_ali),
+                      np.float64)
+    x = np.asarray(feats_stats, np.float64)
+    pdfs = np.asarray(pdf_ali, np.int64)
+    np.add.at(accs.occ, pdfs, post)
+    np.add.at(accs.mean_acc, pdfs, post[:, :, None] * x[:, None, :])
+    np.add.at(accs.var_acc, pdfs, post[:, :, None] * (x * x)[:, None, :])
+    accs.tot_frames += len(pdfs)
+
+
 def mle_update(am: AmDiagGmm, accs: GmmAccs,
                min_occ: float = 3.0, var_floor: float = 1e-3,
                remove_low_count: bool = True) -> None:

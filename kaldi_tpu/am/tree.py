@@ -329,3 +329,68 @@ def sum_tree_stats(parts) -> Dict[Tuple[Tuple[int, ...], int], GaussStats]:
                 total[key] = GaussStats(len(st.sum))
             total[key].add(st)
     return total
+
+
+def _partition_tree(items: List[Tuple[Dict[int, int], int]],
+                    keys: Sequence[int]) -> TreeNode:
+    """Build a TreeNode decision tree answering exactly the given
+    (event → pdf) table: recursively bisect the value set of the
+    first key the items still differ on.  Used for TABLE trees
+    (full biphone) rather than learned ones."""
+    first_pdf = items[0][1]
+    if all(pdf == first_pdf for _, pdf in items):
+        return TreeNode("leaf", answer=first_pdf)
+    for key in keys:
+        vals = sorted({ev.get(key, 0) for ev, _ in items})
+        if len(vals) > 1:
+            yes_set = frozenset(vals[:len(vals) // 2])
+            yes = [(ev, p) for ev, p in items
+                   if ev.get(key, 0) in yes_set]
+            no = [(ev, p) for ev, p in items
+                  if ev.get(key, 0) not in yes_set]
+            return TreeNode("split", key=key, yes_set=yes_set,
+                            yes=_partition_tree(yes, keys),
+                            no=_partition_tree(no, keys))
+    raise KaldiError("_partition_tree: identical events map to "
+                     "different pdfs")
+
+
+def full_biphone_tree(phones: Sequence[int], topo: "HmmTopology",
+                      shared_phones: Optional[Sequence[Sequence[int]]]
+                      = None) -> TreeContextDependency:
+    """Flat-start FULL left-biphone tree (gmmbin/gmm-init-biphone.cc,
+    the e2e 'chain' flat-start recipes): every (left-phone, phone,
+    pdf-class) gets its own pdf — no stats, no questions.  Left
+    context 0 (utterance start) is a distinct class.  shared_phones
+    optionally merges left-context classes (the --shared-phones
+    option's role)."""
+    phones = sorted(phones)
+    left_class: Dict[int, int] = {0: 0}
+    if shared_phones:
+        for ci, group in enumerate(shared_phones, start=1):
+            for p in group:
+                left_class[p] = ci
+        n_left = 1 + len(shared_phones)
+        for p in phones:
+            if p not in left_class:
+                raise KaldiError("full_biphone_tree: shared_phones "
+                                 f"must cover phone {p}")
+    else:
+        for i, p in enumerate(phones, start=1):
+            left_class[p] = i
+        n_left = 1 + len(phones)
+    items: List[Tuple[Dict[int, int], int]] = []
+    pdf_of: Dict[Tuple[int, int, int], int] = {}
+    for phone in phones:
+        for pc in range(topo.num_pdf_classes(phone)):
+            for left in [0] + phones:
+                key = (left_class[left], phone, pc)
+                if key not in pdf_of:
+                    pdf_of[key] = len(pdf_of)
+                items.append(({0: left, 1: phone, KEY_PDF_CLASS: pc},
+                              pdf_of[key]))
+    root = _partition_tree(items, [1, KEY_PDF_CLASS, 0])
+    tree = TreeContextDependency(2, 1, root, len(pdf_of))
+    log.info("full_biphone_tree: %d phones × %d left classes → %d "
+             "pdfs", len(phones), n_left, len(pdf_of))
+    return tree

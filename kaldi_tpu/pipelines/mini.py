@@ -201,32 +201,47 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
               .astype(np.float32) for u, f in lda_tr.items()}
     tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang, tri2b, tri2b_ali,
                                  tcfg)
-    # two-pass SAT decode: 1st pass without transform → LATTICE
-    # posteriors (silence down-weighted) → fMLLR → re-decode
-    # (steps/decode_fmllr.sh: lattice-to-post | weight-silence-post |
-    # gmm-est-fmllr).  Soft posteriors keep first-pass errors from
-    # corrupting the transform the way a hard 1-best alignment does —
-    # with heldout speakers at ~10% first-pass WER the hard-alignment
-    # variant regressed tri3b below tri2b.
+    # two-pass SAT decode (steps/decode_fmllr.sh): 1st pass with the
+    # ALIGNMENT MODEL (gmm-acc-stats-twofeats alimdl — the SAT model is
+    # mismatched to unadapted features) → LATTICE posteriors with
+    # silence down-weighted (lattice-to-post | weight-silence-post |
+    # gmm-est-fmllr) → adapted decode with the SAT model → second
+    # fMLLR round from that decode's lattice → final decode.
     from kaldi_tpu.lattice.functions import frame_posteriors
     from kaldi_tpu.pipelines.decode import decode_gmm_lattice
+    from kaldi_tpu.pipelines.tri import estimate_alignment_model
     HCLG3 = mkgraph(lang, tri3b.tm, G)
-    first = decode_gmm_lattice(lda_te, tri3b.am, tri3b.tm, HCLG3, lang,
-                               beam=dcfg.beam,
-                               acoustic_scale=dcfg.acoustic_scale)
-    # lattice acoustic costs are stored pre-scaled → scale 1.0 here
-    posts_te = {u: frame_posteriors(first.lattices[u],
-                                    acoustic_scale=1.0)
-                for u in lda_te}
-    fmllr_te = estimate_fmllr_per_speaker_post(
-        tri3b.am, lda_te, posts_te, tri3b.tm,
-        {u: test.utt2spk[u] for u in lda_te},
-        silence_phones=lang.silence_phones, silence_weight=0.01,
-        min_count=50.0)
-    sat_te = {u: apply_transform(f, fmllr_te.get(test.utt2spk[u],
-                                                 np.eye(f.shape[1],
-                                                        f.shape[1] + 1)))
-              .astype(np.float32) for u, f in lda_te.items()}
+    alimdl = estimate_alignment_model(tri3b.am, tri3b.tm, sat_tr,
+                                      lda_tr, tri3b_ali)
+    te_spk = {u: test.utt2spk[u] for u in lda_te}
+
+    def fmllr_round(am_pass, feats_pass, prev=None):
+        """decode → lattice posteriors → per-speaker fMLLR (composed
+        with `prev` when this is the second round)."""
+        first = decode_gmm_lattice(feats_pass, am_pass, tri3b.tm,
+                                   HCLG3, lang, beam=dcfg.beam,
+                                   acoustic_scale=dcfg.acoustic_scale)
+        # lattice acoustic costs are stored pre-scaled → scale 1.0
+        posts = {u: frame_posteriors(first.lattices[u],
+                                     acoustic_scale=1.0)
+                 for u in feats_pass}
+        return estimate_fmllr_per_speaker_post(
+            tri3b.am, feats_pass, posts, tri3b.tm, te_spk,
+            silence_phones=lang.silence_phones, silence_weight=0.01,
+            min_count=50.0)
+
+    def adapt(feats, trans):
+        return {u: apply_transform(
+            f, trans.get(te_spk[u], np.eye(f.shape[1], f.shape[1] + 1))
+        ).astype(np.float32) for u, f in feats.items()}
+
+    fmllr_te = fmllr_round(alimdl, lda_te)
+    sat_te = adapt(lda_te, fmllr_te)
+    # second round: re-estimate from the ADAPTED decode's lattice — a
+    # correction transform on top of the first (decode_fmllr.sh's
+    # est_fmllr2/compose-transforms stage)
+    fmllr2 = fmllr_round(tri3b.am, sat_te)
+    sat_te = adapt(sat_te, fmllr2)
     res = decode_gmm(sat_te, tri3b.am, tri3b.tm, HCLG3, lang, dcfg,
                      refs=test.text)
     wers["tri3b"] = res.wer

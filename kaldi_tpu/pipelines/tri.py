@@ -287,6 +287,32 @@ def apply_mllt_to_model(am: AmDiagGmm, M: np.ndarray) -> None:
     am.refresh()
 
 
+def estimate_alignment_model(am_sat: AmDiagGmm, tm: TransitionModel,
+                             feats_adapted: Dict[str, np.ndarray],
+                             feats_raw: Dict[str, np.ndarray],
+                             ali: Dict[str, List[int]]) -> AmDiagGmm:
+    """The SAT 'alimdl' (train_sat.sh final stage): re-estimate the
+    Gaussians with posteriors from the SAT model on ADAPTED features
+    but stats on UNADAPTED features (gmm-acc-stats-twofeats + gmm-est).
+    The first, transform-less decoding pass must use this model — the
+    SAT model is mismatched to unadapted features and its first-pass
+    errors corrupt the fMLLR estimate."""
+    import copy
+    from kaldi_tpu.am.gmm import (GmmAccs, accumulate_stats_twofeats,
+                                  mle_update)
+    accs = GmmAccs.zeros(am_sat.num_pdfs, am_sat.max_mix, am_sat.dim)
+    for u, tids in ali.items():
+        pdf_ali = tm.tid_to_pdf_array[np.asarray(tids)]
+        accumulate_stats_twofeats(am_sat,
+                                  np.asarray(feats_adapted[u],
+                                             np.float32),
+                                  np.asarray(feats_raw[u], np.float32),
+                                  pdf_ali, accs)
+    am_ali = copy.deepcopy(am_sat)
+    mle_update(am_ali, accs, remove_low_count=False)
+    return am_ali
+
+
 def estimate_fmllr_per_speaker_post(am: AmDiagGmm,
                                     feats: Dict[str, np.ndarray],
                                     posts: Dict[str, list],
