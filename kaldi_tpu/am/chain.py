@@ -625,6 +625,18 @@ def write_denominator_graph(f, den: DenominatorGraph) -> None:
     if den.state_self_pdf is not None:
         d["state_self_pdf"] = den.state_self_pdf
         d["state_entry_pdf"] = den.state_entry_pdf
+    if den.lm is not None:
+        lm = den.lm
+        hist_flat = np.asarray([p for h in lm.hists for p in h],
+                               np.int32)
+        hist_len = np.asarray([len(h) for h in lm.hists], np.int32)
+        d["lm_order"] = np.int32(lm.order)
+        d["lm_phones"] = np.asarray(lm.phones, np.int32)
+        d["lm_hist_flat"] = hist_flat
+        d["lm_hist_len"] = hist_len
+        d["lm_next_logp"] = lm.next_logp
+        d["lm_final_logp"] = lm.final_logp
+        d["lm_next_state"] = lm.next_state
     write_pytree(f, d)
     kio.write_token(f, "</DenGraph>")
 
@@ -635,7 +647,21 @@ def read_denominator_graph(f) -> DenominatorGraph:
     kio.expect_token(f, "<DenGraph>")
     d = read_pytree(f)
     kio.expect_token(f, "</DenGraph>")
+    lm = None
+    if "lm_order" in d:
+        hists, pos = [], 0
+        flat = d["lm_hist_flat"].astype(np.int32)
+        for n in d["lm_hist_len"].astype(np.int32):
+            hists.append(tuple(int(p) for p in flat[pos:pos + n]))
+            pos += n
+        lm = PhoneLm(order=int(d["lm_order"]),
+                     phones=[int(p) for p in d["lm_phones"]],
+                     hists=hists,
+                     next_logp=d["lm_next_logp"].astype(np.float32),
+                     final_logp=d["lm_final_logp"].astype(np.float32),
+                     next_state=d["lm_next_state"].astype(np.int32))
     return DenominatorGraph(
+        lm=lm,
         num_states=int(d["num_states"]),
         src=d["src"].astype(np.int32), dst=d["dst"].astype(np.int32),
         pdf=d["pdf"].astype(np.int32), logw=d["logw"].astype(np.float32),
