@@ -24,5 +24,6 @@ import kaldi_tpu.cli.tools_bank21  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank22  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank23  # noqa: F401  (registers into TOOLS)
 import kaldi_tpu.cli.tools_bank24  # noqa: F401  (registers into TOOLS)
+import kaldi_tpu.cli.tools_bank25  # noqa: F401  (registers into TOOLS)
 
 __all__ = ["TOOLS", "main"]

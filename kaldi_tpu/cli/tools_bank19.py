@@ -104,9 +104,17 @@ def nnet_forward_tool(argv):
                       "<mat-wspec>")
     po.register("divide-by-priors", bool, False,
                 "subtract log-priors (pseudo-loglikelihoods)")
+    po.register("feature-transform", str, "",
+                "transf-to-nnet feature-transform applied before the "
+                "DNN (the upstream --feature-transform)")
     args = po.read(argv)
     params, hid_dims, num_pdfs, priors = load_nnet1(args[0])
     model = SigmoidDnn(tuple(int(h) for h in hid_dims), int(num_pdfs))
+    ft = None
+    if po["feature-transform"]:
+        from kaldi_tpu.cli.tools_bank25 import read_nnet1_transform
+        ft = np.asarray(read_nnet1_transform(po["feature-transform"]),
+                        np.float32)
     logp_prior = None
     if po["divide-by-priors"]:
         if priors is None:
@@ -116,7 +124,11 @@ def nnet_forward_tool(argv):
     n = 0
     with TableWriter(args[2], holder="mat") as w:
         for key, feats in SequentialTableReader(args[1], holder="mat"):
-            x = jnp.asarray(np.asarray(feats, np.float32))[None]
+            feats = np.asarray(feats, np.float32)
+            if ft is not None:
+                from kaldi_tpu.am.transforms import apply_transform
+                feats = apply_transform(feats, ft).astype(np.float32)
+            x = jnp.asarray(feats)[None]
             logp = np.asarray(model.apply({"params": params}, x))[0]
             if logp_prior is not None:
                 logp = logp - logp_prior[None, :]
