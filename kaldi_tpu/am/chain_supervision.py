@@ -116,6 +116,28 @@ def supervision_from_phone_runs(
         phone=np.asarray(phn, np.int32))
 
 
+def supervision_from_text(phones: Sequence[int], entry_pdf_of,
+                          self_pdf_of,
+                          num_frames: int) -> SupervisionFsa:
+    """End-to-end (flat-start) supervision: the transcript's phone
+    sequence with FREE boundary times (chain-supervision.h's
+    e2e/TrainingGraphToSupervision role — egs/wsj run_e2e flat-start
+    chain trains with no prior alignment).  The uniform durations
+    below only seed the bt placeholders; run the numerator with
+    tolerance ≥ num_frames so every boundary window is vacuous and
+    ALL monotone alignments of the sequence (each phone ≥ 1 frame)
+    are in the FSA."""
+    n = len(phones)
+    if n == 0 or n > num_frames:
+        raise KaldiError(f"supervision_from_text: {n} phones cannot "
+                         f"fill {num_frames} frames")
+    base, rem = divmod(num_frames, n)
+    runs = [(int(p), base + (1 if i < rem else 0))
+            for i, p in enumerate(phones)]
+    return supervision_from_phone_runs([runs], [0.0], entry_pdf_of,
+                                       self_pdf_of, num_frames)
+
+
 def supervision_from_lattice(clat: CompactLattice, tm,
                              entry_pdf_of, self_pdf_of,
                              subsample: int = 3,
@@ -301,6 +323,8 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         "final": np.zeros((B, S), bool),
         "num_frames": np.zeros(B, np.int32),
         "num_states": np.full(B, S, np.int32),
+        "n_arcs": np.zeros(B, np.int32),
+        "n_states": np.zeros(B, np.int32),
         "mid_start": np.zeros(B, bool),
         "mid_end": np.zeros(B, bool),
     }
@@ -322,6 +346,8 @@ def pack_supervisions(fsas: Sequence[SupervisionFsa]
         out["start"][b] = f.start
         out["final"][b, :s] = f.final
         out["num_frames"][b] = f.num_frames
+        out["n_arcs"][b] = a
+        out["n_states"][b] = s
         out["mid_start"][b] = f.mid_start
         out["mid_end"][b] = f.mid_end
     return out
@@ -385,6 +411,49 @@ def make_chain_egs_from_lattices(
     return ChainEgs(feats=fpad,
                     pdf_ali=np.zeros((N, T_sub), np.int32),
                     mask=mask, sup=pack_supervisions(sub_fsas))
+
+
+def make_chain_egs_e2e(feats: Dict[str, np.ndarray],
+                       phone_seqs: Dict[str, Sequence[int]],
+                       tree, topo, subsample: int = 3, den=None):
+    """Whole-utterance END-TO-END chain egs (flat-start: no prior
+    alignment; egs/wsj run_e2e / chainbin nnet3-chain-e2e-get-egs
+    role): supervision = the transcript's phone sequence with free
+    boundaries.  Train with supervision_tolerance >= the longest
+    utterance (ChainTrainConfig) so the boundary windows are vacuous.
+    Returns a ChainEgs whose `sup` carries the packed FSAs."""
+    from kaldi_tpu.pipelines.chain import ChainEgs
+
+    def pdfs_for(phone, is_entry):
+        window = [0] * tree.context_width
+        window[tree.central_position] = phone
+        st = topo.topology_for_phone(phone)[0]
+        cls = (st.forward_pdf_class if is_entry
+               else st.self_loop_pdf_class)
+        return tree.compute(window, cls)
+
+    utts = sorted(phone_seqs)
+    fsas = []
+    for u in utts:
+        T_sub = feats[u].shape[0] // subsample
+        fsas.append(supervision_from_text(
+            phone_seqs[u], lambda p: pdfs_for(p, True),
+            lambda p: pdfs_for(p, False), T_sub))
+    if den is not None:
+        fsas = [add_normalization_weights(f, den) for f in fsas]
+    T_sub_max = max(f.num_frames for f in fsas)
+    T_full = T_sub_max * subsample
+    D = next(iter(feats.values())).shape[1]
+    N = len(utts)
+    fpad = np.zeros((N, T_full, D), np.float32)
+    mask = np.zeros((N, T_sub_max), bool)
+    for i, (f, u) in enumerate(zip(fsas, utts)):
+        fl = min(feats[u].shape[0], T_full)
+        fpad[i, :fl] = feats[u][:fl]
+        mask[i, :f.num_frames] = True
+    return ChainEgs(feats=fpad,
+                    pdf_ali=np.zeros((N, T_sub_max), np.int32),
+                    mask=mask, sup=pack_supervisions(fsas))
 
 
 def _batched_segment_logsumexp(vals: jnp.ndarray, segs: jnp.ndarray,

@@ -553,3 +553,51 @@ def nnet3_discriminative_compute_from_egs_tool(argv):
             n += 1
     log.info("nnet3-discriminative-compute-from-egs: %d egs", n)
     return 0
+
+
+@tool("nnet3-chain-e2e-get-egs")
+def nnet3_chain_e2e_get_egs_tool(argv):
+    """End-to-end (flat-start) chain egs from TRANSCRIPTS — no prior
+    alignment (chainbin/nnet3-chain-e2e-get-egs.cc): each utterance's
+    supervision is its phone sequence with free boundary times,
+    stored as a full FSA in the eg.  Train with nnet3-chain-train
+    --supervision-tolerance >= the longest utterance's subsampled
+    frame count."""
+    from kaldi_tpu.am.chain import (make_denominator_graph,
+                                    write_denominator_graph)
+    from kaldi_tpu.am.chain_supervision import make_chain_egs_e2e
+    from kaldi_tpu.am.serialize import read_mdl
+    from kaldi_tpu.core import io as kio
+    from kaldi_tpu.pipelines.egs_io import write_egs_ark
+    po = ParseOptions("nnet3-chain-e2e-get-egs [opts] <chain-mdl> "
+                      "<feats-rspec> <phone-transcript-rspec> "
+                      "<egs-wspec> [<den-out>]\n"
+                      "phone transcripts: int-vector tables "
+                      "(sym2int'd pronunciations)")
+    po.register("frame-subsampling-factor", int, 3, "subsampling")
+    po.register("lm-order", int, 2, "den phone-LM order (den graph "
+                "estimated from the transcripts themselves)")
+    args = po.read(argv)
+    tm, _ = read_mdl(args[0])
+    seqs = {k: [int(p) for p in v] for k, v in
+            SequentialTableReader(args[2], holder="ivec")}
+    feats = {k: np.asarray(v, np.float32) for k, v in
+             SequentialTableReader(args[1], holder="mat")
+             if k in seqs}
+    if not feats:
+        raise KaldiError("nnet3-chain-e2e-get-egs: no utterances "
+                         "with both feats and transcripts")
+    den = make_denominator_graph(list(seqs.values()), tm.tree, tm.topo,
+                                 order=po["lm-order"])
+    egs = make_chain_egs_e2e(feats, seqs, tm.tree, tm.topo,
+                             subsample=po["frame-subsampling-factor"],
+                             den=den)
+    n = write_egs_ark(args[3], egs)
+    if len(args) > 4:
+        with kio.open_wxfilename(args[4]) as f:
+            kio.init_kaldi_output_stream(f)
+            write_denominator_graph(f, den)
+    log.info("nnet3-chain-e2e-get-egs: %d egs (max %d subsampled "
+             "frames — pass --supervision-tolerance >= that to "
+             "nnet3-chain-train)", n, int(egs.mask.shape[1]))
+    return 0

@@ -501,6 +501,9 @@ def nnet3_chain_train(argv):
     po.register("learning-rate", float, 1e-3, "initial lr")
     po.register("lm-order", int, 3, "den phone-LM order")
     po.register("frame-subsampling-factor", int, 3, "subsampling")
+    po.register("supervision-tolerance", int, 1, "numerator boundary "
+                "tolerance (FSA egs); >= chunk frames = e2e free "
+                "boundaries")
     args = po.read(argv)
     tm, _ = read_mdl(args[0])
     den = make_denominator_graph(_read_phone_seqs(args[2]), tm.tree,
@@ -513,7 +516,8 @@ def nnet3_chain_train(argv):
     cfg = infer_tdnn_config(
         model, frame_subsampling_factor=po["frame-subsampling-factor"])
     tr = ChainTrainer(cfg, den, ChainTrainConfig(
-        num_epochs=po["num-epochs"], learning_rate=po["learning-rate"]))
+        num_epochs=po["num-epochs"], learning_rate=po["learning-rate"],
+        supervision_tolerance=po["supervision-tolerance"]))
     tr.params, tr.batch_stats = n3.nnet3_to_tdnn(model, cfg)
     tr.opt_state = tr.tx.init(tr.params)
     egs = read_egs_ark(args[3])

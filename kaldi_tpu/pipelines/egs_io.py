@@ -43,6 +43,10 @@ class ChainEg:
     self_w: Optional[np.ndarray] = None      # (S,) f32
     init_w: float = 0.0
     final_w: float = 0.0
+    # full supervision FSA (lattice-derived / e2e egs): a
+    # chain_supervision.SupervisionFsa — overrides the linear-segment
+    # numerator when present
+    fsa: Optional[object] = None
 
 
 def write_chain_eg(f, eg: ChainEg) -> None:
@@ -69,6 +73,27 @@ def write_chain_eg(f, eg: ChainEg) -> None:
         kio.write_basic_float(f, float(eg.init_w))
         kio.write_token(f, "<FinalW>")
         kio.write_basic_float(f, float(eg.final_w))
+    kio.write_token(f, "<HasFsa>")
+    kio.write_basic_int32(f, 1 if eg.fsa is not None else 0)
+    if eg.fsa is not None:
+        fsa = eg.fsa
+        kio.write_int_vector(f, np.asarray(fsa.src, np.int32))
+        kio.write_int_vector(f, np.asarray(fsa.dst, np.int32))
+        kio.write_int_vector(f, np.asarray(fsa.entry_pdf, np.int32))
+        kio.write_int_vector(f, np.asarray(fsa.self_pdf, np.int32))
+        kio.write_vector(f, np.asarray(fsa.weight, np.float32))
+        kio.write_vector(f, np.asarray(
+            fsa.self_w if fsa.self_w is not None
+            else np.zeros(len(fsa.src)), np.float32))
+        kio.write_vector(f, np.asarray(
+            fsa.final_w if fsa.final_w is not None
+            else np.zeros(len(fsa.src)), np.float32))
+        kio.write_int_vector(f, np.asarray(fsa.bt, np.int32))
+        kio.write_int_vector(f, np.asarray(fsa.final, np.int32))
+        kio.write_basic_int32(f, int(fsa.start))
+        kio.write_basic_int32(f, int(fsa.num_frames))
+        kio.write_basic_int32(f, int(fsa.mid_start))
+        kio.write_basic_int32(f, int(fsa.mid_end))
     kio.write_token(f, "</ChainEg>")
 
 
@@ -99,6 +124,27 @@ def read_chain_eg(f) -> ChainEg:
         if len(eg.entry_pdf) != n:
             raise KaldiError(f"ChainEg: NumSegs {n} != segment array "
                              f"length {len(eg.entry_pdf)}")
+    kio.expect_token(f, "<HasFsa>")
+    if kio.read_basic_int32(f):
+        from kaldi_tpu.am.chain_supervision import SupervisionFsa
+        src = kio.read_int_vector(f)
+        dst = kio.read_int_vector(f)
+        epdf = kio.read_int_vector(f)
+        spdf = kio.read_int_vector(f)
+        weight = np.asarray(kio.read_vector(f), np.float32)
+        self_w = np.asarray(kio.read_vector(f), np.float32)
+        final_w = np.asarray(kio.read_vector(f), np.float32)
+        bt = kio.read_int_vector(f)
+        final = kio.read_int_vector(f).astype(bool)
+        start = kio.read_basic_int32(f)
+        num_frames = kio.read_basic_int32(f)
+        mid_start = bool(kio.read_basic_int32(f))
+        mid_end = bool(kio.read_basic_int32(f))
+        eg.fsa = SupervisionFsa(
+            src=src, dst=dst, entry_pdf=epdf, self_pdf=spdf,
+            weight=weight, bt=bt, start=start, final=final,
+            num_frames=num_frames, self_w=self_w, final_w=final_w,
+            mid_start=mid_start, mid_end=mid_end)
     kio.expect_token(f, "</ChainEg>")
     return eg
 
@@ -108,6 +154,7 @@ def egs_to_list(egs: ChainEgs) -> List[ChainEg]:
     per-chunk segment padding: num_segs gives each true length)."""
     out = []
     has_segs = egs.entry_pdf is not None
+    sup = getattr(egs, "sup", None)
     for i in range(egs.feats.shape[0]):
         eg = ChainEg(feats=egs.feats[i], pdf_ali=egs.pdf_ali[i],
                      mask=egs.mask[i])
@@ -119,6 +166,22 @@ def egs_to_list(egs: ChainEgs) -> List[ChainEg]:
             eg.self_w = egs.self_w[i, :s]
             eg.init_w = float(egs.init_w[i])
             eg.final_w = float(egs.final_w[i])
+        if sup is not None:
+            from kaldi_tpu.am.chain_supervision import SupervisionFsa
+            a = int(sup["n_arcs"][i])
+            ns = int(sup["n_states"][i])
+            eg.fsa = SupervisionFsa(
+                src=sup["src"][i, :a], dst=sup["dst"][i, :a],
+                entry_pdf=sup["entry_pdf"][i, :a],
+                self_pdf=sup["self_pdf"][i, :a],
+                weight=sup["weight"][i, :a],
+                bt=sup["bt"][i, :ns], start=int(sup["start"][i]),
+                final=sup["final"][i, :ns],
+                num_frames=int(sup["num_frames"][i]),
+                self_w=sup["self_w"][i, :a],
+                final_w=sup["final_w"][i, :a],
+                mid_start=bool(sup["mid_start"][i]),
+                mid_end=bool(sup["mid_end"][i]))
         out.append(eg)
     return out
 
@@ -131,8 +194,13 @@ def list_to_egs(entries: List[ChainEg]) -> ChainEgs:
     feats = np.stack([e.feats for e in entries])
     pdf_ali = np.stack([e.pdf_ali for e in entries])
     mask = np.stack([e.mask for e in entries])
+    sup = None
+    if entries[0].fsa is not None:
+        from kaldi_tpu.am.chain_supervision import pack_supervisions
+        sup = pack_supervisions([e.fsa for e in entries])
     if entries[0].entry_pdf is None:
-        return ChainEgs(feats=feats, pdf_ali=pdf_ali, mask=mask)
+        return ChainEgs(feats=feats, pdf_ali=pdf_ali, mask=mask,
+                        sup=sup)
     smax = max(len(e.entry_pdf) for e in entries)
 
     def pad_i(a):
@@ -149,7 +217,8 @@ def list_to_egs(entries: List[ChainEg]) -> ChainEgs:
         self_w=np.stack([pad_i(e.self_w).astype(np.float32)
                          for e in entries]),
         init_w=np.array([e.init_w for e in entries], np.float32),
-        final_w=np.array([e.final_w for e in entries], np.float32))
+        final_w=np.array([e.final_w for e in entries], np.float32),
+        sup=sup)
 
 
 def write_egs_ark(wspecifier: str, egs: ChainEgs,

@@ -439,3 +439,74 @@ def test_chain_training_with_lattice_supervision(pdf_maps):
         losses.append(float(l))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1
+
+
+def test_supervision_from_text_free_boundaries(pdf_maps):
+    """e2e supervision (text only, no durations) at tolerance >= T
+    equals brute-force logsumexp over every monotone alignment."""
+    import itertools
+    from kaldi_tpu.am.chain_supervision import supervision_from_text
+    e_of, s_of, P = pdf_maps
+    rng = np.random.default_rng(31)
+    T = 8
+    segs = [2, 1, 2]          # repeated phone is fine: distinct arcs
+    fsa = supervision_from_text(segs, e_of, s_of, T)
+    scores = _scores(rng, 1, T, P)
+    got = np.asarray(numerator_fsa_logprob(
+        scores, pack_supervisions([fsa]), tolerance=T))
+    s = np.asarray(scores[0])
+    vals = []
+    for cut in itertools.combinations(range(1, T), len(segs) - 1):
+        bounds = [0] + list(cut) + [T]
+        tot = 0.0
+        for k, ph in enumerate(segs):
+            b, e = bounds[k], bounds[k + 1]
+            tot += s[b, e_of(ph)] + sum(
+                s[t, s_of(ph)] for t in range(b + 1, e))
+        vals.append(tot)
+    np.testing.assert_allclose(got[0], np.logaddexp.reduce(vals),
+                               atol=1e-3)
+
+
+def test_make_chain_egs_e2e_and_trainer(pdf_maps):
+    """Flat-start end-to-end chain: egs built from TEXT only (no
+    alignments, no lattices); training with free-boundary tolerance
+    learns separable data."""
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.chain_supervision import make_chain_egs_e2e
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.pipelines.chain import ChainTrainConfig, ChainTrainer
+    e_of, s_of, P = pdf_maps
+    topo = HmmTopology.chain(PHONES)
+    tree = MonophoneContextDependency(PHONES, topo)
+    den = make_denominator_graph([[1, 2, 3], [3, 2, 1]], tree, topo)
+    rng = np.random.default_rng(12)
+    D = 5
+    proto = {p: rng.standard_normal(D) for p in PHONES}
+    texts = {"u0": [1, 2, 3], "u1": [3, 2, 1]}
+    true_durs = {"u0": [9, 12, 9], "u1": [12, 9, 9]}
+    feats = {}
+    for u, seq in texts.items():
+        fs = []
+        for ph, dur in zip(seq, true_durs[u]):
+            fs.extend([proto[ph] + 0.2 * rng.standard_normal(D)
+                       for _ in range(dur)])
+        feats[u] = np.asarray(fs, np.float32)
+    egs = make_chain_egs_e2e(feats, texts, tree, topo, subsample=3,
+                             den=den)
+    assert egs.sup is not None
+    T_sub = egs.mask.shape[1]
+    cfg = TdnnConfig(feat_dim=D, num_pdfs=tree.num_pdfs, hidden_dim=12,
+                     bottleneck_dim=6, num_layers=2,
+                     frame_subsampling_factor=3)
+    tr = ChainTrainer(cfg, den, ChainTrainConfig(
+        num_epochs=30, batch_size=2, learning_rate=5e-3,
+        supervision_tolerance=T_sub))   # free boundaries = e2e
+    out = tr.train(egs, log_every=1000)
+    assert np.isfinite(out["loss"])
+    # normalized objf stays in the chain contract and the model
+    # separates the classes: correct-phone pdfs beat wrong-phone ones
+    scorer = tr.scores_fn()
+    sc = np.asarray(scorer(feats["u0"][None]))[0]      # (T_sub, P)
+    # middle of the first segment (frames 0..2 subsampled) is phone 1
+    assert sc[1].argmax() in (e_of(1), s_of(1))

@@ -333,3 +333,50 @@ def test_disc_egs_merge_subset_compute(tmp_path, rng):
                                      holder="mat"))
     assert len(out) == 3
     assert out["u0"].shape == (T, tree.num_pdfs)
+
+
+def test_chain_e2e_get_egs_and_train(tmp_path, rng):
+    """Flat-start CLI flow: transcripts + feats → e2e egs (FSA wire
+    format round-trips) → nnet3-chain-train with free-boundary
+    tolerance runs and writes a model."""
+    from kaldi_tpu.am.serialize import write_mdl
+    phones = [1, 2, 3]
+    topo = HmmTopology.chain(phones)
+    tree = MonophoneContextDependency(phones, topo)
+    tm = TransitionModel(topo, tree)
+    D = 5
+    am = AmDiagGmm.flat_start(tree.num_pdfs, np.zeros(D), np.ones(D))
+    mdl = str(tmp_path / "e2e.mdl")
+    write_mdl(mdl, tm, am)
+    proto = {p: 2.0 * rng.standard_normal(D) for p in phones}
+    with TableWriter(f"ark:{tmp_path}/f.ark", holder="mat") as fw, \
+            TableWriter(f"ark:{tmp_path}/t.ark", holder="ivec") as tw:
+        for i in range(4):
+            seq = [int(p) for p in rng.permutation(phones)]
+            fs = []
+            for ph in seq:
+                fs.extend([proto[ph] + 0.2 * rng.standard_normal(D)
+                           for _ in range(9)])
+            fw[f"u{i}"] = np.asarray(fs, np.float32)
+            tw[f"u{i}"] = np.asarray(seq, np.int32)
+    assert main(["nnet3-chain-e2e-get-egs", mdl,
+                 f"ark:{tmp_path}/f.ark", f"ark:{tmp_path}/t.ark",
+                 f"ark:{tmp_path}/egs.ark",
+                 str(tmp_path / "den.fst")]) == 0
+    # the FSA rides the wire: read an entry back and check it
+    got = dict(SequentialTableReader(f"ark:{tmp_path}/egs.ark",
+                                     holder="ceg"))
+    eg = next(iter(got.values()))
+    assert eg.fsa is not None
+    assert len(eg.fsa.src) == 3          # one arc per phone
+    assert eg.fsa.num_frames == 9        # 27 frames / subsample 3
+    # flat-start train from a random raw model
+    raw, _cfg = _raw_model(tmp_path, rng, D, tree.num_pdfs, "e.raw")
+    with TableWriter(f"ark:{tmp_path}/ph.ark", holder="ivec") as w:
+        for i in range(4):
+            w[f"u{i}"] = np.asarray(phones, np.int32)
+    assert main(["nnet3-chain-train", "--num-epochs=2",
+                 "--supervision-tolerance=9", mdl, raw,
+                 f"ark:{tmp_path}/ph.ark", f"ark:{tmp_path}/egs.ark",
+                 str(tmp_path / "trained.raw")]) == 0
+    assert (tmp_path / "trained.raw").exists()
