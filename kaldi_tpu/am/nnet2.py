@@ -84,6 +84,15 @@ class Nnet2Config:
     pnorm_output_dim: int = 160
     splice: Tuple[int, ...] = (-2, -1, 0, 1, 2)
     p: float = 2.0
+    # "mixed-up" softmax (SoftmaxComponent::MixUp,
+    # src/nnet2/nnet-component.h): the output affine has
+    # len(mix2pdf) >= num_pdfs rows; posteriors of rows mapped to the
+    # same pdf are summed (log-domain: grouped logsumexp of logits)
+    mix2pdf: Optional[Tuple[int, ...]] = None
+    # nnet-am-switch-preconditioning flag: trainers consult this to
+    # use the NG-SGD preconditioner (ops/natural_gradient.py) instead
+    # of plain SGD
+    preconditioned: bool = False
 
 
 class Nnet2Model(nn.Module):
@@ -94,11 +103,28 @@ class Nnet2Model(nn.Module):
     def __call__(self, x):
         from kaldi_tpu.am.tdnn import splice
         cfg = self.config
-        h = splice(x, cfg.splice)
+        # egs carry pre-spliced windows (nnet-get-egs does the
+        # splicing, the upstream contract) — detect by dim and skip
+        # the model-side splice then
+        if x.shape[-1] == cfg.feat_dim * len(cfg.splice) \
+                and len(cfg.splice) > 1:
+            h = x
+        else:
+            h = splice(x, cfg.splice)
         for i in range(cfg.num_hidden_layers):
             h = PnormLayer(cfg.pnorm_input_dim, cfg.pnorm_output_dim,
                            cfg.p, name=f"pnorm{i + 1}")(h)
-        h = nn.Dense(cfg.num_pdfs, name="output_affine")(h)
+        if cfg.mix2pdf is not None:
+            h = nn.Dense(len(cfg.mix2pdf), name="output_affine")(h)
+            # grouped logsumexp over mixture rows per pdf, max-shifted
+            onehot = jnp.asarray(
+                np.eye(cfg.num_pdfs, dtype=np.float32)[
+                    np.asarray(cfg.mix2pdf)])
+            mx = jnp.max(h, axis=-1, keepdims=True)
+            h = jnp.log(jnp.maximum(
+                jnp.exp(h - mx) @ onehot, 1e-30)) + mx
+        else:
+            h = nn.Dense(cfg.num_pdfs, name="output_affine")(h)
         return nn.log_softmax(h, axis=-1)
 
 
@@ -166,8 +192,11 @@ def train_parallel_averaging(cfg: Nnet2Config,
     return params, {"xent": float(loss)}
 
 
-def save_nnet2(path: str, params: Dict, cfg: Nnet2Config) -> None:
-    """Serialize an Nnet2Model (the nnet2 final.mdl raw-net part)."""
+def save_nnet2(path: str, params: Dict, cfg: Nnet2Config,
+               priors: Optional[np.ndarray] = None) -> None:
+    """Serialize an Nnet2Model (the nnet2 final.mdl raw-net part).
+    `priors` is the AmNnet prior vector (src/nnet2/am-nnet.h) used to
+    turn posteriors into pseudo-loglikelihoods at decode time."""
     from kaldi_tpu.am.serialize import write_pytree
     from kaldi_tpu.core import io as kio
     with kio.open_wxfilename(path) as f:
@@ -182,11 +211,19 @@ def save_nnet2(path: str, params: Dict, cfg: Nnet2Config) -> None:
         import jax
         write_pytree(f, jax.tree_util.tree_map(np.asarray,
                                                dict(params)))
+        if cfg.mix2pdf is not None:
+            kio.write_token(f, "<Mix2Pdf>")
+            kio.write_int_vector(f, np.asarray(cfg.mix2pdf, np.int32))
+        if cfg.preconditioned:
+            kio.write_token(f, "<Preconditioned>")
+        if priors is not None:
+            kio.write_token(f, "<Priors>")
+            kio.write_vector(f, np.asarray(priors, np.float32))
         kio.write_token(f, "</Nnet2>")
 
 
-def load_nnet2(path: str):
-    """→ (params, Nnet2Config)."""
+def load_nnet2_full(path: str):
+    """→ (params, Nnet2Config, priors-or-None)."""
     from kaldi_tpu.am.serialize import read_pytree
     from kaldi_tpu.core import io as kio
     with kio.open_rxfilename(path) as f:
@@ -201,8 +238,29 @@ def load_nnet2(path: str):
         splice = tuple(int(x) for x in kio.read_int_vector(f))
         kio.expect_token(f, "<Params>")
         params = read_pytree(f)
-        kio.expect_token(f, "</Nnet2>")
+        mix2pdf = None
+        precond = False
+        priors = None
+        while True:
+            tok = kio.read_token(f)
+            if tok == "</Nnet2>":
+                break
+            if tok == "<Mix2Pdf>":
+                mix2pdf = tuple(int(x) for x in kio.read_int_vector(f))
+            elif tok == "<Preconditioned>":
+                precond = True
+            elif tok == "<Priors>":
+                priors = kio.read_vector(f)
+            else:
+                raise ValueError(f"load_nnet2: unexpected token {tok}")
     cfg = Nnet2Config(feat_dim=feat_dim, num_pdfs=num_pdfs,
                       num_hidden_layers=nh, pnorm_input_dim=pin,
-                      pnorm_output_dim=pout, splice=splice, p=p)
+                      pnorm_output_dim=pout, splice=splice, p=p,
+                      mix2pdf=mix2pdf, preconditioned=precond)
+    return params, cfg, priors
+
+
+def load_nnet2(path: str):
+    """→ (params, Nnet2Config).  See load_nnet2_full for priors."""
+    params, cfg, _priors = load_nnet2_full(path)
     return params, cfg

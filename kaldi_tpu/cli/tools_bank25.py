@@ -336,12 +336,18 @@ def nnet_get_egs_tool(argv):
     po.register("left-context", int, 4, "frames of left context")
     po.register("right-context", int, 4, "frames of right context")
     po.register("batch-size", int, 128, "windows per example")
+    po.register("provenance-keys", bool, False,
+                "key each example '<utt>:<start-frame>' and flush at "
+                "utterance boundaries so nnet-relabel-egs can map "
+                "examples back to alignments")
     args = po.read(argv)
     from kaldi_tpu.pipelines.egs_io import XentEg
     ali_r = RandomAccessTableReader(args[1], holder="ivec")
     B = po["batch-size"]
+    prov = po["provenance-keys"]
     xs, ys = [], []
     n_eg = 0
+    cur = {"utt": "", "start": 0}
     with TableWriter(args[2], holder="xeg") as w:
         def flush():
             nonlocal xs, ys, n_eg
@@ -349,13 +355,19 @@ def nnet_get_egs_tool(argv):
                 return
             feats = np.stack(xs)[:, None, :]        # (B, 1, D*)
             pdfs = np.asarray(ys, np.int32)[:, None]
-            w[f"eg{n_eg}"] = XentEg(feats, pdfs)
+            k = (f"{cur['utt']}:{cur['start']}" if prov
+                 else f"eg{n_eg}")
+            w[k] = XentEg(feats, pdfs)
             n_eg += 1
+            cur["start"] += len(xs)
             xs, ys = [], []
 
         for key, feats in SequentialTableReader(args[0], holder="mat"):
             if key not in ali_r:
                 continue
+            if prov:
+                flush()
+                cur["utt"], cur["start"] = key, 0
             spl = np.asarray(splice_frames(
                 np.asarray(feats, np.float32), po["left-context"],
                 po["right-context"]))
