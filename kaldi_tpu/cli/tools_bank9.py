@@ -154,6 +154,9 @@ def est_lda(argv):
     from kaldi_tpu.core import io as kio
     po = ParseOptions("est-lda [opts] <lda-out> <acc1> [<acc2> ...]")
     po.register("dim", int, 40, "output feature dim")
+    po.register("write-full-matrix", str, "",
+                "also write the FULL (square) LDA matrix — consumed "
+                "by get-full-lda-mat for raw-space fMLLR")
     args = po.read(argv)
     lda = None
     for acc in args[1:]:
@@ -174,6 +177,12 @@ def est_lda(argv):
     with kio.open_wxfilename(args[0]) as f:
         kio.init_kaldi_output_stream(f)
         kio.write_matrix(f, mat)
+    if po["write-full-matrix"]:
+        full_dim = lda.first.shape[1]
+        full = lda.estimate(full_dim)
+        with kio.open_wxfilename(po["write-full-matrix"]) as f:
+            kio.init_kaldi_output_stream(f)
+            kio.write_matrix(f, full)
     log.info("est-lda: wrote %dx%d transform", *mat.shape)
     return 0
 
