@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kaldi_tpu.core.logging import get_logger
+from kaldi_tpu.core.logging import KaldiError, get_logger
 
 log = get_logger(__name__)
 
@@ -148,10 +148,13 @@ def dnn_params_from_dbn(rbms: Sequence[RbmParams], num_pdfs: int,
 def finetune_xent(params: Dict, hid_dims: Sequence[int], num_pdfs: int,
                   frames: np.ndarray, targets: np.ndarray,
                   num_epochs: int = 6, batch_size: int = 256,
-                  lr: float = 0.5, seed: int = 0
+                  lr: float = 0.5, seed: int = 0,
+                  lr_factors: Optional[Dict[str, float]] = None
                   ) -> Tuple[Dict, float]:
     """Frame cross-entropy fine-tuning (nnet-train-frmshuff): plain
-    SGD on shuffled frames, the nnet1 default."""
+    SGD on shuffled frames, the nnet1 default.  ``lr_factors`` maps
+    top-level layer names to per-layer learning-rate multipliers
+    (the nnet-set-learnrate contract); factor 0 freezes a layer."""
     import optax
     model = SigmoidDnn(tuple(hid_dims), num_pdfs)
     tx = optax.sgd(lr)
@@ -164,10 +167,15 @@ def finetune_xent(params: Dict, hid_dims: Sequence[int], num_pdfs: int,
             return -jnp.mean(jnp.take_along_axis(
                 logp, t[:, None], axis=-1))
         loss, g = jax.value_and_grad(loss_fn)(p)
+        if lr_factors:
+            g = {k: jax.tree_util.tree_map(
+                lambda x: x * float(lr_factors.get(k, 1.0)), v)
+                for k, v in g.items()}
         up, o = tx.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
 
     rng = np.random.default_rng(seed)
+    batch_size = max(1, min(batch_size, len(frames)))
     loss = None
     for ep in range(num_epochs):
         order = rng.permutation(len(frames))
@@ -185,10 +193,13 @@ def finetune_xent(params: Dict, hid_dims: Sequence[int], num_pdfs: int,
 
 def save_nnet1(path: str, params: Dict, hid_dims: Sequence[int],
                num_pdfs: int,
-               priors: Optional[np.ndarray] = None) -> None:
+               priors: Optional[np.ndarray] = None,
+               lr_factors: Optional[np.ndarray] = None) -> None:
     """Serialize a SigmoidDnn (the nnet1 final.nnet role): dims +
     params (+ optional class priors for nnet-forward's
-    --class-frame-counts division)."""
+    --class-frame-counts division; + optional per-layer learning-rate
+    factors for [hidden1..hiddenN, output_affine] — the
+    nnet-set-learnrate contract)."""
     from kaldi_tpu.am.serialize import write_pytree
     from kaldi_tpu.core import io as kio
     with kio.open_wxfilename(path) as f:
@@ -205,11 +216,21 @@ def save_nnet1(path: str, params: Dict, hid_dims: Sequence[int],
         import jax
         write_pytree(f, jax.tree_util.tree_map(np.asarray,
                                                dict(params)))
+        if lr_factors is not None:
+            kio.write_token(f, "<LrFactors>")
+            kio.write_vector(f, np.asarray(lr_factors, np.float32))
         kio.write_token(f, "</Nnet1>")
 
 
 def load_nnet1(path: str):
-    """→ (params, hid_dims, num_pdfs, priors-or-None)."""
+    """→ (params, hid_dims, num_pdfs, priors-or-None).  See
+    load_nnet1_full for the learning-rate factors."""
+    params, hid_dims, num_pdfs, priors, _lr = load_nnet1_full(path)
+    return params, hid_dims, num_pdfs, priors
+
+
+def load_nnet1_full(path: str):
+    """→ (params, hid_dims, num_pdfs, priors, lr_factors)."""
     from kaldi_tpu.am.serialize import read_pytree
     from kaldi_tpu.core import io as kio
     with kio.open_rxfilename(path) as f:
@@ -222,5 +243,11 @@ def load_nnet1(path: str):
                   if kio.read_basic_int32(f) else None)
         kio.expect_token(f, "<Params>")
         params = read_pytree(f)
-        kio.expect_token(f, "</Nnet1>")
-    return params, hid_dims, num_pdfs, priors
+        lr_factors = None
+        tok = kio.read_token(f)
+        if tok == "<LrFactors>":
+            lr_factors = np.asarray(kio.read_vector(f))
+            tok = kio.read_token(f)
+        if tok != "</Nnet1>":
+            raise KaldiError(f"load_nnet1: unexpected token {tok}")
+    return params, hid_dims, num_pdfs, priors, lr_factors

@@ -186,8 +186,10 @@ def rbm_convert_to_nnet_tool(argv):
 @tool("nnet-train-frmshuff")
 def nnet_train_frmshuff_tool(argv):
     """Frame-shuffled cross-entropy SGD fine-tuning
-    (nnetbin/nnet-train-frmshuff.cc)."""
-    from kaldi_tpu.am.nnet1 import finetune_xent, load_nnet1, save_nnet1
+    (nnetbin/nnet-train-frmshuff.cc); honors per-layer learning-rate
+    factors set by nnet-set-learnrate."""
+    from kaldi_tpu.am.nnet1 import (finetune_xent, load_nnet1_full,
+                                    save_nnet1)
     po = ParseOptions("nnet-train-frmshuff [opts] <nnet1-in> "
                       "<feats-rspec> <pdf-ali-rspec> <nnet1-out>")
     po.register("num-epochs", int, 4, "epochs")
@@ -198,7 +200,13 @@ def nnet_train_frmshuff_tool(argv):
                 "targets (the nnet-initialize role when fine-tuning a "
                 "pretrained stack whose output layer is a dummy)")
     args = po.read(argv)
-    params, hid_dims, num_pdfs, priors = load_nnet1(args[0])
+    params, hid_dims, num_pdfs, priors, lr_vec = \
+        load_nnet1_full(args[0])
+    lr_factors = None
+    if lr_vec is not None:
+        names = [f"hidden{i + 1}" for i in range(len(hid_dims))] \
+            + ["output_affine"]
+        lr_factors = {nm: float(v) for nm, v in zip(names, lr_vec)}
     if po["num-pdfs"] and po["num-pdfs"] != num_pdfs:
         rng0 = np.random.default_rng(0)
         out_in = int(hid_dims[-1])
@@ -224,7 +232,7 @@ def nnet_train_frmshuff_tool(argv):
     params, loss = finetune_xent(
         params, list(hid_dims), num_pdfs, frames, targets,
         num_epochs=po["num-epochs"], batch_size=po["minibatch-size"],
-        lr=po["learning-rate"])
+        lr=po["learning-rate"], lr_factors=lr_factors)
     # class priors from the training targets (the ali-to-post →
     # nnet-forward --class-frame-counts flow, folded in)
     counts = np.bincount(targets, minlength=num_pdfs).astype(

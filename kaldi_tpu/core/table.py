@@ -156,6 +156,10 @@ class _Holders:
             from kaldi_tpu.pipelines.egs_io import write_disc_eg
             kio.init_kaldi_output_stream(f)
             write_disc_eg(f, value)
+        elif holder == "dteg":
+            from kaldi_tpu.pipelines.egs_io import write_dense_eg
+            kio.init_kaldi_output_stream(f)
+            write_dense_eg(f, value)
         elif holder == "post":
             # per-frame [(id, weight), ...] lists (Posterior role)
             frames = list(value)
@@ -195,6 +199,9 @@ class _Holders:
         if holder == "deg":
             from kaldi_tpu.pipelines.egs_io import read_disc_eg
             return read_disc_eg(f)
+        if holder == "dteg":
+            from kaldi_tpu.pipelines.egs_io import read_dense_eg
+            return read_dense_eg(f)
         if holder == "mat":
             return kio.read_matrix(f) if binary else _read_text_matrix(f)
         if holder == "vec":

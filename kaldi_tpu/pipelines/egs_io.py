@@ -278,6 +278,34 @@ def read_xent_eg(f) -> XentEg:
 
 
 @dataclasses.dataclass
+class DenseEg:
+    """Training chunk with DENSE (float-matrix) targets — regression
+    or soft-label training (nnet3bin/nnet3-get-egs-dense-targets
+    NnetExample shape): feats (T, D), targets (T', Dt)."""
+    feats: np.ndarray
+    targets: np.ndarray
+
+
+def write_dense_eg(f, eg: DenseEg) -> None:
+    kio.write_token(f, "<DenseEg>")
+    kio.write_token(f, "<Feats>")
+    kio.write_matrix(f, np.asarray(eg.feats, np.float32))
+    kio.write_token(f, "<Targets>")
+    kio.write_matrix(f, np.asarray(eg.targets, np.float32))
+    kio.write_token(f, "</DenseEg>")
+
+
+def read_dense_eg(f) -> DenseEg:
+    kio.expect_token(f, "<DenseEg>")
+    kio.expect_token(f, "<Feats>")
+    feats = np.asarray(kio.read_matrix(f), np.float32)
+    kio.expect_token(f, "<Targets>")
+    targets = np.asarray(kio.read_matrix(f), np.float32)
+    kio.expect_token(f, "</DenseEg>")
+    return DenseEg(feats, targets)
+
+
+@dataclasses.dataclass
 class DiscEg:
     """One discriminative (sequence-training) example: an utterance's
     feats + numerator pdf alignment + its DENSE denominator lattice
