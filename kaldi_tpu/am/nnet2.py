@@ -93,6 +93,11 @@ class Nnet2Config:
     # use the NG-SGD preconditioner (ops/natural_gradient.py) instead
     # of plain SGD
     preconditioned: bool = False
+    # per-layer learning rates (hidden layers then output affine), set
+    # by nnet-modify-learning-rates (src/nnet2/nnet-nnet.h
+    # SetLearningRates role); trainers scale each layer's update by
+    # learn_rates[i] / base_lr when present
+    learn_rates: Optional[Tuple[float, ...]] = None
 
 
 class Nnet2Model(nn.Module):
@@ -192,6 +197,26 @@ def train_parallel_averaging(cfg: Nnet2Config,
     return params, {"xent": float(loss)}
 
 
+def layer_names(cfg: Nnet2Config) -> Tuple[str, ...]:
+    """Ordered top-level param-tree keys: hidden layers then output."""
+    return tuple(f"pnorm{i + 1}" for i in range(cfg.num_hidden_layers)) \
+        + ("output_affine",)
+
+
+def scale_updates_per_layer(updates: Dict, cfg: Nnet2Config,
+                            base_lr: float) -> Dict:
+    """Apply cfg.learn_rates (nnet-modify-learning-rates output) to an
+    optimizer update tree computed with a uniform base_lr."""
+    if cfg.learn_rates is None:
+        return updates
+    names = layer_names(cfg)
+    scale = {n: float(cfg.learn_rates[i]) / base_lr
+             for i, n in enumerate(names) if i < len(cfg.learn_rates)}
+    return {k: jax.tree_util.tree_map(
+        lambda u, s=scale.get(k, 1.0): u * s, v)
+        for k, v in updates.items()}
+
+
 def save_nnet2(path: str, params: Dict, cfg: Nnet2Config,
                priors: Optional[np.ndarray] = None) -> None:
     """Serialize an Nnet2Model (the nnet2 final.mdl raw-net part).
@@ -216,6 +241,9 @@ def save_nnet2(path: str, params: Dict, cfg: Nnet2Config,
             kio.write_int_vector(f, np.asarray(cfg.mix2pdf, np.int32))
         if cfg.preconditioned:
             kio.write_token(f, "<Preconditioned>")
+        if cfg.learn_rates is not None:
+            kio.write_token(f, "<LearnRates>")
+            kio.write_vector(f, np.asarray(cfg.learn_rates, np.float32))
         if priors is not None:
             kio.write_token(f, "<Priors>")
             kio.write_vector(f, np.asarray(priors, np.float32))
@@ -241,6 +269,7 @@ def load_nnet2_full(path: str):
         mix2pdf = None
         precond = False
         priors = None
+        learn_rates = None
         while True:
             tok = kio.read_token(f)
             if tok == "</Nnet2>":
@@ -249,6 +278,8 @@ def load_nnet2_full(path: str):
                 mix2pdf = tuple(int(x) for x in kio.read_int_vector(f))
             elif tok == "<Preconditioned>":
                 precond = True
+            elif tok == "<LearnRates>":
+                learn_rates = tuple(float(x) for x in kio.read_vector(f))
             elif tok == "<Priors>":
                 priors = kio.read_vector(f)
             else:
@@ -256,7 +287,8 @@ def load_nnet2_full(path: str):
     cfg = Nnet2Config(feat_dim=feat_dim, num_pdfs=num_pdfs,
                       num_hidden_layers=nh, pnorm_input_dim=pin,
                       pnorm_output_dim=pout, splice=splice, p=p,
-                      mix2pdf=mix2pdf, preconditioned=precond)
+                      mix2pdf=mix2pdf, preconditioned=precond,
+                      learn_rates=learn_rates)
     return params, cfg, priors
 
 

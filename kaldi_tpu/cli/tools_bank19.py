@@ -359,7 +359,8 @@ def nnet_train_simple_tool(argv):
     import jax
     import jax.numpy as jnp
     import optax
-    from kaldi_tpu.am.nnet2 import Nnet2Model, load_nnet2, save_nnet2
+    from kaldi_tpu.am.nnet2 import (Nnet2Model, load_nnet2, save_nnet2,
+                                    scale_updates_per_layer)
     po = ParseOptions("nnet-train-simple [opts] <nnet2-in> "
                       "<feats-rspec> <pdf-ali-rspec> <nnet2-out>")
     po.register("learning-rate", float, 2e-3, "SGD lr")
@@ -378,6 +379,7 @@ def nnet_train_simple_tool(argv):
                 logp, t[..., None], axis=-1))
         loss, g = jax.value_and_grad(loss_fn)(p)
         up, o = tx.update(g, o, p)
+        up = scale_updates_per_layer(up, cfg, po["learning-rate"])
         return optax.apply_updates(p, up), o, loss
 
     ali_r = RandomAccessTableReader(args[2], holder="ivec")
