@@ -982,7 +982,8 @@ def nnet3_average(argv):
 @tool("nnet3-latgen-faster")
 def nnet3_latgen_faster(argv):
     from kaldi_tpu.am.serialize import read_mdl
-    from kaldi_tpu.cli.tools import _LatgenDecoder
+    from kaldi_tpu.cli.tools import (_LatgenDecoder, latgen_kwargs,
+                                     register_latgen_opts)
     from kaldi_tpu.fst.fst import SymbolTable
     po = ParseOptions("nnet3-latgen-faster [opts] <trans-model> "
                       "<raw-nnet3> <fst> <feats-rspec> <lat-wspec> "
@@ -993,13 +994,15 @@ def nnet3_latgen_faster(argv):
     po.register("acoustic-scale", float, 1.0, "acoustic scale")
     po.register("frame-subsampling-factor", int, 3, "subsampling")
     po.register("word-symbol-table", str, "", "words.txt")
+    register_latgen_opts(po)
     args = po.read(argv)
     tm, _am = read_mdl(args[0])
     _, fwd = _load_tdnn(args[1], po["frame-subsampling-factor"])
     dec = _LatgenDecoder(_load_fst(args[2]), tm.tid_to_pdf_array,
                          po["beam"], po["lattice-beam"],
                          po["acoustic-scale"],
-                         max_active=po["max-active"])
+                         max_active=po["max-active"],
+                         **latgen_kwargs(po))
     words_tab = (SymbolTable.read(po["word-symbol-table"])
                  if po["word-symbol-table"] else None)
     wwriter = (TableWriter(args[5], holder="text")

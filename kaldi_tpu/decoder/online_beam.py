@@ -73,7 +73,7 @@ class OnlineBeamDecoder:
 
     # -- device functions ---------------------------------------------------
 
-    def _chunk_fn(self, g, tok, buf, cursor, bpp, bpa, cnts,
+    def _chunk_fn(self, g, tok, buf, cursor, bpp, bpa, cnts, deficit,
                   frames_done, chunk_ll, n_valid):
         dec = self.dec
         dec.g = g
@@ -81,13 +81,20 @@ class OnlineBeamDecoder:
         (tok, buf, cursor), scanned = jax.lax.scan(
             dec._frame_step, (tok, buf, cursor), (chunk_ll, active))
         prev, aidxs = scanned[0], scanned[1]
+        eff_beam = scanned[5]
         cnt = scanned[6]
+        # accumulated beam deficit (inactive frames report eff_beam =
+        # beam, contributing 0) — the escalation trigger, fetched only
+        # at finalize
+        deficit = deficit + jnp.sum(jnp.maximum(
+            jnp.float32(dec.config.lattice_beam) - eff_beam, 0.0))
         # chunk rows land at the filled prefix; a partial final chunk's
         # inactive rows are overwritten by the next chunk
         bpp = jax.lax.dynamic_update_slice(bpp, prev, (frames_done, 0))
         bpa = jax.lax.dynamic_update_slice(bpa, aidxs, (frames_done, 0))
         cnts = jax.lax.dynamic_update_slice(cnts, cnt, (frames_done,))
-        return tok, buf, cursor, bpp, bpa, cnts, frames_done + n_valid
+        return (tok, buf, cursor, bpp, bpa, cnts, deficit,
+                frames_done + n_valid)
 
     def _partial_fn(self, g, tok, bpp, bpa, frames_done):
         """Best token now (+final cost if any state is final), device
@@ -135,6 +142,7 @@ class OnlineBeamDecoder:
         self._bpp = jnp.zeros((self.maxT, K), jnp.int32)
         self._bpa = jnp.full((self.maxT, K), -1, jnp.int32)
         self._cnts = jnp.zeros((self.maxT,), jnp.int32)
+        self._deficit = jnp.float32(0.0)
         self._frames = 0
         self._ll_parts: List[np.ndarray] = []
         self._pending: Optional[np.ndarray] = None
@@ -142,9 +150,10 @@ class OnlineBeamDecoder:
     def _run_chunk(self, chunk: np.ndarray, n_valid: int) -> None:
         g = self.dec._graph_arrays()
         (self._tok, self._buf, self._cursor, self._bpp, self._bpa,
-         self._cnts, _fd) = self._chunk_jit(
+         self._cnts, self._deficit, _fd) = self._chunk_jit(
             g, self._tok, self._buf, self._cursor, self._bpp,
-            self._bpa, self._cnts, jnp.int32(self._frames),
+            self._bpa, self._cnts, self._deficit,
+            jnp.int32(self._frames),
             jnp.asarray(chunk, jnp.float32), jnp.int32(n_valid))
         self._frames += n_valid
         if self._frames + self.C > self.maxT:
@@ -204,11 +213,22 @@ class OnlineBeamDecoder:
 
     def finalize(self, max_states: int = 200000):
         """Determinized CompactLattice over everything consumed (the
-        GetLattice(final=true) contract)."""
+        GetLattice(final=true) contract).  When the BeamDecoder's
+        escalation policy is enabled and the stream's accumulated beam
+        deficit fired the trigger, the WHOLE utterance is re-decoded
+        offline at the escalated budget from the retained loglikes —
+        streaming semantics for partials, offline quality for the
+        final lattice (online2's GetLattice(final=true) is likewise
+        allowed to be more expensive than AdvanceDecoding)."""
         self._flush()
         if self._frames == 0:
             raise KaldiError("OnlineBeamDecoder: no frames decoded")
         dec = self.dec
+        c = dec.config
+        if (c.escalate_budget and c.escalate_budget > dec.M
+                and float(self._deficit) > c.escalate_deficit):
+            ll = np.concatenate(self._ll_parts)[:self._frames]
+            return dec._escalator().decode_compact(ll, bucket=self.C)
         _path, _cost, fin = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
@@ -325,7 +345,7 @@ class MultiStreamBeamDecoder:
         self._single = one                       # for _chunk_fn reuse
         self._chunk_jit = jax.jit(
             jax.vmap(one._chunk_fn,
-                     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+                     in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
             donate_argnums=(1, 2, 3, 4, 5, 6))
         self._partial_jit = jax.jit(jax.vmap(
             one._partial_fn, in_axes=(None, 0, 0, 0, 0)))
@@ -344,6 +364,7 @@ class MultiStreamBeamDecoder:
         self._bpp = jnp.zeros((N, self.maxT, K), jnp.int32)
         self._bpa = jnp.full((N, self.maxT, K), -1, jnp.int32)
         self._cnts = jnp.zeros((N, self.maxT), jnp.int32)
+        self._deficit = jnp.zeros((N,), jnp.float32)
         self._frames = np.zeros(N, np.int64)
         # host-side cursor upper bound (≤ L records per frame): when it
         # nears the buffer we fetch the true cursors once and either
@@ -360,6 +381,7 @@ class MultiStreamBeamDecoder:
         self._cursor = self._cursor.at[c].set(0)
         self._bpa = self._bpa.at[c].set(-1)
         self._cnts = self._cnts.at[c].set(0)
+        self._deficit = self._deficit.at[c].set(0.0)
         self._frames[c] = 0
         self._cursor_ub[c] = 0
         self._ll[c] = []
@@ -383,9 +405,9 @@ class MultiStreamBeamDecoder:
             self._ll[c].append(ch)
         g = self.dec._graph_arrays()
         (self._tok, self._buf, self._cursor, self._bpp, self._bpa,
-         self._cnts, _fd) = self._chunk_jit(
+         self._cnts, self._deficit, _fd) = self._chunk_jit(
             g, self._tok, self._buf, self._cursor, self._bpp,
-            self._bpa, self._cnts,
+            self._bpa, self._cnts, self._deficit,
             jnp.asarray(self._frames, jnp.int32), jnp.asarray(X),
             jnp.asarray(nv))
         self._frames += nv
@@ -406,6 +428,11 @@ class MultiStreamBeamDecoder:
         T = int(self._frames[c])
         if T == 0:
             raise KaldiError("finalize_channel: no frames decoded")
+        cfg = dec.config
+        if (cfg.escalate_budget and cfg.escalate_budget > dec.M
+                and float(self._deficit[c]) > cfg.escalate_deficit):
+            ll = np.concatenate(self._ll[c])[:T]
+            return dec._escalator().decode_compact(ll, bucket=self.C)
         _path, _cost, fin = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.asarray(self._frames, jnp.int32))

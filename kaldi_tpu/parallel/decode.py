@@ -101,10 +101,15 @@ class ShardedBeamDecoder:
                             out_shardings=batch_sh)
 
     def decode_compact_batch(self, loglikes_padded: np.ndarray,
-                             num_frames: np.ndarray):
+                             num_frames: np.ndarray,
+                             stats: Optional[dict] = None):
         """(B, T_pad, P) → determinized CompactLattices (fused native
         build+determinize per utterance on host).  B is padded up to a
-        multiple of the data-axis size."""
+        multiple of the data-axis size.  The BeamDecoder's
+        demand-triggered escalation policy (escalate_budget) is
+        honored: flagged utterances re-decode single-device at the
+        wider budget — retries are rare by design, so they don't
+        merit a sharded path of their own."""
         if self._jit is None:
             self._build()
         ndata = self.mesh.shape["data"]
@@ -122,6 +127,15 @@ class ShardedBeamDecoder:
                             jnp.asarray(X, jnp.float32),
                             jnp.asarray(lens, jnp.int32))
         hosts = self.dec._fetch_batch(out, B, lattice=True)
-        return [self.dec.build_compact_lattice(
-                    hosts[b], int(num_frames[b]), X[b])
-                for b in range(B)]
+        lats = []
+        for b in range(B):
+            T = int(num_frames[b])
+            host, dec = self.dec._maybe_escalate(hosts[b], X[b], T)
+            if stats is not None:
+                stats["min_eff_beam"] = min(
+                    stats.get("min_eff_beam", float("inf")),
+                    float(host["min_eff_beam"]))
+                stats["n_escalated"] = (stats.get("n_escalated", 0)
+                                        + int(dec is not self.dec))
+            lats.append(dec.build_compact_lattice(host, T, X[b]))
+        return lats
