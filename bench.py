@@ -320,6 +320,87 @@ def main():
     except Exception as e:      # probe must never fail the bench
         log.warning("bench: chain train probe failed: %s", e)
 
+    # -- streaming latency (the online2 stack's defining property:
+    # VERDICT r3 missing #3).  OnlineBeamDecoder per-chunk advance
+    # latency (p50/p99), first-partial latency, endpoint-to-final
+    # latency, and MultiStream lane throughput — all on the SAME 20k
+    # graph/decoder as the offline headline.
+    try:
+        from kaldi_tpu.decoder.online_beam import (MultiStreamBeamDecoder,
+                                                   OnlineBeamDecoder)
+        chunk = int(os.environ.get("KALDI_TPU_BENCH_CHUNK", "6"))
+        n_stream = int(os.environ.get("KALDI_TPU_BENCH_STREAM_UTTS",
+                                      "12"))
+        ob = OnlineBeamDecoder(dec, chunk_frames=chunk, max_frames=1024)
+        adv_ms, first_ms, fin_ms = [], [], []
+        n_esc = 0
+        for u, ll in zip(utts[:n_stream], lls[:n_stream]):
+            ob.reset()
+            first = True
+            for a in range(0, ll.shape[0], chunk):
+                t0 = time.perf_counter()
+                ob.advance(ll[a:a + chunk])
+                dt_a = (time.perf_counter() - t0) * 1e3
+                if first:
+                    t0 = time.perf_counter()
+                    ob.partial()
+                    first_ms.append(dt_a + (time.perf_counter() - t0)
+                                    * 1e3)
+                    first = False
+                else:
+                    adv_ms.append(dt_a)     # steady-state (post-compile)
+            t0 = time.perf_counter()
+            ob.finalize()
+            fin_ms.append((time.perf_counter() - t0) * 1e3)
+            n_esc += int(float(ob._deficit)
+                         > dec.config.escalate_deficit
+                         and bool(dec.config.escalate_budget))
+        adv = np.array(adv_ms)
+        p50, p99 = float(np.percentile(adv, 50)), \
+            float(np.percentile(adv, 99))
+        # MultiStream: N lanes advancing in lockstep — lane throughput
+        N_lanes = int(os.environ.get("KALDI_TPU_BENCH_LANES", "8"))
+        ms_dec = MultiStreamBeamDecoder(dec, n_channels=N_lanes,
+                                        chunk_frames=chunk,
+                                        max_frames=512)
+        Tms = 480
+        llm = [np.concatenate([lls[i % len(lls)]] * 8)[:Tms]
+               for i in range(N_lanes)]
+        for a in range(0, 2 * chunk, chunk):          # warm
+            ms_dec.advance([x[a:a + chunk] for x in llm])
+        t0 = time.perf_counter()
+        steps = 0
+        for a in range(2 * chunk, Tms, chunk):
+            ms_dec.advance([x[a:a + chunk] for x in llm])
+            steps += 1
+        ms_wall = time.perf_counter() - t0
+        lane_tput = N_lanes * steps * chunk * 0.03 / ms_wall
+        log.info("bench: streaming chunk=%d (%.0f ms audio): advance "
+                 "p50 %.1f / p99 %.1f ms, first-partial %.1f ms, "
+                 "finalize p50 %.1f ms (%d/%d escalated); multistream "
+                 "%d lanes %.1f audio-s/s", chunk, chunk * 30.0, p50,
+                 p99, float(np.median(first_ms)),
+                 float(np.percentile(fin_ms, 50)), n_esc, n_stream,
+                 N_lanes, lane_tput)
+        print(json.dumps({
+            "metric": "streaming_chunk_advance_latency",
+            "value": round(p50, 2), "unit": "ms_p50",
+            # vs the chunk's own audio duration (RTF per chunk)
+            "vs_baseline": round(p50 / (chunk * 30.0), 3),
+            "p99_ms": round(p99, 2),
+            "chunk_audio_ms": chunk * 30.0,
+            "first_partial_ms": round(float(np.median(first_ms)), 2),
+            "finalize_p50_ms": round(float(np.percentile(fin_ms, 50)),
+                                     2),
+            "finalize_p99_ms": round(float(np.percentile(fin_ms, 99)),
+                                     2),
+            "n_escalated": n_esc,
+            "multistream_lanes": N_lanes,
+            "multistream_audio_s_per_s": round(lane_tput, 1),
+        }))
+    except Exception as e:      # latency probe must never fail the bench
+        log.warning("bench: streaming probe failed: %s", e)
+
     print(json.dumps({
         "metric": "lvcsr_lattice_decode_throughput",
         "value": round(value, 2),

@@ -19,10 +19,14 @@ TPU-first shape: everything is batched einsums —
   speaker offset folds in as per-Gaussian shifted inputs x − N_i u_s.
 - EM statistics: posterior-weighted einsums accumulated on device.
 
-Remaining simplification vs the reference, by design (documented
-contract): diagonal Σ_i (the reference supports full covariances);
-the weight vectors w_i are updated by one quadratic-bound step rather
-than repeated Newton refinement.
+Covariances: diagonal Σ_i by default (var, (I, D)); FULL covariances
+(Sigma, (I, D, D)) are supported throughout — loglikes, EM stats, the
+M-step (the v/H solves use the full precision; the M_i/N_i least
+squares are covariance-independent), the Σ_i update with eigenvalue
+flooring, speaker vectors, and serialization — matching am-sgmm2.h's
+full-covariance contract.  The weight vectors w_i are updated by
+REPEATED safeguarded quadratic-bound steps (auxf-checked halving, the
+MleAmSgmm2Updater weight-iteration loop), not a single step.
 """
 
 from __future__ import annotations
@@ -50,6 +54,22 @@ class Sgmm2:
     V: np.ndarray          # (J, K, S) substate vectors
     c: np.ndarray          # (J, K) substate weights (rows sum to 1)
     N: Optional[np.ndarray] = None    # (I, D, U) speaker subspace
+    Sigma: Optional[np.ndarray] = None  # (I, D, D) FULL covariances;
+    #                                     when set, overrides `var`
+    #                                     (whose diagonal is kept in
+    #                                     sync for metric helpers)
+
+    def precision(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(Σ_i⁻¹ (I, D, D), log|Σ_i| (I,)) — full-covariance helpers
+        (diagonal models get the equivalent diag embedding)."""
+        if self.Sigma is not None:
+            P = np.linalg.inv(self.Sigma)
+            _sign, logdet = np.linalg.slogdet(self.Sigma)
+            return P, logdet
+        D = self.dim
+        P = np.zeros((self.M.shape[0], D, D))
+        P[:, np.arange(D), np.arange(D)] = 1.0 / self.var
+        return P, np.sum(np.log(self.var), axis=1)
 
     @property
     def num_pdfs(self) -> int:
@@ -92,22 +112,32 @@ class Sgmm2:
         the speaker subspace by shifting each Gaussian's input."""
         x = jnp.asarray(feats, jnp.float32)            # (T, D)
         mu = jnp.asarray(self.means(), jnp.float32)    # (J, K, I, D)
-        var = jnp.asarray(self.var, jnp.float32)       # (I, D)
         logw = jnp.asarray(self.log_weights(), jnp.float32)
         logc = jnp.asarray(
             np.log(np.maximum(self.c, 1e-30)), jnp.float32)  # (J, K)
-        inv = 1.0 / var
-        gconst = -0.5 * (self.dim * jnp.log(2 * jnp.pi)
-                         + jnp.sum(jnp.log(var), axis=1))     # (I,)
+        P_np, logdet_np = self.precision()
+        gconst = jnp.asarray(
+            -0.5 * (self.dim * np.log(2 * np.pi) + logdet_np),
+            jnp.float32)                               # (I,)
         if spk_u is not None and self.N is not None:
             off = jnp.asarray(self.spk_offset(spk_u), jnp.float32)
             xi = x[:, None, :] - off[None]             # (T, I, D)
-            xq = -0.5 * jnp.sum(xi * xi * inv[None], axis=2)  # (T, I)
-            xl = jnp.einsum("tid,jkid->tjki", xi * inv[None], mu)
         else:
-            xq = -0.5 * (x ** 2) @ inv.T               # (T, I)
-            xl = jnp.einsum("td,jkid->tjki", x, mu * inv[None, None])
-        mq = -0.5 * jnp.sum(mu * mu * inv[None, None], axis=3)
+            xi = jnp.broadcast_to(x[:, None, :],
+                                  (x.shape[0], self.M.shape[0],
+                                   self.dim))          # (T, I, D)
+        if self.Sigma is not None:
+            P = jnp.asarray(P_np, jnp.float32)         # (I, D, D)
+            xP = jnp.einsum("tid,ide->tie", xi, P)     # (T, I, D)
+            xq = -0.5 * jnp.sum(xP * xi, axis=2)       # (T, I)
+            xl = jnp.einsum("tie,jkie->tjki", xP, mu)
+            muP = jnp.einsum("jkid,ide->jkie", mu, P)
+            mq = -0.5 * jnp.sum(muP * mu, axis=3)      # (J, K, I)
+        else:
+            inv = 1.0 / jnp.asarray(self.var, jnp.float32)
+            xq = -0.5 * jnp.sum(xi * xi * inv[None], axis=2)
+            xl = jnp.einsum("tid,jkid->tjki", xi * inv[None], mu)
+            mq = -0.5 * jnp.sum(mu * mu * inv[None, None], axis=3)
         comp = (xq[:, None, None, :] + xl + mq[None]
                 + gconst[None, None, None] + logw[None]
                 + logc[None, :, :, None])              # (T, J, K, I)
@@ -125,6 +155,9 @@ class Sgmm2Accs:
     S: np.ndarray          # (I, D) Σ γ·(x − N u)²
     Z: Optional[np.ndarray] = None   # (I, D, U) Σ γ·(x − M v) uᵀ
     R: Optional[np.ndarray] = None   # (I, U, U) Σ γ·u uᵀ
+    S2: Optional[np.ndarray] = None  # (I, D, D) full scatter
+    #                                  Σ γ·(x − N u)(x − N u)ᵀ —
+    #                                  accumulated for full-cov models
     tot_like: float = 0.0
     tot_frames: float = 0.0
 
@@ -133,13 +166,15 @@ class Sgmm2Accs:
             gamma=self.gamma + o.gamma, y=self.y + o.y, S=self.S + o.S,
             Z=None if self.Z is None else self.Z + o.Z,
             R=None if self.R is None else self.R + o.R,
+            S2=None if self.S2 is None else self.S2 + o.S2,
             tot_like=self.tot_like + o.tot_like,
             tot_frames=self.tot_frames + o.tot_frames)
 
 
 def init_sgmm(num_pdfs: int, dim: int, num_gauss: int, subspace: int,
               glob_mean: np.ndarray, glob_var: np.ndarray,
-              spk_subspace: int = 0, seed: int = 0) -> Sgmm2:
+              spk_subspace: int = 0, seed: int = 0,
+              full_cov: bool = False) -> Sgmm2:
     """sgmm2-init role: M_i's first column carries a perturbed global
     mean (so v = e1 reproduces a flat start), the rest small noise;
     v_j0 = e1 + noise so states start near the global model; one
@@ -157,7 +192,11 @@ def init_sgmm(num_pdfs: int, dim: int, num_gauss: int, subspace: int,
     var = np.tile(glob_var[None], (num_gauss, 1))
     N = (rng.standard_normal((num_gauss, dim, spk_subspace)) * 0.1
          if spk_subspace else None)
-    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N)
+    Sigma = None
+    if full_cov:
+        Sigma = np.zeros((num_gauss, dim, dim))
+        Sigma[:, np.arange(dim), np.arange(dim)] = var
+    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N, Sigma=Sigma)
 
 
 def _frame_posteriors(model: Sgmm2, x: jnp.ndarray, j: jnp.ndarray,
@@ -165,21 +204,27 @@ def _frame_posteriors(model: Sgmm2, x: jnp.ndarray, j: jnp.ndarray,
     """(T, K, I) posteriors over (substate, Gaussian) of the aligned
     state, plus per-frame loglikes and the shifted inputs."""
     mu = jnp.asarray(model.means(), jnp.float32)[j]     # (T, K, I, D)
-    var = jnp.asarray(model.var, jnp.float32)
     logw = jnp.asarray(model.log_weights(), jnp.float32)[j]
     logc = jnp.asarray(np.log(np.maximum(model.c, 1e-30)),
                        jnp.float32)[j]                  # (T, K)
-    inv = 1.0 / var
-    gconst = -0.5 * (model.dim * jnp.log(2 * jnp.pi)
-                     + jnp.sum(jnp.log(var), axis=1))
+    P_np, logdet_np = model.precision()
+    gconst = jnp.asarray(
+        -0.5 * (model.dim * np.log(2 * np.pi) + logdet_np),
+        jnp.float32)
     if spk_u is not None and model.N is not None:
         off = jnp.asarray(model.spk_offset(spk_u), jnp.float32)
         xi = x[:, None, :] - off[None]                  # (T, I, D)
     else:
         xi = jnp.tile(x[:, None, :], (1, model.M.shape[0], 1))
     diff = xi[:, None, :, :] - mu                       # (T, K, I, D)
-    logn = gconst[None, None] - 0.5 * jnp.sum(
-        diff * diff * inv[None, None], axis=3)          # (T, K, I)
+    if model.Sigma is not None:
+        P = jnp.asarray(P_np, jnp.float32)
+        q = jnp.einsum("tkid,ide,tkie->tki", diff, P, diff)
+        logn = gconst[None, None] - 0.5 * q             # (T, K, I)
+    else:
+        inv = 1.0 / jnp.asarray(model.var, jnp.float32)
+        logn = gconst[None, None] - 0.5 * jnp.sum(
+            diff * diff * inv[None, None], axis=3)      # (T, K, I)
     comp = logn + logw + logc[:, :, None]
     norm = jax.nn.logsumexp(comp, axis=(1, 2), keepdims=True)
     post = jnp.exp(comp - norm)                         # (T, K, I)
@@ -199,6 +244,11 @@ def accumulate(model: Sgmm2, feats: np.ndarray, pdf_ali: np.ndarray,
         post[:, :, :, None] * xi[:, None, :, :], j,
         num_segments=J)                                 # (J, K, I, D)
     S = jnp.einsum("tki,tid->id", post, xi * xi)        # (I, D)
+    S2 = None
+    if model.Sigma is not None:
+        gi_t = jnp.sum(post, axis=1)                    # (T, I)
+        S2 = np.asarray(jnp.einsum("ti,tid,tie->ide", gi_t, xi, xi),
+                        np.float64)
     Z = R = None
     if spk_u is not None and model.N is not None:
         # speaker-subspace stats: the utterance shares one u, so
@@ -213,25 +263,31 @@ def accumulate(model: Sgmm2, feats: np.ndarray, pdf_ali: np.ndarray,
         R = np.einsum("i,u,v->iuv", gi, u, u)
     return Sgmm2Accs(gamma=np.asarray(gamma, np.float64),
                      y=np.asarray(y, np.float64),
-                     S=np.asarray(S, np.float64), Z=Z, R=R,
+                     S=np.asarray(S, np.float64), Z=Z, R=R, S2=S2,
                      tot_like=float(jnp.sum(norms)),
                      tot_frames=float(x.shape[0]))
 
 
 def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
-           w_step: float = 1.0, update_spk: bool = True) -> Sgmm2:
+           w_step: float = 1.0, w_iters: int = 3,
+           update_spk: bool = True) -> Sgmm2:
     """M-step (MleAmSgmm2Updater role).  Order as in the reference:
-    v, then M, then (N), then w, then c, then Σ."""
+    v, then M, then (N), then w, then c, then Σ.  Full-covariance
+    models (model.Sigma set) use the full precision in the v solves
+    and update Σ_i from the full scatter; the M_i/N_i least squares
+    are covariance-independent (the Σ⁻¹ factors out of their normal
+    equations)."""
     J, K = model.V.shape[:2]
     I, D = model.M.shape[0], model.dim
     S_dim = model.V.shape[2]
-    inv = 1.0 / model.var                                # (I, D)
+    full = model.Sigma is not None
+    P, _logdet = model.precision()                       # (I, D, D)
 
     # --- v_jk: per-substate SPD solve
     #   H_jk = Σ_i γ_jki M_iᵀ Σ_i⁻¹ M_i,  g_jk = Σ_i M_iᵀ Σ_i⁻¹ y_jki
-    MtSi = np.einsum("ids,id->ids", model.M, inv)
-    H = np.einsum("jki,idr,ids->jkrs", accs.gamma, MtSi, model.M)
-    g = np.einsum("ids,jkid->jks", MtSi, accs.y)
+    MtP = np.einsum("idr,ide->ire", model.M, P)          # (I, S, D)
+    H = np.einsum("jki,ire,ies->jkrs", accs.gamma, MtP, model.M)
+    g = np.einsum("ire,jkie->jkr", MtP, accs.y)
     V = model.V.copy()
     occ_jk = accs.gamma.sum(axis=2)                      # (J, K)
     for jj in range(J):
@@ -264,18 +320,40 @@ def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
             N[ii] = np.linalg.solve(
                 accs.R[ii] + 1e-4 * np.eye(U), accs.Z[ii].T).T
 
-    # --- w_i: one quadratic-bound step on the weight auxiliary over
-    # all substate vectors (flattened (J·K, S) with their occupancy)
+    # --- w_i: REPEATED safeguarded quadratic-bound steps on the
+    # weight auxiliary Σ_n Σ_i γ_ni log w_ni over all substate
+    # vectors (flattened (J·K, S) with their occupancy) — the
+    # reference's weight-iteration loop with step-halving on auxf
+    # decrease (est-am-sgmm2 --weight-iters role)
     Vf = V.reshape(J * K, S_dim)
-    logits = Vf @ model.w.T                              # (JK, I)
-    cur = np.exp(logits - jax.nn.logsumexp(
-        jnp.asarray(logits), axis=1, keepdims=True))
     gam_f = accs.gamma.reshape(J * K, I)
     occ_f = gam_f.sum(axis=1)
-    grad = np.einsum("ni,ns->is", gam_f - occ_f[:, None] * cur, Vf)
     Hw = 0.25 * np.einsum("n,nr,ns->rs", occ_f, Vf, Vf) \
         + 1e-4 * np.eye(S_dim)
-    w = model.w + w_step * np.linalg.solve(Hw, grad.T).T
+
+    def w_auxf(wm):
+        lg = Vf @ wm.T
+        lw = lg - np.asarray(jax.nn.logsumexp(jnp.asarray(lg), axis=1,
+                                              keepdims=True))
+        return float(np.sum(gam_f * lw))
+
+    w = model.w.copy()
+    for _ in range(max(w_iters, 1)):
+        logits = Vf @ w.T                                # (JK, I)
+        cur = np.exp(logits - np.asarray(jax.nn.logsumexp(
+            jnp.asarray(logits), axis=1, keepdims=True)))
+        grad = np.einsum("ni,ns->is", gam_f - occ_f[:, None] * cur, Vf)
+        step = np.linalg.solve(Hw, grad.T).T
+        base = w_auxf(w)
+        scale = w_step
+        for _ in range(8):                               # halving guard
+            cand = w + scale * step
+            if w_auxf(cand) >= base - 1e-9:
+                w = cand
+                break
+            scale *= 0.5
+        else:
+            break                                        # no progress
 
     # --- c_jk: substate weights
     occ_j = occ_jk.sum(axis=1)
@@ -285,22 +363,37 @@ def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
     c = np.where(model.c > 0, c, 0.0)
     c /= np.maximum(c.sum(axis=1, keepdims=True), 1e-30)
 
-    # --- Σ_i: shared diagonal covariance from speaker-normalized
-    # scatter
+    # --- Σ_i: shared covariance from speaker-normalized scatter
     mu = np.einsum("ids,jks->jkid", M, V)
     var = model.var.copy()
+    Sigma = None if not full else model.Sigma.copy()
     for ii in range(I):
         if occ_i[ii] < 1.0:
             continue
-        ex2 = accs.S[ii] / occ_i[ii]
-        cross = np.einsum("jk,jkd->d",
-                          accs.gamma[:, :, ii] / occ_i[ii],
-                          mu[:, :, ii] ** 2) \
-            - 2 * np.einsum("jkd,jkd->d",
-                            accs.y[:, :, ii] / occ_i[ii],
-                            mu[:, :, ii]) + ex2
-        var[ii] = np.maximum(cross, min_var)
-    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N)
+        if full:
+            # Σ_i = [S2 − Σ_jk (y μᵀ + μ yᵀ) + Σ_jk γ μμᵀ] / occ,
+            # eigenvalues floored at min_var (the reference's
+            # covariance flooring contract)
+            ymu = np.einsum("jkd,jke->de", accs.y[:, :, ii],
+                            mu[:, :, ii])
+            mumu = np.einsum("jk,jkd,jke->de", accs.gamma[:, :, ii],
+                             mu[:, :, ii], mu[:, :, ii])
+            Sg = (accs.S2[ii] - ymu - ymu.T + mumu) / occ_i[ii]
+            Sg = 0.5 * (Sg + Sg.T)
+            evals, evecs = np.linalg.eigh(Sg)
+            evals = np.maximum(evals, min_var)
+            Sigma[ii] = (evecs * evals) @ evecs.T
+            var[ii] = np.diag(Sigma[ii])
+        else:
+            ex2 = accs.S[ii] / occ_i[ii]
+            cross = np.einsum("jk,jkd->d",
+                              accs.gamma[:, :, ii] / occ_i[ii],
+                              mu[:, :, ii] ** 2) \
+                - 2 * np.einsum("jkd,jkd->d",
+                                accs.y[:, :, ii] / occ_i[ii],
+                                mu[:, :, ii]) + ex2
+            var[ii] = np.maximum(cross, min_var)
+    return Sgmm2(M=M, w=w, var=var, V=V, c=c, N=N, Sigma=Sigma)
 
 
 def split_substates(model: Sgmm2, accs: Sgmm2Accs, target: int,
@@ -329,8 +422,8 @@ def split_substates(model: Sgmm2, accs: Sgmm2Accs, target: int,
     # meaningless once M has fit the data — H = avg Σ_i w̄_i
     # M_iᵀΣ⁻¹M_i is the per-unit loglike curvature, so
     # H^{-1/2}-scaled noise moves the means by ~perturb·σ.
-    inv = 1.0 / model.var
-    MtSiM = np.einsum("idr,id,ids->irs", model.M, inv, model.M)
+    P, _ = model.precision()
+    MtSiM = np.einsum("idr,ide,ies->irs", model.M, P, model.M)
     gbar = accs.gamma.sum(axis=(0, 1))
     gbar = gbar / max(gbar.sum(), 1e-30)
     H_avg = np.einsum("i,irs->rs", gbar, MtSiM) + 1e-4 * np.eye(S)
@@ -351,7 +444,7 @@ def split_substates(model: Sgmm2, accs: Sgmm2Accs, target: int,
     log.info("split_substates: %d → %d substates (K %d → %d)", total,
              int((c > 0).sum()), K, K_new)
     return Sgmm2(M=model.M, w=model.w, var=model.var, V=V, c=c,
-                 N=model.N)
+                 N=model.N, Sigma=model.Sigma)
 
 
 def estimate_speaker_vector(model: Sgmm2, feats: np.ndarray,
@@ -366,8 +459,8 @@ def estimate_speaker_vector(model: Sgmm2, feats: np.ndarray,
     u = np.zeros(U)
     x = jnp.asarray(feats, jnp.float32)
     j = jnp.asarray(np.asarray(pdf_ali, np.int32))
-    inv = 1.0 / model.var
-    NtSi = np.einsum("idu,id->idu", model.N, inv)        # (I, D, U)
+    P, _ = model.precision()                             # (I, D, D)
+    NtSi = np.einsum("idu,ide->ieu", model.N, P)         # (I, D, U)
     H_base = np.einsum("idu,idv->iuv", NtSi, model.N)    # (I, U, U)
     for _ in range(num_iters):
         post, _norms, _xi = _frame_posteriors(model, x, j, u)
@@ -387,8 +480,8 @@ def train_sgmm(feats: Dict[str, np.ndarray],
                num_iters: int = 6, seed: int = 0,
                target_substates: int = 0,
                spk_subspace: int = 0,
-               utt2spk: Optional[Dict[str, str]] = None
-               ) -> Tuple[Sgmm2, list]:
+               utt2spk: Optional[Dict[str, str]] = None,
+               full_cov: bool = False) -> Tuple[Sgmm2, list]:
     """EM with fixed alignments (steps/train_sgmm2.sh inner loop
     without realignment).  With ``target_substates`` the substates are
     split at the halfway iteration (the recipe's --increase-dim-iters
@@ -403,7 +496,8 @@ def train_sgmm(feats: Dict[str, np.ndarray],
         raise KaldiError("alignment pdf out of range")
     model = init_sgmm(num_pdfs, allf.shape[1], num_gauss, subspace,
                       allf.mean(0), allf.var(0) + 1e-3,
-                      spk_subspace=spk_subspace, seed=seed)
+                      spk_subspace=spk_subspace, seed=seed,
+                      full_cov=full_cov)
     spk_of = utt2spk or {}
     likes = []
     for it in range(num_iters):
@@ -470,6 +564,10 @@ def write_sgmm2(path: str, model: Sgmm2) -> None:
             kio.write_token(f, "<N>")
             for i in range(model.N.shape[0]):
                 kio.write_matrix(f, model.N[i])
+        if model.Sigma is not None:
+            kio.write_token(f, "<SIGMA>")
+            for i in range(model.Sigma.shape[0]):
+                kio.write_matrix(f, model.Sigma[i])
         kio.write_token(f, "</SGMM2>")
 
 
@@ -502,10 +600,19 @@ def read_sgmm2(path: str) -> Sgmm2:
             kio.expect_token(f, "<N>")
             N = np.stack([kio.read_matrix(f)
                           for _ in range(dims["<NUMGAUSS>"])])
-        kio.expect_token(f, "</SGMM2>")
+        tok = kio.read_token(f)
+        Sigma = None
+        if tok == "<SIGMA>":
+            Sigma = np.stack([kio.read_matrix(f)
+                              for _ in range(dims["<NUMGAUSS>"])])
+            tok = kio.read_token(f)
+        if tok != "</SGMM2>":
+            raise KaldiError(f"expected </SGMM2>, got {tok}")
         return Sgmm2(M=np.asarray(M, np.float64),
                      w=np.asarray(w, np.float64),
                      var=np.asarray(var, np.float64),
                      V=np.asarray(V, np.float64),
                      c=np.asarray(c, np.float64),
-                     N=None if N is None else np.asarray(N, np.float64))
+                     N=None if N is None else np.asarray(N, np.float64),
+                     Sigma=None if Sigma is None
+                     else np.asarray(Sigma, np.float64))

@@ -34,6 +34,44 @@ def scale_lattice(clat: CompactLattice, lm_scale: float = 1.0,
     return clat
 
 
+def best_path_scaled(clat: CompactLattice, lm_scale: float = 1.0,
+                     acoustic_scale: float = 1.0) -> Tuple[List[int],
+                                                           float]:
+    """Best word sequence under scaled costs WITHOUT mutating the
+    lattice — the scoring-time `lattice-scale --lm-scale=$LMWT |
+    lattice-best-path` sweep (steps/score.sh runs it for every LMWT;
+    RESULTS reports the best).  Returns (word ids, scaled cost)."""
+    if clat.start < 0:
+        return [], 0.0
+    order = clat.top_order()
+    best = [INF] * clat.num_states
+    back: List[Optional[Tuple[int, int]]] = [None] * clat.num_states
+    best[clat.start] = 0.0
+    for s in order:
+        if best[s] == INF:
+            continue
+        for a in clat.arcs[s]:
+            c = best[s] + lm_scale * a.graph_cost \
+                + acoustic_scale * a.acoustic_cost
+            if c < best[a.nextstate]:
+                best[a.nextstate] = c
+                back[a.nextstate] = (s, a.word)
+    fbest, fstate = INF, -1
+    for s, (gc, ac, _) in clat.finals.items():
+        c = best[s] + lm_scale * gc + acoustic_scale * ac
+        if c < fbest:
+            fbest, fstate = c, s
+    words: List[int] = []
+    s = fstate
+    while s != clat.start and back[s] is not None:
+        prev, w = back[s]
+        if w:
+            words.append(w)
+        s = prev
+    words.reverse()
+    return words, fbest
+
+
 def nbest(clat: CompactLattice, n: int) -> List[Tuple[List[int], float]]:
     """N best distinct paths (word seq, cost) via A* on the DAG with the
     exact backward heuristic (lattice-to-nbest semantics)."""

@@ -245,3 +245,23 @@ def lmrescore_pruned(clat: CompactLattice, old_lm: ArpaModel,
     no_old = compose_lm(clat, old_lm.score, words, scale=-lm_scale)
     return compose_lm_pruned(no_old, new_lm.score, words, scale=lm_scale,
                              beam=beam, max_arcs=max_arcs)
+
+
+def lmrescore_diff_pruned(clat: CompactLattice, old_lm: ArpaModel,
+                          new_lm, words: SymbolTable,
+                          lm_scale: float = 1.0, beam: float = 6.0,
+                          max_arcs: int = 200_000) -> CompactLattice:
+    """ONE pruned composition with the DIFFERENCE LM: graph costs gain
+    lm_scale · (−log P_new + log P_old) per word.  Semantically the
+    lattice-lmrescore(−1) → lattice-lmrescore-const-arpa pipeline, but
+    the exact intermediate (which is quadratic in lattice density ×
+    old-LM histories and blows up on dense lattices) is never built —
+    the pruned A* expands (lattice-state, history) pairs under the
+    COMBINED score, so pruning is guided by the final costs.  History
+    length is the max of the two orders (compose_lm truncates per
+    query).  new_lm is anything with .score(history, word) — ArpaModel
+    trie (const-arpa role) or an RNNLM state-carrying scorer."""
+    def diff(hist, w):
+        return new_lm.score(hist, w) - old_lm.score(hist, w)
+    return compose_lm_pruned(clat, diff, words, scale=lm_scale,
+                             beam=beam, max_arcs=max_arcs)

@@ -139,3 +139,43 @@ class ShardedBeamDecoder:
                                         + int(dec is not self.dec))
             lats.append(dec.build_compact_lattice(host, T, X[b]))
         return lats
+
+    def decode_compact_local(self, X_local: np.ndarray,
+                             lens_local: np.ndarray):
+        """MULTI-PROCESS entry (jax.distributed global mesh): each
+        process passes its LOCAL shard of the utterance batch — rows
+        for its own devices only — and gets back lattices for exactly
+        those rows.  This is the pod decode architecture (BASELINE
+        north-star config 5): the jit is global SPMD over the mesh,
+        but every host feeds and fetches only its addressable shards
+        and builds its own lattices, the steps/decode.sh --nj split
+        over hosts.  X_local.shape[0] must be a multiple of the LOCAL
+        device count; all processes must pass the same shapes."""
+        import jax as _jax
+        if self._jit is None:
+            self._build()
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        Bl = X_local.shape[0]
+        nproc = _jax.process_count()
+        gshape = (Bl * nproc,) + X_local.shape[1:]
+        X = _jax.make_array_from_process_local_data(
+            batch_sh, np.ascontiguousarray(X_local, np.float32), gshape)
+        lens = _jax.make_array_from_process_local_data(
+            batch_sh, np.ascontiguousarray(lens_local, np.int32),
+            (Bl * nproc,))
+        with self.mesh:
+            out = self._jit(self.dec._graph_arrays(), X, lens)
+
+        def local_rows(leaf):
+            shards = sorted(leaf.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+
+        out_local = {k: local_rows(v) for k, v in out.items()}
+        hosts = self.dec._fetch_batch(out_local, Bl, lattice=True)
+        lats = []
+        for b in range(Bl):
+            T = int(lens_local[b])
+            host, dec = self.dec._maybe_escalate(hosts[b], X_local[b], T)
+            lats.append(dec.build_compact_lattice(host, T, X_local[b]))
+        return lats

@@ -1,0 +1,492 @@
+"""Flagship end-to-end LVCSR system: the reference's actual product
+(egs/librispeech/s5/run.sh + local/chain/run_tdnn.sh) at large
+vocabulary, run on REAL audio through the whole stack:
+
+    audio → MFCC/CMVN → mono GMM → tri (triphone tree, realigned) →
+    chain TDNN training (LF-MMI, tri alignments) → directly-built
+    large-vocab HCLG (fst/biglang.py) → BeamDecoder lattice decode
+    (with the product escalation policy) → 4-gram rescoring
+    (lattice-lmrescore-const-arpa role) → WER / oracle WER / density
+
+VERDICT r3 missing #1: the repo's two falsifiable evals lived at
+opposite ends — a trained 12-word ladder and a 20k-word bench on
+SYNTHETIC loglikes.  This module is the missing middle: a ≥5k-word
+confusable lexicon rendered to coarticulated audio, every decode fed
+by a REAL trained acoustic model (structured, correlated errors), and
+the LM rescoring stage measured for quality AND throughput.
+
+Corpus design (all synthetic — the environment has no audio corpora):
+
+  * phones come in spectral CLUSTERS (formant targets within a few
+    percent), and each word family's variants substitute a phone with
+    another from the SAME cluster — minimal pairs that are genuinely
+    acoustically confusable, so the lattice must carry whole
+    confusion sets and the LM has real disambiguation work to do;
+  * transcripts are sampled from a PHRASE grammar (Zipf-weighted
+    inventory of multi-word collocations): word identity is
+    predictable from 2–3 words of context, which a pruned trigram in
+    the decode graph captures only partially — the measured headroom
+    the full 4-gram rescore then claims (the reference's
+    fglarge-rescoring contract).
+
+Runnable:  python -m kaldi_tpu.pipelines.flagship
+Emits one RESULTS-style JSON line per system rung (HARDBENCH schema).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kaldi_tpu.core.logging import Timer, get_logger
+from kaldi_tpu.core.options import ParseOptions
+
+log = get_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# lexicon + phrase-grammar corpus
+# ---------------------------------------------------------------------------
+
+def flagship_phones(n_clusters: int = 10, per_cluster: int = 3
+                    ) -> Tuple[List[str], Dict[str, Tuple[float, float]]]:
+    """Phone inventory in spectral clusters: cluster centers spread
+    over the (F1, F2) plane, members offset by ±4–8 % — close enough
+    that waveform noise + speaker warp produce real substitutions
+    WITHIN a cluster, far enough that cross-cluster confusions are
+    rare (the {AE,EH,IH} / {B,P} structure of pipelines/data.py's
+    12-word corpus, scaled to an arbitrary inventory)."""
+    f1s = np.linspace(280.0, 1000.0, n_clusters)
+    f2s = 1050.0 + 2100.0 * ((np.arange(n_clusters) * 7) % n_clusters) \
+        / max(n_clusters - 1, 1)
+    phones, formants = [], {}
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            p = f"c{c:02d}p{m}"
+            off = 1.0 + 0.055 * (m - (per_cluster - 1) / 2)
+            phones.append(p)
+            formants[p] = (float(f1s[c] * off), float(f2s[c] * off))
+    return phones, formants
+
+
+def flagship_lexicon(vocab_size: int = 5000, n_clusters: int = 10,
+                     per_cluster: int = 3, variants: int = 5,
+                     min_len: int = 3, max_len: int = 6, seed: int = 11
+                     ) -> Tuple[List[Tuple[str, List[str]]],
+                                Dict[str, Tuple[float, float]]]:
+    """``vocab_size`` words in families of ``variants`` minimal pairs;
+    each variant substitutes ONE phone of the family's base
+    pronunciation with another member of the SAME spectral cluster
+    (pipelines/hard.py confusable_entries, made acoustically real)."""
+    phones, formants = flagship_phones(n_clusters, per_cluster)
+    rng = np.random.default_rng(seed)
+    n_ph = len(phones)
+    entries: List[Tuple[str, List[str]]] = []
+    seen_prons = set()
+    wid = 0
+    while wid < vocab_size:
+        L = int(rng.integers(min_len, max_len + 1))
+        base = rng.integers(0, n_ph, L)
+        for v in range(variants):
+            if wid >= vocab_size:
+                break
+            pron = base.copy()
+            if v > 0:
+                pos = int(rng.integers(0, L))
+                cluster = int(pron[pos]) // per_cluster
+                pron[pos] = cluster * per_cluster + int(
+                    rng.integers(0, per_cluster))
+            key = tuple(int(k) for k in pron)
+            if v > 0 and key in seen_prons:
+                continue              # exact homophones add nothing
+            seen_prons.add(key)
+            entries.append((f"w{wid:05d}", [phones[int(k)] for k in pron]))
+            wid += 1
+    return entries, formants
+
+
+def phrase_texts(words: Sequence[str], n_sents: int,
+                 n_phrases: int = 2000,
+                 phrase_len: Tuple[int, int] = (3, 4),
+                 sent_phrases: Tuple[int, int] = (1, 2),
+                 seed: int = 5,
+                 phrase_seed: Optional[int] = None) -> List[List[str]]:
+    """Sentences from a Zipf-weighted PHRASE inventory: a phrase's
+    continuation is deterministic given 2–3 words of context, so a
+    higher-order LM has real headroom over a pruned trigram — the
+    structure the 4-gram rescoring stage needs to demonstrate a WER
+    delta (librispeech's tglarge→fglarge rescoring contract).
+
+    The phrase inventory (the grammar) is drawn from ``phrase_seed``,
+    the sentences from ``seed`` — LM text, train transcripts and
+    held-out test transcripts must share the GRAMMAR while being
+    distinct sentence draws."""
+    prng = np.random.default_rng(seed if phrase_seed is None
+                                 else phrase_seed)
+    rng = np.random.default_rng(seed)
+    V = len(words)
+    zipf_w = 1.0 / np.arange(1, V + 1)
+    zipf_w /= zipf_w.sum()
+    phrases = []
+    for _ in range(n_phrases):
+        L = int(prng.integers(phrase_len[0], phrase_len[1] + 1))
+        phrases.append([words[int(k)]
+                        for k in prng.choice(V, size=L, p=zipf_w)])
+    zipf_p = 1.0 / np.arange(1, n_phrases + 1)
+    zipf_p /= zipf_p.sum()
+    sents = []
+    for _ in range(n_sents):
+        n = int(rng.integers(sent_phrases[0], sent_phrases[1] + 1))
+        s: List[str] = []
+        for k in rng.choice(n_phrases, size=n, p=zipf_p):
+            s.extend(phrases[int(k)])
+        sents.append(s)
+    return sents
+
+
+def render_dataset(lex, formants, sents: List[List[str]],
+                   num_speakers: int, speaker_prefix: str,
+                   noise: float, speaker_warp: float, coart: float,
+                   seed: int):
+    """Transcripts → DataSet (deterministic per-speaker warp, shared
+    rendering engine with the ladder — pipelines/data.py)."""
+    import zlib
+
+    from kaldi_tpu.pipelines.data import DataSet, SyntheticSpeech
+    rng = np.random.default_rng(seed)
+    synth = SyntheticSpeech(lex, samp_freq=8000, formants=formants)
+    wavs, text, utt2spk = {}, {}, {}
+    for i, sent in enumerate(sents):
+        spk = f"{speaker_prefix}{i % num_speakers}"
+        h = np.random.default_rng(zlib.crc32(spk.encode()))
+        warp = 1.0 + speaker_warp * (2 * h.random() - 1)
+        utt = f"{spk}_utt{i:05d}"
+        wavs[utt] = (synth.render_words(sent, rng, warp=warp,
+                                        noise=noise, coart=coart), 8000)
+        text[utt] = list(sent)
+        utt2spk[utt] = spk
+    return DataSet(wavs, text, utt2spk)
+
+
+# ---------------------------------------------------------------------------
+# decode + score helpers (shared with the hard bench's schema)
+# ---------------------------------------------------------------------------
+
+class _DecodeSys:
+    """Duck-typed LargeVocabTask for pipelines.hard.decode_eval /
+    score_lattices: one decode system = graph + transition model."""
+
+    def __init__(self, graph, tm, num_pdfs, words):
+        self.graph = graph
+        self.tm = tm
+        self.num_pdfs = num_pdfs
+        self.words = words
+
+
+# scoring-time LM-scale sweep (steps/score.sh LMWT 7..17 at acwt 10 —
+# here costs are natural-log at acoustic scale 1, so the equivalent
+# grid is ratios around 1)
+_LM_SCALES = (0.5, 0.7, 1.0, 1.4, 2.0, 2.8, 4.0)
+
+
+def _sweep_wer(words_tab, eval_text, lats,
+               scales: Sequence[float] = _LM_SCALES):
+    """Best (wer_result, lm_scale) over the scoring sweep — the
+    RESULTS-file convention (each rung reports its best LMWT)."""
+    from kaldi_tpu.lattice.functions import best_path_scaled
+    from kaldi_tpu.pipelines.score import compute_wer
+    best = None
+    for s in scales:
+        hyps = {u: [words_tab.find(w)
+                    for w in best_path_scaled(lat, lm_scale=s)[0]]
+                for u, lat in lats.items()}
+        r = compute_wer(eval_text, hyps)
+        if best is None or r.wer < best[0].wer:
+            best = (r, s)
+    return best
+
+
+def _decode_and_score(sys_, eval_text, lls, frame_s: float, **knobs):
+    """Lattice-decode every utterance (with the product escalation
+    policy) and score: returns the HARDBENCH-style record."""
+    from kaldi_tpu.pipelines.hard import decode_eval, score_lattices
+    lats, stats = decode_eval(sys_, lls, **knobs)
+    _, oracle, density = score_lattices(sys_, eval_text, lats)
+    wer, lm_scale = _sweep_wer(sys_.words, eval_text, lats)
+    audio_s = sum(len(x) for x in lls.values()) * frame_s
+    rec = {
+        "wer": round(wer.wer, 2), "lm_scale": lm_scale,
+        "oracle_wer": round(oracle, 2),
+        "density": round(density, 2),
+        "audio_s_per_s": round(audio_s / stats["wall_s"], 1),
+        "n_escalated": stats["n_escalated"],
+        "min_eff_beam": round(stats["min_eff_beam"], 2),
+        "dropped_arcs": stats["dropped"],
+    }
+    return rec, lats, wer
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
+        lm_sents: int = 30000, seed: int = 1, noise: float = 0.10,
+        speaker_warp: float = 0.12, coart: float = 0.35,
+        chain_epochs: int = 10, tri_leaves: Optional[int] = None,
+        mono_train_utts: Optional[int] = None,
+        chain_dtype: Optional[str] = None,
+        arc_budget: int = 4096, escalate_budget: int = 16384,
+        results_path: Optional[str] = None) -> List[Dict]:
+    """The full system build.  Returns the RESULTS records (one per
+    rung: mono-GMM, chain, chain+4-gram-rescore)."""
+    import jax
+
+    from kaldi_tpu.am.chain import make_denominator_graph
+    from kaldi_tpu.am.tdnn import TdnnConfig
+    from kaldi_tpu.am.topology import HmmTopology
+    from kaldi_tpu.am.transitions import TransitionModel
+    from kaldi_tpu.am.tree import MonophoneContextDependency
+    from kaldi_tpu.features import add_deltas
+    from kaldi_tpu.fst import Lang, Lexicon
+    from kaldi_tpu.fst.arpa import estimate_arpa
+    from kaldi_tpu.fst.biglang import build_big_graph
+    from kaldi_tpu.lattice.functions import oracle_errors
+    from kaldi_tpu.lattice.rescore import lmrescore_diff_pruned
+    from kaldi_tpu.pipelines.chain import (ChainTrainConfig, ChainTrainer,
+                                           make_chain_egs,
+                                           phone_alignment_runs)
+    from kaldi_tpu.pipelines.mini import base_feats
+    from kaldi_tpu.pipelines.mono import MonoTrainConfig, train_mono
+    from kaldi_tpu.pipelines.score import compute_wer
+    from kaldi_tpu.pipelines.tri import TriTrainConfig, train_tri
+
+    timer = Timer()
+    results: List[Dict] = []
+
+    # -- 1. lexicon, language, LM ------------------------------------------
+    entries, formants = flagship_lexicon(vocab, seed=seed + 10)
+    entries = sorted(entries)
+    lex = Lexicon(list(entries))
+    lang = Lang(lex)
+    ws = [w for w, _ in entries]
+    lm_texts = phrase_texts(ws, lm_sents, seed=seed + 20,
+                            phrase_seed=seed + 7)
+    # decode-graph LM: PRUNED trigram (the 'tgsmall' role); rescoring
+    # LM: full 4-gram (the 'fglarge' / const-arpa role)
+    arpa3 = estimate_arpa(lm_texts, order=3, prune_count=3, vocab=ws)
+    arpa4 = estimate_arpa(lm_texts, order=4, prune_count=1, vocab=ws)
+    log.info("flagship: %d words, %d phones, LM %d sents (%.0fs)",
+             len(entries), len(lang.phone_list()), len(lm_texts),
+             timer.elapsed())
+
+    # -- 2. corpora (held-out utterances AND speakers) ----------------------
+    tr_sents = phrase_texts(ws, train_utts, seed=seed + 30,
+                            phrase_seed=seed + 7)
+    te_sents = phrase_texts(ws, test_utts, seed=seed + 40,
+                            phrase_seed=seed + 7)
+    n_spk = max(8, train_utts // 20)
+    train = render_dataset(lex, formants, tr_sents, n_spk, "spk",
+                           noise, speaker_warp, coart, seed + 50)
+    test = render_dataset(lex, formants, te_sents,
+                          max(4, test_utts // 20), "tspk",
+                          noise, speaker_warp, coart, seed + 60)
+    audio_s_tr = sum(w.shape[0] for w, _ in train.wavs.values()) / 8000.0
+    audio_s_te = sum(w.shape[0] for w, _ in test.wavs.values()) / 8000.0
+    log.info("flagship: rendered %.0f train / %.0f test audio-s (%.0fs)",
+             audio_s_tr, audio_s_te, timer.elapsed())
+
+    # -- 3. features ---------------------------------------------------------
+    base_tr = base_feats(train)
+    base_te = base_feats(test)
+    delta_tr = {u: np.asarray(add_deltas(f)) for u, f in base_tr.items()}
+    delta_te = {u: np.asarray(add_deltas(f)) for u, f in base_te.items()}
+    log.info("flagship: MFCC+CMVN(+deltas) done (%.0fs)", timer.elapsed())
+
+    # -- 4. GMM ladder: mono → tri (the alignment machine) ------------------
+    # mono needs only enough data to bootstrap alignments; cap its
+    # corpus like the reference trains mono on a shortest-utterance
+    # subset (train_mono.sh on train_2kshort)
+    mono_n = mono_train_utts or min(train_utts, 400)
+    mono_utts = sorted(delta_tr)[:mono_n]
+    n_mono = 14
+    mono = train_mono({u: delta_tr[u] for u in mono_utts},
+                      {u: train.text[u] for u in mono_utts}, lang,
+                      MonoTrainConfig(num_iters=n_mono, totgauss=500,
+                                      realign_iters=tuple(
+                                          range(1, n_mono, 2))))
+    log.info("flagship: mono trained (%.0fs)", timer.elapsed())
+    mono_ali = _align(mono, {u: delta_tr[u] for u in sorted(delta_tr)},
+                      train.text, lang)
+    log.info("flagship: mono alignments (%.0fs)", timer.elapsed())
+
+    leaves = tri_leaves or max(100, min(500, train_utts // 4))
+    tri, tri_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
+                             TriTrainConfig(
+                                 num_iters=12, num_leaves=leaves,
+                                 totgauss=20 * leaves,
+                                 realign_iters=(1, 2, 4, 6, 8, 10)))
+    log.info("flagship: tri (%d leaves) trained (%.0fs)", leaves,
+             timer.elapsed())
+
+    # -- 5. mono-GMM rung on the large-vocab graph --------------------------
+    graph_gmm = build_big_graph(entries, arpa3, mono.tm, lang.words,
+                                lang.phones, self_loop_scale=0.1)
+    sys_gmm = _DecodeSys(graph_gmm, mono.tm, mono.am.num_pdfs,
+                         lang.words)
+    # GMM acoustic scale 0.1 — prescale (decode_eval runs scale 1.0)
+    lls_gmm = {u: 0.1 * np.asarray(mono.am.loglikes(delta_te[u]),
+                                   np.float32)
+               for u in sorted(delta_te)}
+    rec, _, _ = _decode_and_score(
+        sys_gmm, test.text, lls_gmm, frame_s=0.01, beam=14.0,
+        max_active=7000, arc_budget=arc_budget,
+        escalate_budget=escalate_budget)
+    rec.update(metric="flagship_results", system="mono-gmm",
+               graph_states=graph_gmm.csr.num_states)
+    results.append(rec)
+    log.info("flagship RESULTS mono-gmm: %s (%.0fs)", rec,
+             timer.elapsed())
+
+    # -- 6. chain TDNN (LF-MMI on tri alignments) ---------------------------
+    phones = lang.phone_list()
+    chain_topo = HmmTopology.chain(phones)
+    chain_tree = MonophoneContextDependency(phones, chain_topo)
+    phone_seqs = [tri.tm.alignment_to_phones(tri_ali[u])
+                  for u in sorted(tri_ali)]
+    den = make_denominator_graph(phone_seqs, chain_tree, chain_topo,
+                                 order=3)
+    runs = {u: phone_alignment_runs(tri.tm, tri_ali[u]) for u in tri_ali}
+    feat_dim = next(iter(base_tr.values())).shape[1]
+    egs = make_chain_egs(base_tr, runs, chain_tree, chain_topo,
+                         chunk_size=51, subsample=3, den=den)
+    # bf16 compute with f32 master params is the TPU training default
+    # (the MXU fast path; the recursions in chain_objf stay f32)
+    if chain_dtype is None:
+        chain_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                       else "float32")
+    ccfg = TdnnConfig(feat_dim=feat_dim, num_pdfs=chain_tree.num_pdfs,
+                      hidden_dim=256, bottleneck_dim=64, num_layers=7,
+                      frame_subsampling_factor=3,
+                      compute_dtype=chain_dtype)
+    trainer = ChainTrainer(ccfg, den, ChainTrainConfig(
+        num_epochs=chain_epochs, batch_size=32, learning_rate=2e-3),
+        seed=seed)
+    final = trainer.train(egs, log_every=500)
+    log.info("flagship: chain objf %.3f (%.0fs)", final["objf"],
+             timer.elapsed())
+
+    tm_chain = TransitionModel(chain_topo, chain_tree)
+    graph_ch = build_big_graph(entries, arpa3, tm_chain, lang.words,
+                               lang.phones, self_loop_scale=1.0)
+    sys_ch = _DecodeSys(graph_ch, tm_chain, chain_tree.num_pdfs,
+                        lang.words)
+    scorer = trainer.scores_fn()
+    lls_ch = {u: np.asarray(scorer(base_te[u][None]))[0].astype(
+        np.float32) for u in sorted(base_te)}
+    rec, lats_ch, wer_ch = _decode_and_score(
+        sys_ch, test.text, lls_ch, frame_s=0.03, beam=14.0,
+        max_active=7000, arc_budget=arc_budget,
+        escalate_budget=escalate_budget)
+    rec.update(metric="flagship_results", system="chain-tdnn",
+               graph_states=graph_ch.csr.num_states,
+               objf=round(float(final["objf"]), 3))
+    results.append(rec)
+    log.info("flagship RESULTS chain: %s (%.0fs)", rec, timer.elapsed())
+
+    # -- 7. 4-gram rescoring of the chain lattices --------------------------
+    # one-pass pruned composition with the difference LM — the
+    # lattice-lmrescore(−1) → lattice-lmrescore-const-arpa pipeline
+    # without the exact intermediate (src/lat/compose-lattice-pruned.h
+    # role; dense lattices blow the exact path up)
+    t0 = time.perf_counter()
+    lats4, orc_err, orc_words = {}, 0, 0
+    for u, lat in lats_ch.items():
+        r = lmrescore_diff_pruned(lat, arpa3, arpa4, lang.words,
+                                  lm_scale=1.0, beam=8.0)
+        lats4[u] = r
+        ref_ids = [lang.words[w] for w in test.text[u]]
+        orc_err += oracle_errors(r, ref_ids)
+        orc_words += len(ref_ids)
+    rescore_s = time.perf_counter() - t0
+    wer4, scale4 = _sweep_wer(lang.words, test.text, lats4)
+    rec = {
+        "metric": "flagship_results", "system": "chain+4gram-rescore",
+        "wer": round(wer4.wer, 2), "lm_scale": scale4,
+        "oracle_wer": round(100.0 * orc_err / max(orc_words, 1), 2),
+        "rescore_audio_s_per_s": round(audio_s_te / rescore_s, 1),
+        "wer_delta_vs_trigram": round(wer4.wer - wer_ch.wer, 2),
+    }
+    results.append(rec)
+    log.info("flagship RESULTS rescore: %s (%.0fs total)", rec,
+             timer.elapsed())
+
+    print("\n== flagship RESULTS (vocab %d, %d train utts / %.0f audio-s,"
+          " %d test utts, noise %.2f warp %.2f) ==" %
+          (vocab, train_utts, audio_s_tr, test_utts, noise,
+           speaker_warp))
+    for r in results:
+        print("  %-22s WER %5.2f  oracle %5.2f  %s" % (
+            r["system"], r["wer"], r["oracle_wer"],
+            " ".join(f"{k}={v}" for k, v in r.items()
+                     if k in ("density", "audio_s_per_s", "n_escalated",
+                              "rescore_audio_s_per_s",
+                              "wer_delta_vs_trigram"))))
+    for r in results:
+        print(json.dumps(r))
+    if results_path:
+        with open(results_path, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    return results
+
+
+def _align(model, feats: Dict[str, np.ndarray],
+           text: Dict[str, List[str]], lang) -> Dict[str, List[int]]:
+    """Batch Viterbi alignment with `model` over all of `feats`
+    (steps/align_si.sh role; the dense aligner is exact)."""
+    from kaldi_tpu.decoder.align import (DenseAligner, in_degrees,
+                                         pack_dense_reverse)
+    from kaldi_tpu.decoder.training_graph import TrainingGraphCompiler
+    compiler = TrainingGraphCompiler(lang, model.tm)
+    utts = sorted(feats)
+    graphs = {u: compiler.compile_text(text[u]) for u in utts}
+    ae = max(in_degrees(g)[0] for g in graphs.values())
+    an = max(max(in_degrees(g)[1] for g in graphs.values()), 1)
+    smax = max(g.num_states for g in graphs.values())
+    dense = [pack_dense_reverse(graphs[u], smax, ae, an) for u in utts]
+    aligner = DenseAligner(model.tm.tid_to_pdf_array)
+    lls = [np.asarray(model.am.loglikes(feats[u])) for u in utts]
+    return {u: tids for u, (tids, _) in
+            zip(utts, aligner.align_batch(dense, lls))}
+
+
+def main(argv=None):
+    po = ParseOptions("Usage: python -m kaldi_tpu.pipelines.flagship")
+    po.register("vocab", int, 5000, "vocabulary size")
+    po.register("train-utts", int, 1000, "training utterances")
+    po.register("test-utts", int, 250, "test utterances")
+    po.register("chain-epochs", int, 10, "chain training epochs")
+    po.register("noise", float, 0.10, "waveform noise")
+    po.register("speaker-warp", float, 0.12, "per-speaker formant warp")
+    po.register("results", str, "", "write JSON lines here too")
+    po.read(argv)
+    results = run(vocab=po["vocab"], train_utts=po["train-utts"],
+                  test_utts=po["test-utts"],
+                  chain_epochs=po["chain-epochs"], noise=po["noise"],
+                  speaker_warp=po["speaker-warp"],
+                  results_path=po["results"] or None)
+    by = {r["system"]: r for r in results}
+    ok = (0.0 < by["chain-tdnn"]["wer"] < by["mono-gmm"]["wer"]
+          and by["chain+4gram-rescore"]["wer"]
+          <= by["chain-tdnn"]["wer"])
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

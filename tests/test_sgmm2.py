@@ -205,3 +205,131 @@ def test_serialization_roundtrip_with_substates_and_spk(tmp_path):
     x = rng.standard_normal((5, 5)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(m.loglikes(x)),
                                np.asarray(r.loglikes(x)), atol=1e-4)
+
+
+def _planted_full(rng, J=4, I=5, D=6, S=3, frames_per_state=220):
+    """Sample data from a true FULL-covariance SGMM: each Σ_i gets a
+    strong off-diagonal correlation structure a diagonal model cannot
+    represent."""
+    true = init_sgmm(J, D, I, S, np.zeros(D), np.ones(D), seed=1,
+                     full_cov=True)
+    true.V = rng.standard_normal((J, 1, S))
+    true.M = rng.standard_normal((I, D, S)) * 0.8
+    for i in range(I):
+        A = rng.standard_normal((D, D)) * 0.35
+        true.Sigma[i] = 0.15 * np.eye(D) + A @ A.T
+        true.var[i] = np.diag(true.Sigma[i])
+    mu = true.means()
+    logw = np.asarray(true.log_weights())
+    feats, ali = [], []
+    for j in range(J):
+        w = np.exp(logw[j, 0])
+        comps = rng.choice(I, size=frames_per_state, p=w / w.sum())
+        chols = np.linalg.cholesky(true.Sigma)
+        eps = rng.standard_normal((frames_per_state, D))
+        x = mu[j, 0, comps] + np.einsum("tde,te->td", chols[comps], eps)
+        feats.append(x)
+        ali.append(np.full(frames_per_state, j, np.int32))
+    order = rng.permutation(J * frames_per_state)
+    return (true, np.concatenate(feats)[order].astype(np.float32),
+            np.concatenate(ali)[order])
+
+
+def test_fullcov_loglikes_match_direct_sum():
+    """Full-covariance scoring == direct per-component Gaussian sum."""
+    rng = np.random.default_rng(5)
+    m = init_sgmm(3, 4, 4, 2, rng.standard_normal(4),
+                  np.abs(rng.standard_normal(4)) + 0.5, seed=2,
+                  full_cov=True)
+    m.V = rng.standard_normal(m.V.shape)
+    for i in range(4):
+        A = rng.standard_normal((4, 4)) * 0.3
+        m.Sigma[i] = 0.2 * np.eye(4) + A @ A.T
+        m.var[i] = np.diag(m.Sigma[i])
+    x = rng.standard_normal((6, 4)).astype(np.float32)
+    got = np.asarray(m.loglikes(x))
+    mu = m.means()
+    logw = np.asarray(m.log_weights())
+    logc = np.log(m.c)
+    P = np.linalg.inv(m.Sigma)
+    _s, logdet = np.linalg.slogdet(m.Sigma)
+    ref = np.zeros((6, 3))
+    for t in range(6):
+        for j in range(3):
+            comps = []
+            for k in range(m.num_substates):
+                for i in range(4):
+                    d = x[t] - mu[j, k, i]
+                    ln = (-0.5 * (4 * np.log(2 * np.pi) + logdet[i])
+                          - 0.5 * d @ P[i] @ d)
+                    comps.append(ln + logw[j, k, i] + logc[j, k])
+            ref[t, j] = np.logaddexp.reduce(comps)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_fullcov_em_recovers_planted_and_beats_diag():
+    """Planted full-covariance model: full-cov EM must (a) improve
+    monotonically, (b) beat the diagonal-covariance model trained on
+    the same correlated data, (c) approach the true model's heldout
+    loglike — the am-sgmm2.h full-covariance contract."""
+    rng = np.random.default_rng(11)
+    true, X, A = _planted_full(rng)
+    fd = {"u0": X}
+    ad = {"u0": A}
+    m_full, l_full = train_sgmm(fd, ad, num_pdfs=4, num_gauss=5,
+                                subspace=3, num_iters=8, seed=0,
+                                full_cov=True)
+    m_diag, l_diag = train_sgmm(fd, ad, num_pdfs=4, num_gauss=5,
+                                subspace=3, num_iters=8, seed=0)
+    assert m_full.Sigma is not None
+    # monotone-ish improvement (EM on the same data)
+    assert l_full[-1] > l_full[0] + 0.5
+    # the correlations are real: full-cov fits the data better
+    assert l_full[-1] > l_diag[-1] + 0.3, (l_full[-1], l_diag[-1])
+    # learned covariances carry off-diagonal mass
+    off = np.abs(m_full.Sigma - np.einsum(
+        "ide,de->ide", m_full.Sigma, np.eye(m_full.dim))).sum()
+    assert off > 1.0
+    # heldout: within 15% of the true model's own likelihood
+    _t2, Xh, Ah = _planted_full(np.random.default_rng(12))
+    # (same true params regenerated — seed 1 inside _planted_full —
+    # but fresh frames)
+    ll_true = float(np.asarray(
+        true.loglikes(Xh))[np.arange(len(Ah)), Ah].mean())
+    ll_got = float(np.asarray(
+        m_full.loglikes(Xh))[np.arange(len(Ah)), Ah].mean())
+    assert ll_got > ll_true - abs(ll_true) * 0.15, (ll_got, ll_true)
+
+
+def test_weight_iterations_improve_auxf():
+    """The iterated safeguarded w update reaches a higher weight
+    auxiliary than a single step (the MleAmSgmm2Updater weight loop)."""
+    rng = np.random.default_rng(7)
+    true, X, A = _planted(rng)
+    m0 = init_sgmm(4, 8, 6, 3, X.mean(0), X.var(0) + 1e-3, seed=0)
+    accs = accumulate(m0, X, A)
+
+    def auxf(m):
+        lw = np.asarray(m.log_weights())       # (J, K, I)
+        return float(np.sum(accs.gamma * lw))
+
+    m1 = update(m0, accs, w_iters=1)
+    m3 = update(m0, accs, w_iters=4)
+    assert auxf(m3) >= auxf(m1) - 1e-6
+    assert auxf(m3) > auxf(m0) + 1e-3
+
+
+def test_fullcov_serialization_roundtrip(tmp_path):
+    from kaldi_tpu.am.sgmm2 import read_sgmm2, write_sgmm2
+    rng = np.random.default_rng(3)
+    m = init_sgmm(3, 4, 3, 2, np.zeros(4), np.ones(4), seed=5,
+                  full_cov=True)
+    for i in range(3):
+        A = rng.standard_normal((4, 4)) * 0.2
+        m.Sigma[i] = 0.3 * np.eye(4) + A @ A.T
+    write_sgmm2(str(tmp_path / "m.sgmm2"), m)
+    r = read_sgmm2(str(tmp_path / "m.sgmm2"))
+    np.testing.assert_allclose(m.Sigma, r.Sigma, atol=1e-6)
+    x = rng.standard_normal((5, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(m.loglikes(x)),
+                               np.asarray(r.loglikes(x)), atol=1e-4)
