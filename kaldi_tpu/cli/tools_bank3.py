@@ -785,21 +785,24 @@ def lattice_lmrescore_const_arpa(argv):
 def lattice_lmrescore_pruned(argv):
     from kaldi_tpu.fst.arpa import ArpaModel
     from kaldi_tpu.fst.fst import SymbolTable
-    from kaldi_tpu.lattice.rescore import lmrescore_pruned
+    from kaldi_tpu.lattice.rescore import lmrescore_diff_pruned
     po = ParseOptions("lattice-lmrescore-pruned [--lm-scale=1.0] "
-                      "[--lattice-compose-beam=6] [--max-arcs=100000] "
+                      "[--lattice-compose-beam=6] [--max-arcs=200000] "
                       "<old-arpa> <new-arpa> <words.txt> <lat-rspec> "
                       "<lat-wspec>")
     po.register("lm-scale", float, 1.0, "LM scale")
     po.register("lattice-compose-beam", float, 6.0, "composition beam")
-    po.register("max-arcs", int, 100_000, "output arc cap")
+    po.register("max-arcs", int, 200_000, "output arc cap")
     args = po.read(argv)
     old_lm = ArpaModel.parse(args[0])
     new_lm = ArpaModel.parse(args[1])
     words = SymbolTable.read(args[2])
     with TableWriter(args[4], holder="clat") as w:
         for key, clat in SequentialTableReader(args[3], holder="clat"):
-            w[key] = lmrescore_pruned(
+            # single pruned composition with the difference LM: the
+            # exact subtract-then-add intermediate is quadratic in
+            # density × histories and blows up on dense lattices
+            w[key] = lmrescore_diff_pruned(
                 clat, old_lm, new_lm, words, lm_scale=po["lm-scale"],
                 beam=po["lattice-compose-beam"], max_arcs=po["max-arcs"])
     return 0

@@ -83,10 +83,14 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
         lda_dim: Optional[int] = None,
         coarticulation: float = 0.0,
         num_speakers: int = 4,
-        num_test_speakers: int = 3):
+        num_test_speakers: int = 3,
+        lm_order: int = 1):
     """The tri ladder.  noise/speaker_warp/heldout_speakers/formants
     make the corpus hard enough for NONZERO WER (pipelines/ladder.py);
-    defaults reproduce the easy smoke corpus."""
+    defaults reproduce the easy smoke corpus.  ``lm_order`` > 1
+    estimates G from the TRAINING transcripts (the local/..._train_lms
+    role) instead of the unigram grammar — at ≥100-word lexicons this
+    gives the decoder real LM disambiguation work."""
     timer = Timer()
     lex = lexicon or mini_lexicon()
     lang = Lang(lex)
@@ -105,8 +109,15 @@ def run(num_utts: int = 60, num_test: int = 15, seed: int = 1,
     base_te = base_feats(test)
     delta_tr = {u: np.asarray(add_deltas(f)) for u, f in base_tr.items()}
     delta_te = {u: np.asarray(add_deltas(f)) for u, f in base_te.items()}
-    G = arpa_to_fst(ArpaModel.parse(make_unigram_arpa(
-        {w: 1.0 for w, _ in lex.entries})), lang.words)
+    if lm_order > 1:
+        from kaldi_tpu.fst.arpa import estimate_arpa
+        arpa = estimate_arpa([train.text[u] for u in train.utts],
+                             order=lm_order, prune_count=1,
+                             vocab=[w for w, _ in lex.entries])
+        G = arpa_to_fst(arpa, lang.words)
+    else:
+        G = arpa_to_fst(ArpaModel.parse(make_unigram_arpa(
+            {w: 1.0 for w, _ in lex.entries})), lang.words)
     dcfg = BeamDecoderConfig(beam=16.0, max_active=2000, acoustic_scale=0.1)
     wers = {}
 
