@@ -49,6 +49,8 @@ def online2_wav_nnet3_latgen_faster(argv):
                 "re-estimate the i-vector every N frames")
     po.register("do-endpointing", bool, False,
                 "stop decoding at a detected endpoint")
+    from kaldi_tpu.cli.tools import register_latgen_opts
+    register_latgen_opts(po)
     args = po.read(argv)
     if len(args) != 5:
         po.print_usage()
@@ -64,15 +66,19 @@ def online2_wav_nnet3_latgen_faster(argv):
         # large-graph streaming path (OnlineBeamDecoder)
         from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
         from kaldi_tpu.fst.csr import pack_fst
+        from kaldi_tpu.cli.tools import latgen_kwargs
+        kw = latgen_kwargs(po)
         dec = BeamDecoder(pack_fst(HCLG), tm.tid_to_pdf_array,
                           BeamDecoderConfig(
                               beam=po["beam"], max_active=7000,
                               acoustic_scale=po["acoustic-scale"],
                               lattice_beam=8.0,
                               lattice_arcs_per_frame=8192,
-                              record_capacity=65536))
+                              record_capacity=65536, **kw))
         log.info("online2: %d states → OnlineBeamDecoder "
-                 "(large-graph streaming path)", HCLG.num_states)
+                 "(large-graph streaming path; arc_budget %d, "
+                 "escalate %d)", HCLG.num_states, kw["arc_budget"],
+                 kw["escalate_budget"])
     else:
         dec = DenseDecoder(HCLG, tm.tid_to_pdf_array,
                            DenseDecoderConfig(
