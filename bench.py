@@ -274,48 +274,75 @@ def main():
         rng_np = np.random.default_rng(0)
         seqs = [list(rng_np.integers(1, 42, 20)) for _ in range(200)]
         den = make_denominator_graph(seqs, tree, topo, order=3)
-        ccfg = TdnnConfig(feat_dim=40, num_pdfs=tree.num_pdfs,
-                          hidden_dim=1024, bottleneck_dim=128,
-                          num_layers=13, frame_subsampling_factor=3)
         Bt, Tt = 32, 150                # the get_egs.sh chunk contract
-        trainer = ChainTrainer(ccfg, den, ChainTrainConfig(
-            batch_size=Bt, optimizer="ngsgd", total_steps=0))
-        tp = sum(int(np.prod(p.shape)) for p in
-                 jax.tree_util.tree_leaves(trainer.params))
         feats = jnp.asarray(
             rng_np.standard_normal((Bt, Tt, 40)), jnp.float32)
         pdf_ali = jnp.asarray(
             rng_np.integers(0, tree.num_pdfs, (Bt, Tt // 3)), jnp.int32)
         mask = jnp.ones((Bt, Tt // 3), bool)
-        p, bs, ost = trainer.params, trainer.batch_stats, \
-            trainer.opt_state
-        for _ in range(3):                             # compile+warm
-            p, bs, ost, loss, diag = trainer._step(
-                p, bs, ost, feats, pdf_ali, mask)
-        jax.block_until_ready(loss)
-        # WALL time over a pipelined loop (xplane op-duration sums
-        # double-count async copy windows and are useless for
-        # throughput — measured 2216 "ms" where wall is 1.4 ms)
-        n_steps = 50
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            p, bs, ost, loss, diag = trainer._step(
-                p, bs, ost, feats, pdf_ali, mask)
-        jax.block_until_ready(loss)
-        dev_s = (time.perf_counter() - t0) / n_steps
-        frames_per_s = Bt * Tt / dev_s
-        # fwd 2·P·tok + bwd 4·P·tok on the dense layers (nominal)
-        tflops = 6 * tp * Bt * Tt / dev_s / 1e12
-        log.info("bench: chain TRAIN step %.2f ms wall / (%d×%d) "
-                 "egs → %.2fM frames/s, ~%.1f TFLOP/s nominal "
-                 "(%.1fM params, NG-SGD, den %d states, dense den "
-                 "recursion)", dev_s * 1e3, Bt, Tt, frames_per_s / 1e6,
-                 tflops, tp / 1e6, den.num_states)
+        results_by_dtype = {}
+        for dtype in ("bfloat16", "float32"):
+            # bf16 COMPUTE with f32 master params (flax dtype=bf16
+            # casts activations/kernels into the MXU fast path; the
+            # den recursion in chain_objf stays f32) vs full f32
+            ccfg = TdnnConfig(feat_dim=40, num_pdfs=tree.num_pdfs,
+                              hidden_dim=1024, bottleneck_dim=128,
+                              num_layers=13,
+                              frame_subsampling_factor=3,
+                              compute_dtype=dtype)
+            trainer = ChainTrainer(ccfg, den, ChainTrainConfig(
+                batch_size=Bt, optimizer="ngsgd", total_steps=0))
+            tp = sum(int(np.prod(p.shape)) for p in
+                     jax.tree_util.tree_leaves(trainer.params))
+            p, bs, ost = trainer.params, trainer.batch_stats, \
+                trainer.opt_state
+            for _ in range(3):                         # compile+warm
+                p, bs, ost, loss, diag = trainer._step(
+                    p, bs, ost, feats, pdf_ali, mask)
+            float(jax.device_get(loss))                # hard sync
+            # WALL time over a pipelined loop; the trailing
+            # device_get forces the whole dependent chain to finish
+            # (block_until_ready alone returned early on one
+            # experimental backend)
+            n_steps = 50
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                p, bs, ost, loss, diag = trainer._step(
+                    p, bs, ost, feats, pdf_ali, mask)
+            lossv = float(jax.device_get(loss))
+            dev_s = (time.perf_counter() - t0) / n_steps
+            frames_per_s = Bt * Tt / dev_s
+            # fwd 2·P·tok + bwd 4·P·tok on the dense layers (nominal)
+            tflops = 6 * tp * Bt * Tt / dev_s / 1e12
+            results_by_dtype[dtype] = (frames_per_s, tflops, dev_s)
+            log.info("bench: chain TRAIN step [%s] %.2f ms wall / "
+                     "(%d×%d) egs → %.2fM frames/s, ~%.1f TFLOP/s "
+                     "nominal (%.1fM params, NG-SGD, den %d states, "
+                     "loss %.4f)", dtype, dev_s * 1e3, Bt, Tt,
+                     frames_per_s / 1e6, tflops, tp / 1e6,
+                     den.num_states, lossv)
+            if os.environ.get("KALDI_TPU_PROFILE"):
+                from kaldi_tpu.core.profiling import (print_profile,
+                                                      profile)
+                with profile() as get:
+                    for _ in range(5):
+                        p, bs, ost, loss, diag = trainer._step(
+                            p, bs, ost, feats, pdf_ali, mask)
+                    jax.block_until_ready(loss)
+                print_profile(get(), top=20)
+        best_dtype = max(results_by_dtype,
+                         key=lambda d: results_by_dtype[d][0])
+        frames_per_s, tflops, dev_s = results_by_dtype[best_dtype]
         print(json.dumps({
             "metric": "chain_train_step_throughput",
             "value": round(frames_per_s / 1e6, 3),
             "unit": "Mframes_per_second_per_chip",
             "vs_baseline": round(tflops, 1),
+            "compute_dtype": best_dtype,
+            "f32_Mframes_s": round(
+                results_by_dtype["float32"][0] / 1e6, 3),
+            "bf16_Mframes_s": round(
+                results_by_dtype["bfloat16"][0] / 1e6, 3),
         }))
     except Exception as e:      # probe must never fail the bench
         log.warning("bench: chain train probe failed: %s", e)
@@ -352,9 +379,13 @@ def main():
             t0 = time.perf_counter()
             ob.finalize()
             fin_ms.append((time.perf_counter() - t0) * 1e3)
-            n_esc += int(float(ob._deficit)
-                         > dec.config.escalate_deficit
-                         and bool(dec.config.escalate_budget))
+            # the decoder's own trigger condition (finalize applies
+            # exactly this; re-deriving it loosely would let the two
+            # sites drift)
+            n_esc += int(bool(dec.config.escalate_budget)
+                         and dec.config.escalate_budget > dec.M
+                         and float(ob._deficit)
+                         > dec.config.escalate_deficit)
         adv = np.array(adv_ms)
         p50, p99 = float(np.percentile(adv, 50)), \
             float(np.percentile(adv, 99))

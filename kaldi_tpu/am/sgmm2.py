@@ -115,7 +115,10 @@ class Sgmm2:
         logw = jnp.asarray(self.log_weights(), jnp.float32)
         logc = jnp.asarray(
             np.log(np.maximum(self.c, 1e-30)), jnp.float32)  # (J, K)
-        P_np, logdet_np = self.precision()
+        if self.Sigma is not None:
+            P_np, logdet_np = self.precision()
+        else:                       # diag: no dense (I, D, D) build
+            logdet_np = np.sum(np.log(self.var), axis=1)
         gconst = jnp.asarray(
             -0.5 * (self.dim * np.log(2 * np.pi) + logdet_np),
             jnp.float32)                               # (I,)
@@ -207,7 +210,10 @@ def _frame_posteriors(model: Sgmm2, x: jnp.ndarray, j: jnp.ndarray,
     logw = jnp.asarray(model.log_weights(), jnp.float32)[j]
     logc = jnp.asarray(np.log(np.maximum(model.c, 1e-30)),
                        jnp.float32)[j]                  # (T, K)
-    P_np, logdet_np = model.precision()
+    if model.Sigma is not None:
+        P_np, logdet_np = model.precision()
+    else:                           # diag: no dense (I, D, D) build
+        logdet_np = np.sum(np.log(model.var), axis=1)
     gconst = jnp.asarray(
         -0.5 * (model.dim * np.log(2 * np.pi) + logdet_np),
         jnp.float32)
@@ -281,11 +287,15 @@ def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
     I, D = model.M.shape[0], model.dim
     S_dim = model.V.shape[2]
     full = model.Sigma is not None
-    P, _logdet = model.precision()                       # (I, D, D)
 
     # --- v_jk: per-substate SPD solve
     #   H_jk = Σ_i γ_jki M_iᵀ Σ_i⁻¹ M_i,  g_jk = Σ_i M_iᵀ Σ_i⁻¹ y_jki
-    MtP = np.einsum("idr,ide->ire", model.M, P)          # (I, S, D)
+    # MtP = MᵀΣ⁻¹, (I, S, D) — full precision or the diag fast path
+    if full:
+        P, _logdet = model.precision()                   # (I, D, D)
+        MtP = np.einsum("idr,ide->ire", model.M, P)
+    else:
+        MtP = np.einsum("idr,id->ird", model.M, 1.0 / model.var)
     H = np.einsum("jki,ire,ies->jkrs", accs.gamma, MtP, model.M)
     g = np.einsum("ire,jkie->jkr", MtP, accs.y)
     V = model.V.copy()
@@ -422,8 +432,12 @@ def split_substates(model: Sgmm2, accs: Sgmm2Accs, target: int,
     # meaningless once M has fit the data — H = avg Σ_i w̄_i
     # M_iᵀΣ⁻¹M_i is the per-unit loglike curvature, so
     # H^{-1/2}-scaled noise moves the means by ~perturb·σ.
-    P, _ = model.precision()
-    MtSiM = np.einsum("idr,ide,ies->irs", model.M, P, model.M)
+    if model.Sigma is not None:
+        P, _ = model.precision()
+        MtSiM = np.einsum("idr,ide,ies->irs", model.M, P, model.M)
+    else:
+        MtSiM = np.einsum("idr,id,ids->irs", model.M,
+                          1.0 / model.var, model.M)
     gbar = accs.gamma.sum(axis=(0, 1))
     gbar = gbar / max(gbar.sum(), 1e-30)
     H_avg = np.einsum("i,irs->rs", gbar, MtSiM) + 1e-4 * np.eye(S)
@@ -459,8 +473,11 @@ def estimate_speaker_vector(model: Sgmm2, feats: np.ndarray,
     u = np.zeros(U)
     x = jnp.asarray(feats, jnp.float32)
     j = jnp.asarray(np.asarray(pdf_ali, np.int32))
-    P, _ = model.precision()                             # (I, D, D)
-    NtSi = np.einsum("idu,ide->ieu", model.N, P)         # (I, D, U)
+    if model.Sigma is not None:
+        P, _ = model.precision()                         # (I, D, D)
+        NtSi = np.einsum("idu,ide->ieu", model.N, P)     # Σ⁻¹N (I,D,U)
+    else:
+        NtSi = np.einsum("idu,id->idu", model.N, 1.0 / model.var)
     H_base = np.einsum("idu,idv->iuv", NtSi, model.N)    # (I, U, U)
     for _ in range(num_iters):
         post, _norms, _xi = _frame_posteriors(model, x, j, u)

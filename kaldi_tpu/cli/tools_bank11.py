@@ -162,6 +162,8 @@ def _write_sgmm2_accs(path, tot):
     if tot.Z is not None:
         d["Z"] = tot.Z
         d["R"] = tot.R
+    if tot.S2 is not None:          # full-covariance scatter
+        d["S2"] = tot.S2
     with kio.open_wxfilename(path) as f:
         kio.init_kaldi_output_stream(f)
         kio.write_token(f, "<SGMM2ACCS>")
@@ -180,7 +182,7 @@ def _read_sgmm2_accs(path, J):
         d = read_pytree(f)
         kio.expect_token(f, "</SGMM2ACCS>")
     return Sgmm2Accs(gamma=d["gamma"], y=d["y"], S=d["S"],
-                     Z=d.get("Z"), R=d.get("R"),
+                     Z=d.get("Z"), R=d.get("R"), S2=d.get("S2"),
                      tot_like=float(d["tot_like"]),
                      tot_frames=float(d["tot_frames"]))
 

@@ -276,12 +276,16 @@ def sgmm2_est_ebw_tool(argv):
     num = _read_sgmm2_accs(args[1], model.num_pdfs)
     den = _read_sgmm2_accs(args[2], model.num_pdfs)
     J, K, S = model.V.shape
-    inv = 1.0 / model.var
-    MtSi = np.einsum("ids,id->ids", model.M, inv)
-    Hn = np.einsum("jki,idr,ids->jkrs", num.gamma, MtSi, model.M)
-    Hd = np.einsum("jki,idr,ids->jkrs", den.gamma, MtSi, model.M)
-    gn = np.einsum("ids,jkid->jks", MtSi, num.y)
-    gd = np.einsum("ids,jkid->jks", MtSi, den.y)
+    # MᵀΣ⁻¹ with the model's actual covariances (full or diag)
+    if model.Sigma is not None:
+        P, _ = model.precision()
+        MtP = np.einsum("idr,ide->ire", model.M, P)      # (I, S, D)
+    else:
+        MtP = np.einsum("idr,id->ird", model.M, 1.0 / model.var)
+    Hn = np.einsum("jki,ire,ies->jkrs", num.gamma, MtP, model.M)
+    Hd = np.einsum("jki,ire,ies->jkrs", den.gamma, MtP, model.M)
+    gn = np.einsum("ire,jkie->jkr", MtP, num.y)
+    gd = np.einsum("ire,jkie->jkr", MtP, den.y)
     V = model.V.copy()
     occ_num = num.gamma.sum(axis=2)
     occ_den = den.gamma.sum(axis=2)
@@ -308,7 +312,7 @@ def sgmm2_est_ebw_tool(argv):
     cnt = np.where(model.c > 0, np.maximum(cnt, 1e-10), 0.0)
     c = cnt / np.maximum(cnt.sum(axis=1, keepdims=True), 1e-30)
     out = Sgmm2(M=model.M, w=model.w, var=model.var, V=V, c=c,
-                N=model.N)
+                N=model.N, Sigma=model.Sigma)
     write_sgmm2(args[3], out)
     impr_proxy = float(np.abs(V - model.V).mean())
     log.info("sgmm2-est-ebw: updated %d substate vectors, mean |Δv| "

@@ -295,6 +295,9 @@ class BeamDecoder:
         clone.maxa = min(clone.config.max_active, clone.K)
         M = clone.config.arc_budget or max(4 * clone.K, 8192)
         clone.MB = min(max(self._A_blk, 1), -(-M // clone.BLK))
+        # same budget floor as __init__: compaction slices take [:K]
+        # of M-length operands, so M >= K always
+        clone.MB = max(clone.MB, -(-clone.K // clone.BLK))
         clone.M = clone.MB * clone.BLK
         clone.L = clone.config.lattice_arcs_per_frame
         if clone.L and clone.L < clone.K:
@@ -850,7 +853,8 @@ class BeamDecoder:
                                          loglikes, T)
         return dec._build_lattice(host, T, loglikes)
 
-    def decode_compact(self, loglikes: np.ndarray, bucket: int = 64):
+    def decode_compact(self, loglikes: np.ndarray, bucket: int = 64,
+                       max_states: int = 200000):
         """Single utterance → determinized CompactLattice via the fused
         native build+determinize path (the decode-wrappers contract:
         lattices on disk are determinized).  Frame count is padded up
@@ -869,7 +873,8 @@ class BeamDecoder:
                                jnp.asarray(ll), jnp.int32(T))
         host, dec = self._maybe_escalate(self._fetch(out, lattice=True),
                                          ll, T)
-        return dec.build_compact_lattice(host, T, ll)
+        return dec.build_compact_lattice(host, T, ll,
+                                         max_states=max_states)
 
     def decode_lattice_batch(self, loglikes_padded: np.ndarray,
                              num_frames: np.ndarray) -> List[Lattice]:

@@ -228,7 +228,8 @@ class OnlineBeamDecoder:
         if (c.escalate_budget and c.escalate_budget > dec.M
                 and float(self._deficit) > c.escalate_deficit):
             ll = np.concatenate(self._ll_parts)[:self._frames]
-            return dec._escalator().decode_compact(ll, bucket=self.C)
+            return dec._escalator().decode_compact(
+                ll, bucket=self.C, max_states=max_states)
         _path, _cost, fin = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
@@ -432,7 +433,8 @@ class MultiStreamBeamDecoder:
         if (cfg.escalate_budget and cfg.escalate_budget > dec.M
                 and float(self._deficit[c]) > cfg.escalate_deficit):
             ll = np.concatenate(self._ll[c])[:T]
-            return dec._escalator().decode_compact(ll, bucket=self.C)
+            return dec._escalator().decode_compact(
+                ll, bucket=self.C, max_states=max_states)
         _path, _cost, fin = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.asarray(self._frames, jnp.int32))

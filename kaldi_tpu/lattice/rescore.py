@@ -260,7 +260,16 @@ def lmrescore_diff_pruned(clat: CompactLattice, old_lm: ArpaModel,
     COMBINED score, so pruning is guided by the final costs.  History
     length is the max of the two orders (compose_lm truncates per
     query).  new_lm is anything with .score(history, word) — ArpaModel
-    trie (const-arpa role) or an RNNLM state-carrying scorer."""
+    trie (const-arpa role) or an RNNLM state-carrying scorer.
+
+    Approximation contract (same as the reference's
+    ComposeCompactLatticePruned): the search heuristic is the ORIGINAL
+    lattice's backward cost, which does not see future LM deltas — a
+    prefix whose suffix the new LM strongly prefers (large negative
+    diff later) can be pruned once some path has completed within
+    `beam`.  The reference's pruned composition has the identical
+    blind spot (its backward costs predate the new LM too); widen
+    `beam` when exactness matters more than time."""
     def diff(hist, w):
         return new_lm.score(hist, w) - old_lm.score(hist, w)
     return compose_lm_pruned(clat, diff, words, scale=lm_scale,

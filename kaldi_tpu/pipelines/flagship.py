@@ -90,8 +90,13 @@ def flagship_lexicon(vocab_size: int = 5000, n_clusters: int = 10,
     seen_prons = set()
     wid = 0
     while wid < vocab_size:
-        L = int(rng.integers(min_len, max_len + 1))
-        base = rng.integers(0, n_ph, L)
+        # draw a base pron no other family already owns (exact
+        # cross-family homophones would be an irreducible WER floor)
+        for _ in range(50):
+            L = int(rng.integers(min_len, max_len + 1))
+            base = rng.integers(0, n_ph, L)
+            if tuple(int(k) for k in base) not in seen_prons:
+                break
         for v in range(variants):
             if wid >= vocab_size:
                 break
@@ -102,7 +107,7 @@ def flagship_lexicon(vocab_size: int = 5000, n_clusters: int = 10,
                 pron[pos] = cluster * per_cluster + int(
                     rng.integers(0, per_cluster))
             key = tuple(int(k) for k in pron)
-            if v > 0 and key in seen_prons:
+            if key in seen_prons:
                 continue              # exact homophones add nothing
             seen_prons.add(key)
             entries.append((f"w{wid:05d}", [phones[int(k)] for k in pron]))
