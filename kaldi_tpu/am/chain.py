@@ -425,6 +425,12 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray,
         corr = corr + jnp.where(act, m, 0.0)
         return (new_alpha, corr), None
 
+    # NOTE on throughput: the per-frame body is tiny (one (B,S)@(S,S)
+    # matmul + elementwise), so at small B the scan is latency-bound
+    # (~70 µs/frame at B=32/S=1553, xplane-measured; unroll=4/8 was
+    # measured to NOT help and ballooned compile time).  Throughput
+    # scales with BATCH — train at the reference's minibatch (128
+    # chunks), not 32.
     (alphaT, corr), _ = jax.lax.scan(
         scan_step, (alpha0, jnp.zeros(B)),
         (jnp.swapaxes(scores[:, 1:, :], 0, 1),
