@@ -374,10 +374,22 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray,
         def leak(alpha):
             return alpha
 
-    alpha0 = leak(initial[None, :] + jnp.logaddexp(
-        scores[:, 0, :][:, self_pdf], scores[:, 0, :][:, entry_pdf]))  # (B, S)
-
     use_dense = S <= dense_state_limit
+    if use_dense:
+        # hoist the per-state pdf score lookups OUT of the scan: one
+        # (B, T, S) gather batched over all frames instead of two
+        # (B, S) gathers per scan step (xplane: the in-scan gathers +
+        # their backward scatters were ~70 µs/frame — the dominant
+        # cost of the whole training step; the hoisted form is one
+        # large op whose backward is one batched scatter-add)
+        self_sc = scores[:, :, self_pdf]       # (B, T, S)
+        entry_sc = scores[:, :, entry_pdf]     # (B, T, S)
+        alpha0 = leak(initial[None, :]
+                      + jnp.logaddexp(self_sc[:, 0], entry_sc[:, 0]))
+    else:
+        alpha0 = leak(initial[None, :] + jnp.logaddexp(
+            scores[:, 0, :][:, self_pdf],
+            scores[:, 0, :][:, entry_pdf]))    # (B, S)
     if use_dense:
         # dense entry-transition matrix W[s, d] = Σ exp(logw) over
         # s→d arcs (self-loops excluded: they ride the elementwise
@@ -396,45 +408,66 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray,
         W_dense = jnp.asarray(W_np, jnp.float32)
         l_self = jnp.asarray(l_self_np, jnp.float32)
 
-    @jax.checkpoint
-    def step(alpha, score_t):
-        if use_dense:
-            # α'[d] = logaddexp(α[d] + l_self[d] + score[self_pdf[d]],
-            #                   log(Σ_s e^{α[s]} W[s,d]) + score[entry_pdf[d]])
+    if use_dense:
+        # (measured alternatives at B=32/S=1553 on v5e, bf16 model:
+        # per-frame in-scan gathers 10.5 ms/step → hoisted (B,T,S)
+        # gathers 8.6 ms/step; scan unroll=4/8 no change; the
+        # reference-style LINEAR-space rescaled recursion — one
+        # multiply + MXU matmul + normalize per frame — also 8.9
+        # ms/step: past the hoist, the step is bound by the (B,S)
+        # recurrent dependency itself, not by fusion count or
+        # launches, so the log-space form is kept for its numerics.)
+        @jax.checkpoint
+        def step_dense(alpha, self_t, entry_t):
+            # α'[d] = logaddexp(α[d] + l_self[d] + self_t[d],
+            #                   log(Σ_s e^{α[s]} W[s,d]) + entry_t[d])
             m0 = jnp.max(alpha, axis=1, keepdims=True)
             p = jnp.exp(alpha - m0)
             entry = m0 + jnp.log(jnp.maximum(
                 jnp.dot(p, W_dense,
                         precision=jax.lax.Precision.HIGHEST), 1e-30))
             new_alpha = leak(jnp.logaddexp(
-                alpha + l_self[None, :] + score_t[:, self_pdf],
-                entry + score_t[:, entry_pdf]))
-        else:
-            contrib = alpha[:, src] + logw[None, :] + score_t[:, pdf]
-            new_alpha = leak(_segment_logsumexp(contrib, dst, S))
-        # normalize for numerical stability; carry the log-correction
+                alpha + l_self[None, :] + self_t, entry + entry_t))
+            # normalize for stability; carry the log-correction
+            m = jnp.max(new_alpha, axis=1, keepdims=True)
+            return new_alpha - m, m[:, 0]
+
+        def scan_step(carry, xs):
+            self_t, entry_t, act = xs
+            alpha, corr = carry
+            new_alpha, m = step_dense(alpha, self_t, entry_t)
+            # padded frames: freeze alpha and the correction
+            new_alpha = jnp.where(act[:, None], new_alpha, alpha)
+            corr = corr + jnp.where(act, m, 0.0)
+            return (new_alpha, corr), None
+
+        xs = (jnp.swapaxes(self_sc[:, 1:], 0, 1),
+              jnp.swapaxes(entry_sc[:, 1:], 0, 1),
+              jnp.swapaxes(mask[:, 1:], 0, 1))
+        (alphaT, corr), _ = jax.lax.scan(scan_step, (alpha0,
+                                                     jnp.zeros(B)), xs)
+        return corr + jax.scipy.special.logsumexp(
+            alphaT + final[None, :], axis=1)
+
+    @jax.checkpoint
+    def step_sparse(alpha, score_t):
+        contrib = alpha[:, src] + logw[None, :] + score_t[:, pdf]
+        new_alpha = leak(_segment_logsumexp(contrib, dst, S))
         m = jnp.max(new_alpha, axis=1, keepdims=True)
         return new_alpha - m, m[:, 0]
 
     def scan_step(carry, xs):
         score_t, act = xs
         alpha, corr = carry
-        new_alpha, m = step(alpha, score_t)
-        # padded frames: freeze alpha and the correction
+        new_alpha, m = step_sparse(alpha, score_t)
         new_alpha = jnp.where(act[:, None], new_alpha, alpha)
         corr = corr + jnp.where(act, m, 0.0)
         return (new_alpha, corr), None
 
-    # NOTE on throughput: the per-frame body is tiny (one (B,S)@(S,S)
-    # matmul + elementwise), so at small B the scan is latency-bound
-    # (~70 µs/frame at B=32/S=1553, xplane-measured; unroll=4/8 was
-    # measured to NOT help and ballooned compile time).  Throughput
-    # scales with BATCH — train at the reference's minibatch (128
-    # chunks), not 32.
-    (alphaT, corr), _ = jax.lax.scan(
-        scan_step, (alpha0, jnp.zeros(B)),
-        (jnp.swapaxes(scores[:, 1:, :], 0, 1),
-         jnp.swapaxes(mask[:, 1:], 0, 1)))
+    xs = (jnp.swapaxes(scores[:, 1:, :], 0, 1),
+          jnp.swapaxes(mask[:, 1:], 0, 1))
+    (alphaT, corr), _ = jax.lax.scan(scan_step, (alpha0, jnp.zeros(B)),
+                                     xs)
     return corr + jax.scipy.special.logsumexp(alphaT + final[None, :], axis=1)
 
 
@@ -496,20 +529,23 @@ def numerator_flexible_logprob(scores: jnp.ndarray,
     if final_w is None:
         final_w = jnp.zeros((B,), jnp.float32)
 
-    def gather(score_t, pdfs):
-        return jnp.take_along_axis(score_t, pdfs, axis=1)  # (B, S)
-
-    s0 = scores[:, 0, :]
+    # hoisted (B, T, S) pdf-score lookups — one batched gather instead
+    # of two (B, S) gathers per scan step (see denominator_logprob)
+    self_sc = jnp.take_along_axis(
+        scores, jnp.broadcast_to(self_pdf[:, None, :], (B, T, S)),
+        axis=2)
+    entry_sc = jnp.take_along_axis(
+        scores, jnp.broadcast_to(entry_pdf[:, None, :], (B, T, S)),
+        axis=2)
     alpha0 = jnp.full((B, S), NEG).at[:, 0].set(
-        init_w + jnp.logaddexp(gather(s0, entry_pdf)[:, 0],
-                               gather(s0, self_pdf)[:, 0]))
+        init_w + jnp.logaddexp(entry_sc[:, 0, 0], self_sc[:, 0, 0]))
 
     def step(alpha, xs):
-        score_t, act = xs
-        stay = alpha + gather(score_t, self_pdf) + self_w
+        self_t, entry_t, act = xs
+        stay = alpha + self_t + self_w
         shifted = jnp.concatenate(
             [jnp.full((B, 1), NEG), (alpha + entry_w_shift)[:, :-1]], axis=1)
-        advance = shifted + gather(score_t, entry_pdf)
+        advance = shifted + entry_t
         new = jnp.logaddexp(stay, advance)
         new = jnp.where(act[:, None], new, alpha)
         return new, None
@@ -520,7 +556,9 @@ def numerator_flexible_logprob(scores: jnp.ndarray,
 
     alpha, _ = jax.lax.scan(
         step, alpha0,
-        (jnp.swapaxes(scores[:, 1:, :], 0, 1), jnp.swapaxes(mask[:, 1:], 0, 1)))
+        (jnp.swapaxes(self_sc[:, 1:], 0, 1),
+         jnp.swapaxes(entry_sc[:, 1:], 0, 1),
+         jnp.swapaxes(mask[:, 1:], 0, 1)))
     # end in the LAST segment (it may continue past the chunk edge)
     last = jnp.clip(num_segs - 1, 0, S - 1)
     return final_w + jnp.take_along_axis(
