@@ -88,14 +88,15 @@ def main():
     # below proves it per run)
     # record_capacity bounds the fixed-shape record fetch (measured
     # ~5.4k records/utt on this task; overflow raises, never silent)
-    # arc-budget 4096 at arc_block=4 WITH demand-triggered escalation
+    # arc-budget 4096 at arc_block=8 WITH demand-triggered escalation
     # is the PRODUCT default operating point (BeamDecoderConfig
-    # defaults; VERDICT r3 weak #1/#2): blk4 doubles effective
-    # per-frame token expansion vs the old blk8 at the same budget
-    # (HARDBENCH_r03's quality winner), and utterances whose
-    # accumulated beam deficit says lattice arcs were at risk are
-    # re-decoded at escalate_budget — so the headline number is the
-    # QUALITY-SAFE throughput, not the over-pruned one.
+    # defaults; VERDICT r3 weak #1/#2): utterances whose accumulated
+    # beam deficit says lattice arcs were at risk are re-decoded at
+    # escalate_budget, so the headline number is the QUALITY-SAFE
+    # throughput, not the over-pruned one.  HARDBENCH_r04 (hard
+    # corpus): blk8+escalation dominates blk4+escalation on WER,
+    # oracle AND throughput — escalation recovers blk8's extra
+    # in-budget losses, so the wider (cheaper) gather row wins.
     arc_budget = int(os.environ.get("KALDI_TPU_BENCH_ARC_BUDGET",
                                     "4096"))
     esc_budget = int(os.environ.get("KALDI_TPU_BENCH_ESCALATE",
@@ -103,7 +104,7 @@ def main():
     lat_cfg = BeamDecoderConfig(beam=13.0, max_active=7000,
                                 acoustic_scale=1.0, lattice_beam=7.0,
                                 arc_budget=arc_budget,
-                                token_capacity=2048, arc_block=4,
+                                token_capacity=2048, arc_block=8,
                                 escalate_budget=esc_budget,
                                 escalate_deficit=4.0,
                                 lattice_arcs_per_frame=4096,
@@ -441,7 +442,7 @@ def main():
         # visible metric must carry the quality evidence): escalation
         # ON means any utterance whose beam deficit flagged risk was
         # re-decoded at the wide budget INSIDE the timed path
-        "arc_block": 4, "arc_budget": arc_budget,
+        "arc_block": 8, "arc_budget": arc_budget,
         "escalate_budget": esc_budget,
         "n_escalated": stats["n_escalated"],
         "dropped_arcs": stats["dropped"],

@@ -274,7 +274,7 @@ def register_latgen_opts(po) -> None:
     po.register("escalate-deficit", float, 4.0,
                 "escalation trigger: accumulated beam deficit "
                 "(sum over frames of lattice-beam shortfall)")
-    po.register("arc-block", int, 4, "arcs fetched per gather row")
+    po.register("arc-block", int, 8, "arcs fetched per gather row")
 
 
 def latgen_kwargs(po) -> dict:

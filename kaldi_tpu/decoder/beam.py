@@ -116,13 +116,20 @@ class BeamDecoderConfig:
     #                                reduction ~0.9 ms; above the limit
     #                                the (M, P) mask outgrows the
     #                                gather and plain gather wins)
-    arc_block: int = 4             # arcs fetched per gather row: the
+    arc_block: int = 8             # arcs fetched per gather row: the
     #                                ~10 ns/row gather cost is per ROW
     #                                regardless of width, so fetching
     #                                blocks of consecutive arcs (each
     #                                state's range is block-aligned in
     #                                the padded table) divides the
-    #                                dominant gather cost by ~arc_block
+    #                                dominant gather cost by ~arc_block.
+    #                                HARDBENCH_r04 (hard corpus, TPU):
+    #                                WITH escalation blk8 dominates
+    #                                blk4 on every axis (oracle 0.32
+    #                                vs 0.33, 28.1 vs 20.9 audio-s/s)
+    #                                — escalation recovers the extra
+    #                                in-budget losses blk8's padding
+    #                                causes, so the wider row wins
     token_capacity: int = 0        # K: token array size (0 = max_active).
     #                                max_active is enforced by histogram
     #                                cutoff, so capacity can be sized to

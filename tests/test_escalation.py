@@ -228,4 +228,4 @@ def test_latgen_cli_options():
     kw2 = latgen_kwargs(po2)
     assert kw2["arc_budget"] == 4096
     assert kw2["escalate_budget"] > kw2["arc_budget"]
-    assert kw2["arc_block"] == 4
+    assert kw2["arc_block"] == 8
