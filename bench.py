@@ -47,6 +47,18 @@ def main():
     # only trace+lower)
     from kaldi_tpu.core.jit_cache import enable as enable_jit_cache
     enable_jit_cache()
+
+    # device-link D2H bandwidth probe: the decode headline ships ~4 MB
+    # of lattice records per batch D2H; over a tunneled TPU that link's
+    # day-to-day bandwidth (measured 17–50 MB/s across sessions) can
+    # dominate the host phase, so the JSON carries it for
+    # cross-session comparability
+    x_probe = jnp.zeros((2 * 1024 * 1024,), jnp.float32)   # 8 MB
+    jax.block_until_ready(x_probe)
+    t0 = time.perf_counter()
+    np.asarray(x_probe)
+    d2h_mbps = 8.0 / max(time.perf_counter() - t0, 1e-9)
+    log.info("bench: D2H link ~%.0f MB/s", d2h_mbps)
     t0 = time.time()
     vocab = int(os.environ.get("KALDI_TPU_BENCH_VOCAB", "20000"))
     task = make_largevocab_task(vocab_size=vocab, order=3, seed=7,
@@ -447,6 +459,7 @@ def main():
         "n_escalated": stats["n_escalated"],
         "dropped_arcs": stats["dropped"],
         "min_eff_beam": round(stats["min_eff_beam"], 3),
+        "d2h_MBps": round(d2h_mbps, 1),
     }))
 
 
