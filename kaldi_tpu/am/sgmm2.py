@@ -165,6 +165,11 @@ class Sgmm2Accs:
     tot_frames: float = 0.0
 
     def __add__(self, o: "Sgmm2Accs") -> "Sgmm2Accs":
+        if (self.S2 is None) != (o.S2 is None):
+            raise KaldiError("Sgmm2Accs: cannot sum full-covariance "
+                             "scatter stats with diagonal-only stats "
+                             "(one side lacks S2 — re-accumulate all "
+                             "jobs against the same model)")
         return Sgmm2Accs(
             gamma=self.gamma + o.gamma, y=self.y + o.y, S=self.S + o.S,
             Z=None if self.Z is None else self.Z + o.Z,
@@ -287,6 +292,12 @@ def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
     I, D = model.M.shape[0], model.dim
     S_dim = model.V.shape[2]
     full = model.Sigma is not None
+    if full and accs.S2 is None:
+        raise KaldiError(
+            "sgmm2 update: full-covariance model but the accumulators "
+            "carry no full scatter (S2) — they were accumulated "
+            "against a diagonal model or written by an older tool; "
+            "re-run accumulation with this model")
 
     # --- v_jk: per-substate SPD solve
     #   H_jk = Σ_i γ_jki M_iᵀ Σ_i⁻¹ M_i,  g_jk = Σ_i M_iᵀ Σ_i⁻¹ y_jki
@@ -341,25 +352,25 @@ def update(model: Sgmm2, accs: Sgmm2Accs, min_var: float = 1e-3,
     Hw = 0.25 * np.einsum("n,nr,ns->rs", occ_f, Vf, Vf) \
         + 1e-4 * np.eye(S_dim)
 
-    def w_auxf(wm):
+    def w_logits_auxf(wm):
+        """(logits, normalizer, auxf) — computed once per candidate."""
         lg = Vf @ wm.T
-        lw = lg - np.asarray(jax.nn.logsumexp(jnp.asarray(lg), axis=1,
-                                              keepdims=True))
-        return float(np.sum(gam_f * lw))
+        norm = np.asarray(jax.nn.logsumexp(jnp.asarray(lg), axis=1,
+                                           keepdims=True))
+        return lg, norm, float(np.sum(gam_f * (lg - norm)))
 
     w = model.w.copy()
+    logits, norm, base = w_logits_auxf(w)
     for _ in range(max(w_iters, 1)):
-        logits = Vf @ w.T                                # (JK, I)
-        cur = np.exp(logits - np.asarray(jax.nn.logsumexp(
-            jnp.asarray(logits), axis=1, keepdims=True)))
+        cur = np.exp(logits - norm)
         grad = np.einsum("ni,ns->is", gam_f - occ_f[:, None] * cur, Vf)
         step = np.linalg.solve(Hw, grad.T).T
-        base = w_auxf(w)
         scale = w_step
         for _ in range(8):                               # halving guard
             cand = w + scale * step
-            if w_auxf(cand) >= base - 1e-9:
-                w = cand
+            c_logits, c_norm, c_auxf = w_logits_auxf(cand)
+            if c_auxf >= base - 1e-9:
+                w, logits, norm, base = cand, c_logits, c_norm, c_auxf
                 break
             scale *= 0.5
         else:

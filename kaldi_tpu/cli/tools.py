@@ -302,7 +302,7 @@ class _LatgenDecoder:
     def __init__(self, HCLG, tid_to_pdf, beam, lattice_beam,
                  acoustic_scale, max_active=7000, dense_limit=20000,
                  arc_budget=4096, escalate_budget=16384,
-                 escalate_deficit=4.0, arc_block=4):
+                 escalate_deficit=4.0, arc_block=8):
         if HCLG.num_states > dense_limit:
             from kaldi_tpu.decoder.beam import (BeamDecoder,
                                                 BeamDecoderConfig)

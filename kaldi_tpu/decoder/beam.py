@@ -739,6 +739,17 @@ class BeamDecoder:
 
     # -- demand-triggered escalation (the retry-beam contract) -------------
 
+    def deficit_fires(self, deficit: float) -> bool:
+        """THE escalation trigger, shared by every decode surface
+        (offline fetch, online finalize, multistream channels, bench
+        probes — a single definition so the sites cannot drift): the
+        policy is armed (escalate_budget > current budget) and the
+        accumulated beam deficit exceeds the threshold."""
+        c = self.config
+        if not c.escalate_budget or c.escalate_budget <= self.M:
+            return False
+        return float(deficit) > c.escalate_deficit
+
     def needs_escalation(self, host) -> bool:
         """True when this utterance's decode should be retried at
         config.escalate_budget: the accumulated beam deficit
@@ -747,10 +758,7 @@ class BeamDecoder:
         to plausibly cost lattice arcs.  Ref:
         src/decoder/decoder-wrappers.h DecodeUtteranceLatticeFaster
         (warn-on-overpruning becomes re-decode-wider here)."""
-        c = self.config
-        if not c.escalate_budget or c.escalate_budget <= self.M:
-            return False
-        return float(host["beam_deficit"]) > c.escalate_deficit
+        return self.deficit_fires(host["beam_deficit"])
 
     def _escalator(self) -> "BeamDecoder":
         """The sibling decoder escalated utterances re-decode on
@@ -758,12 +766,14 @@ class BeamDecoder:
         esc = getattr(self, "_esc", None)
         if esc is None:
             c = self.config
+            esc_L = (max(self.L, min(4096, c.escalate_budget))
+                     if self.L else 0)
             esc = self.with_overrides(
                 arc_budget=c.escalate_budget, escalate_budget=0,
-                lattice_arcs_per_frame=(max(
-                    self.L, min(4096, c.escalate_budget))
-                    if self.L else 0),
-                record_capacity=(2 * c.record_capacity
+                lattice_arcs_per_frame=esc_L,
+                # capacity must still cover the (possibly grown) L —
+                # with_overrides enforces record_capacity >= L
+                record_capacity=(max(2 * c.record_capacity, esc_L)
                                  if c.record_capacity else 0))
             self._esc = esc
         return esc

@@ -224,9 +224,7 @@ class OnlineBeamDecoder:
         if self._frames == 0:
             raise KaldiError("OnlineBeamDecoder: no frames decoded")
         dec = self.dec
-        c = dec.config
-        if (c.escalate_budget and c.escalate_budget > dec.M
-                and float(self._deficit) > c.escalate_deficit):
+        if dec.deficit_fires(self._deficit):
             ll = np.concatenate(self._ll_parts)[:self._frames]
             return dec._escalator().decode_compact(
                 ll, bucket=self.C, max_states=max_states)
@@ -429,9 +427,7 @@ class MultiStreamBeamDecoder:
         T = int(self._frames[c])
         if T == 0:
             raise KaldiError("finalize_channel: no frames decoded")
-        cfg = dec.config
-        if (cfg.escalate_budget and cfg.escalate_budget > dec.M
-                and float(self._deficit[c]) > cfg.escalate_deficit):
+        if dec.deficit_fires(np.asarray(self._deficit)[c]):
             ll = np.concatenate(self._ll[c])[:T]
             return dec._escalator().decode_compact(
                 ll, bucket=self.C, max_states=max_states)

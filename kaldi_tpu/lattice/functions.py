@@ -61,6 +61,8 @@ def best_path_scaled(clat: CompactLattice, lm_scale: float = 1.0,
         c = best[s] + lm_scale * gc + acoustic_scale * ac
         if c < fbest:
             fbest, fstate = c, s
+    if fstate < 0:            # no reachable final state: empty, inf
+        return [], INF
     words: List[int] = []
     s = fstate
     while s != clat.start and back[s] is not None:

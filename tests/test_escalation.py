@@ -209,6 +209,19 @@ def test_with_overrides_budget_floor(task, decoders):
     words, _tids, _cost = clone.decode(ll)          # must not crash
 
 
+def test_escalator_capacity_grows_with_lattice_arcs(task):
+    """A small record_capacity must not make _escalator() crash: the
+    sibling's capacity grows to cover its (possibly larger)
+    lattice_arcs_per_frame (review finding: rc=1024/L=1024 base +
+    escalation used to violate with_overrides' rc >= L check)."""
+    dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array, _cfg(
+        arc_budget=TIGHT, escalate_budget=16384,
+        lattice_arcs_per_frame=1024, record_capacity=1024))
+    esc = dec._escalator()
+    assert esc.L >= 1024
+    assert esc.config.record_capacity >= esc.L
+
+
 def test_latgen_cli_options():
     """The latgen tools expose the budget/escalation knobs (VERDICT r3
     weak #1: quality-safe defaults must be reachable from the CLI)."""

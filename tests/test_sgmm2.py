@@ -210,13 +210,16 @@ def test_serialization_roundtrip_with_substates_and_spk(tmp_path):
 def _planted_full(rng, J=4, I=5, D=6, S=3, frames_per_state=220):
     """Sample data from a true FULL-covariance SGMM: each Σ_i gets a
     strong off-diagonal correlation structure a diagonal model cannot
-    represent."""
+    represent.  The TRUE MODEL is derived from a FIXED seed (so two
+    calls plant the same model and differ only in the sampled frames);
+    ``rng`` drives the frame sampling."""
+    mrng = np.random.default_rng(424242)
     true = init_sgmm(J, D, I, S, np.zeros(D), np.ones(D), seed=1,
                      full_cov=True)
-    true.V = rng.standard_normal((J, 1, S))
-    true.M = rng.standard_normal((I, D, S)) * 0.8
+    true.V = mrng.standard_normal((J, 1, S))
+    true.M = mrng.standard_normal((I, D, S)) * 0.8
     for i in range(I):
-        A = rng.standard_normal((D, D)) * 0.35
+        A = mrng.standard_normal((D, D)) * 0.5
         true.Sigma[i] = 0.15 * np.eye(D) + A @ A.T
         true.var[i] = np.diag(true.Sigma[i])
     mu = true.means()
