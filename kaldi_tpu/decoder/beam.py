@@ -681,17 +681,18 @@ class BeamDecoder:
 
     def start_fetch(self, out, lattice=False):
         """Begin async device→host copies of everything a later
-        _fetch/_fetch_batch will read.  With record_capacity set the
-        record tensor has a fixed modest shape, so the copy overlaps
-        the next pipelined batch's device compute and the blocking
-        fetch completes at host-memory speed.  (Without a capacity the
-        record buffer is T_pad·L rows — don't async-copy that.)"""
+        _fetch/_fetch_batch will read.  The record tensor itself is
+        NOT prefetched: _fetch_batch device-slices it to the batch's
+        true record count first (records are cursor-contiguous, so
+        rows past n_max are garbage) — a D2H copy cannot start before
+        the producing compute finishes either way, so slicing moves
+        strictly less data over the link for the same overlap window
+        (measured: the full 16384-row buffer was ~40% padding on the
+        20k bench, and the tunneled link runs as low as ~17 MB/s)."""
         for k in self._SMALL_KEYS:
             out[k].copy_to_host_async()
         if lattice:
             out["rec_counts"].copy_to_host_async()
-            if self.config.record_capacity:
-                out["rec_packed"].copy_to_host_async()
 
     def _check_overflow(self, n, cap):
         if n > cap:
@@ -726,12 +727,10 @@ class BeamDecoder:
             n_max = int(ns.max())
             cap = out["rec_packed"].shape[1]
             self._check_overflow(n_max, cap)
-            if self.config.record_capacity:
-                # fixed-shape output: fetch whole (possibly already
-                # host-resident via start_fetch) — no device slice op
-                packed = np.asarray(out["rec_packed"])
-            else:
-                packed = np.asarray(out["rec_packed"][:, :n_max])
+            # device-slice to the true record count before the D2H
+            # copy: strictly less link traffic for the same overlap
+            # window (see start_fetch)
+            packed = np.asarray(out["rec_packed"][:, :max(n_max, 1)])
             for b in range(batch_size):
                 hosts[b]["rec_counts"] = counts[b]
                 hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
