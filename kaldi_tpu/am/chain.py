@@ -417,7 +417,11 @@ def denominator_logprob(den: DenominatorGraph, scores: jnp.ndarray,
         # ms/step: past the hoist, the step is bound by the (B,S)
         # recurrent dependency itself, not by fusion count or
         # launches, so the log-space form is kept for its numerics.)
-        @jax.checkpoint
+        # NO jax.checkpoint here: the scan's stored carries are only
+        # T×(B,S) ≈ 10 MB at bench shapes, and rematerializing the
+        # forward in the backward pass re-runs the whole latency-bound
+        # scan a second time (the sparse path below keeps checkpoint —
+        # its states exceed dense_state_limit, so memory matters there)
         def step_dense(alpha, self_t, entry_t):
             # α'[d] = logaddexp(α[d] + l_self[d] + self_t[d],
             #                   log(Σ_s e^{α[s]} W[s,d]) + entry_t[d])
