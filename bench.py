@@ -414,6 +414,10 @@ def main():
         for a in range(2 * chunk, Tms, chunk):
             ms_dec.advance([x[a:a + chunk] for x in llm])
             steps += 1
+        # advance() is async dispatch: sync before stopping the clock
+        # so the lane throughput is the true device rate, not the
+        # enqueue rate
+        jax.block_until_ready(ms_dec._tok)
         ms_wall = time.perf_counter() - t0
         lane_tput = N_lanes * steps * chunk * 0.03 / ms_wall
         log.info("bench: streaming chunk=%d (%.0f ms audio): advance "
@@ -429,6 +433,9 @@ def main():
             # vs the chunk's own audio duration (RTF per chunk)
             "vs_baseline": round(p50 / (chunk * 30.0), 3),
             "p99_ms": round(p99, 2),
+            # advance() is async dispatch (the device pipelines chunk
+            # compute); first_partial/finalize are SYNC round trips
+            "advance_is_async_dispatch": True,
             "chunk_audio_ms": chunk * 30.0,
             "first_partial_ms": round(float(np.median(first_ms)), 2),
             "finalize_p50_ms": round(float(np.percentile(fin_ms, 50)),
