@@ -141,9 +141,11 @@ def main():
         "KALDI_TPU_BENCH_HOST_WORKERS", str(min(8, os.cpu_count() or 4)))))
 
     def run_once():
-        # dispatch every batch, then start async D2H copies in dispatch
-        # order: batch i's record copy overlaps batch i+1's compute on
-        # the device DMA path, so the blocking fetch below is ~free
+        # dispatch every batch, then start async copies of the small
+        # outputs + record counts; the record tensor itself is
+        # device-sliced to the true count at fetch time (beam.py
+        # start_fetch/_fetch_batch), so batch i's record copy still
+        # overlaps batch i+1's compute but moves only real records
         outs = []
         for i, Xb, lb in batches:
             out = compiled[Xb.shape](gd, Xb, lb)
@@ -409,6 +411,8 @@ def main():
                for i in range(N_lanes)]
         for a in range(0, 2 * chunk, chunk):          # warm
             ms_dec.advance([x[a:a + chunk] for x in llm])
+        # sync BEFORE starting the clock too: warm advances are async
+        jax.block_until_ready(ms_dec._tok)
         t0 = time.perf_counter()
         steps = 0
         for a in range(2 * chunk, Tms, chunk):

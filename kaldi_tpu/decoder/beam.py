@@ -135,13 +135,13 @@ class BeamDecoderConfig:
     #                                cutoff, so capacity can be sized to
     #                                measured occupancy independently of
     #                                the max-active contract
-    record_capacity: int = 0       # per-utterance cap on fetched lattice
-    #                                records (0 = the full T_pad·L buffer).
-    #                                A fixed cap gives the record output a
-    #                                static shape so start_fetch() can
-    #                                async-copy it; overflow raises at
-    #                                fetch time (size it ~2× measured
-    #                                record counts)
+    record_capacity: int = 0       # per-utterance cap on the device
+    #                                record buffer (0 = the full
+    #                                T_pad·L rows).  The host fetch
+    #                                device-slices to the true record
+    #                                count before copying; overflow
+    #                                raises at fetch time (size it ~2×
+    #                                measured record counts)
     escalate_budget: int = 0       # > arc_budget enables demand-triggered
     #                                escalation in the lattice-decode APIs
     #                                (the DecodeUtteranceLatticeFaster
@@ -664,8 +664,10 @@ class BeamDecoder:
         if self.L:
             # the cursor-append buffer IS the packed record layout:
             # concatenated per-frame valid prefixes.  A configured
-            # record_capacity gives this output a fixed shape so the
-            # host can async-copy it without first reading the counts
+            # record_capacity bounds the device buffer; the host fetch
+            # device-slices it to the batch's true record count before
+            # the D2H copy (_fetch_batch), so only real records cross
+            # the link
             rcap = self.config.record_capacity or (T_pad * self.L)
             out["rec_packed"] = buf[:min(rcap, T_pad * self.L)]
             out["rec_counts"] = scanned[6]
@@ -729,8 +731,12 @@ class BeamDecoder:
             self._check_overflow(n_max, cap)
             # device-slice to the true record count before the D2H
             # copy: strictly less link traffic for the same overlap
-            # window (see start_fetch)
-            packed = np.asarray(out["rec_packed"][:, :max(n_max, 1)])
+            # window (see start_fetch).  n_max is rounded UP to a
+            # 256-row block so the slice shape (and hence the number
+            # of distinct lowered slice programs) stays bounded
+            # instead of recompiling per data-dependent count
+            n_fetch = min(-(-max(n_max, 1) // 256) * 256, cap)
+            packed = np.asarray(out["rec_packed"][:, :n_fetch])
             for b in range(batch_size):
                 hosts[b]["rec_counts"] = counts[b]
                 hosts[b]["rec_packed"] = packed[b, :int(ns[b])]

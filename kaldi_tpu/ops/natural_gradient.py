@@ -187,7 +187,12 @@ def scale_ng(rank_in: int = 20, rank_out: int = 20, alpha: float = 4.0,
 
     def update(updates, state, params=None):
         del params
-        do_adv = (state.step % update_period) == 0
+        # the reference updates UNCONDITIONALLY for the first ~10
+        # steps (OnlineNaturalGradient::Updating) so the estimate is
+        # refined past the single-sample adoption before the period
+        # kicks in
+        do_adv = ((state.step < 10)
+                  | ((state.step % update_period) == 0))
 
         def leaf(g, st):
             if st is None or g.ndim != 2:
@@ -224,13 +229,15 @@ def scale_ng(rank_in: int = 20, rank_out: int = 20, alpha: float = 4.0,
 
 
 def ngsgd(learning_rate, momentum: Optional[float] = None,
-          rank_in: int = 20, rank_out: int = 20, alpha: float = 4.0
-          ) -> optax.GradientTransformation:
+          rank_in: int = 20, rank_out: int = 20, alpha: float = 4.0,
+          update_period: int = 4) -> optax.GradientTransformation:
     """NG-SGD: the reference's training update = natural-gradient
     preconditioning + plain (momentum) SGD.  alpha is the smoothing
     toward identity (reference default 4.0; smaller = closer to the
-    exact inverse Fisher, stronger equalization)."""
-    parts = [scale_ng(rank_in=rank_in, rank_out=rank_out, alpha=alpha)]
+    exact inverse Fisher, stronger equalization); update_period=1
+    restores the advance-every-step (pre-r4) dynamics."""
+    parts = [scale_ng(rank_in=rank_in, rank_out=rank_out, alpha=alpha,
+                      update_period=update_period)]
     if momentum:
         parts.append(optax.trace(decay=momentum))
     parts.append(optax.scale_by_learning_rate(learning_rate))

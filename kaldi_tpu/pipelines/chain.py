@@ -321,7 +321,14 @@ class ChainTrainer:
                                                   dict(self.batch_stats)),
             "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
         }
-        state = restore_train_state(ckpt_dir, template, step)
+        try:
+            state = restore_train_state(ckpt_dir, template, step)
+        except Exception as e:
+            raise type(e)(
+                f"{e}\n(note: ngsgd optimizer-state layout gained a "
+                "step counter in round 4 — checkpoints written by "
+                "older ngsgd runs cannot be resumed; adamw "
+                "checkpoints are unaffected)") from e
         self.params = state["params"]
         self.batch_stats = state["batch_stats"]
         self.opt_state = jax.tree_util.tree_unflatten(

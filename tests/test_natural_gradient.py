@@ -125,3 +125,32 @@ def test_scale_ng_passthrough_non_matrix(rng):
                                rtol=1e-5)
     u2, _ = tx.update(g, st2)
     assert not np.allclose(np.asarray(u2["w"]), np.asarray(g["w"]))
+
+
+def test_scale_ng_update_period(rng):
+    """Fisher estimates ADVANCE only every k-th step (the reference's
+    OnlineNaturalGradient update_period); preconditioning still
+    applies every step."""
+    params = {"w": jnp.ones((6, 4))}
+    tx = scale_ng(update_period=3)
+    st = tx.init(params)
+    g = {"w": jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)}
+
+    def t_of(state):
+        return int(state.states["w"][0].t)
+
+    assert t_of(st) == 0
+    # first 10 steps advance UNCONDITIONALLY (the reference refines
+    # the estimate before honoring update_period)
+    for k in range(10):
+        _, st = tx.update(g, st)
+    assert t_of(st) == 10
+    u10, st = tx.update(g, st)         # step 10: no advance (10%3==1)
+    u11, st = tx.update(g, st)         # step 11: no advance
+    assert t_of(st) == 10
+    _, st = tx.update(g, st)           # step 12: advances (12%3==0)
+    assert t_of(st) == 11
+    # preconditioning applied on the non-advancing steps too
+    assert not np.allclose(np.asarray(u10["w"]), np.asarray(g["w"]))
+    np.testing.assert_allclose(np.asarray(u10["w"]),
+                               np.asarray(u11["w"]), rtol=1e-6)
