@@ -138,21 +138,11 @@ def _hmm_tables(tm: TransitionModel, phones: SymbolTable,
     return E, fwd_tid, fwd_w, self_tid, self_w
 
 
-def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
-                    arpa: ArpaModel,
-                    tm: TransitionModel,
-                    words: SymbolTable,
-                    phones: SymbolTable,
-                    sil_phone: str = "SIL",
-                    sil_prob: float = 0.5,
-                    optional_sil: bool = True,
-                    transition_scale: float = 1.0,
-                    self_loop_scale: float = 0.1,
-                    bos: str = "<s>", eos: str = "</s>") -> BigGraph:
-    """Build the decode graph directly into CSR arrays.  See module
-    docstring for the construction; ~seconds for 20k words / 10⁶
-    states where the generic mkgraph pipeline would take hours."""
-    timer = Timer()
+def _lm_and_trie(entries, arpa, words, phones, bos, eos, timer):
+    """Steps 1-3 shared by the mono and context-dependent builds:
+    LM states/arcs (arpa_to_fst semantics), the pronunciation trie,
+    LM-arc x pronunciation expansion, active (h, node) pairs, and the
+    pushed per-pair min weights."""
     order = arpa.order
 
     # ------------------------------------------------------------------
@@ -299,6 +289,49 @@ def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
     pr_parent = node_parent[pr_node]
     log.info("biglang: %d expanded arcs, %d (lm-state, trie-node) pairs "
              "(%.1fs)", NX, NP, timer.elapsed())
+
+    return (H, start_lm, lm_final,
+            np.asarray(backoff_src, np.int64),
+            np.asarray(backoff_dst, np.int64),
+            np.asarray(backoff_w, np.float32),
+            x_h, x_cost, x_dst, x_w, x_entry, x_arc,
+            node_parent, node_phone, entry_end, NN,
+            pair_keys, NP, pair_id, wmin, pr_h, pr_node, pr_phone,
+            pr_parent)
+
+
+def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
+                    arpa: ArpaModel,
+                    tm: TransitionModel,
+                    words: SymbolTable,
+                    phones: SymbolTable,
+                    sil_phone: str = "SIL",
+                    sil_prob: float = 0.5,
+                    optional_sil: bool = True,
+                    transition_scale: float = 1.0,
+                    self_loop_scale: float = 0.1,
+                    bos: str = "<s>", eos: str = "</s>") -> BigGraph:
+    """Build the decode graph directly into CSR arrays.  See module
+    docstring for the construction; ~seconds for 20k words / 10⁶
+    states where the generic mkgraph pipeline would take hours.
+
+    Context-independent (monophone) trees use the fast path below;
+    triphone trees (context_width 3) dispatch to the context-dependent
+    construction (_build_big_graph_cd), which emits phone windows with
+    the same delayed semantics as fst/context.py."""
+    if tm.tree.context_width != 1:
+        return _build_big_graph_cd(
+            entries, arpa, tm, words, phones, sil_phone, sil_prob,
+            optional_sil, transition_scale, self_loop_scale, bos, eos)
+    timer = Timer()
+    core = _lm_and_trie(entries, arpa, words, phones, bos, eos, timer)
+    (H, start_lm, lm_final, backoff_src, backoff_dst, backoff_w,
+     x_h, x_cost, x_dst, x_w, x_entry, x_arc,
+     node_parent, node_phone, entry_end, NN,
+     pair_keys, NP, pair_id, wmin, pr_h, pr_node, pr_phone, pr_parent
+     ) = core
+    NX = len(x_arc)
+
 
     # ------------------------------------------------------------------
     # 4. phone-level states & arcs
@@ -481,6 +514,476 @@ def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
     csr = csr_from_arrays(S_tot, 0, e_src, e_dst, e_il, e_ol, e_wt,
                           n_src, n_dst, n_ol, n_wt, final)
     log.info("biglang: HCLG %d states, %d emitting + %d ε arcs, "
+             "ε-depth %d (%.1fs total)", S_tot, csr.num_emitting_arcs,
+             csr.num_eps_arcs, csr.eps_depth, timer.elapsed())
+    return BigGraph(csr=csr, words=words, phones=phones, num_lm_states=H)
+
+
+def _window_hmm_tables(tm: TransitionModel, wins: np.ndarray,
+                       transition_scale: float, self_loop_scale: float):
+    """Per-WINDOW linear-HMM expansion tables for context-dependent
+    trees: ``wins`` is (W, 3) phone windows (center = the phone being
+    expanded; 0 = padding at utterance edges).  Same weight convention
+    as _hmm_tables / hclg.make_h_transducer (reorder=true)."""
+    tree = tm.tree
+    W = len(wins)
+    ent_cache = {}
+    Emax = 0
+    for p in {int(c) for c in wins[:, 1]}:
+        entry = tm.topo.topology_for_phone(p)
+        n = sum(1 for st in entry if st.forward_pdf_class != NO_PDF)
+        ent_cache[p] = entry
+        Emax = max(Emax, n)
+    E = np.zeros(W, np.int32)
+    fwd_tid = np.zeros((W, Emax), np.int32)
+    fwd_w = np.zeros((W, Emax), np.float32)
+    self_tid = np.zeros((W, Emax), np.int32)
+    self_w = np.zeros((W, Emax), np.float32)
+    for wi in range(W):
+        l, p, r = (int(v) for v in wins[wi])
+        window = [l, p, r]
+        i_emit = 0
+        for hmm_state, st in enumerate(ent_cache[p]):
+            if st.forward_pdf_class == NO_PDF:
+                continue
+            fwd_pdf = tree.compute(window, st.forward_pdf_class)
+            slf_pdf = tree.compute(window, st.self_loop_pdf_class)
+            ts = tm.tuple_to_transition_state(p, hmm_state, fwd_pdf,
+                                              slf_pdf)
+            stid = tm.self_loop_of(ts)
+            log_1mp = tm.get_non_self_loop_log_prob(ts) if stid else 0.0
+            fwd = [i for i, (ns, _) in enumerate(st.transitions)
+                   if ns != hmm_state]
+            if len(fwd) != 1:
+                raise KaldiError(
+                    "biglang supports linear (Bakis, no-skip) topologies; "
+                    f"phone {p} state {hmm_state} has {len(fwd)} forward "
+                    "arcs")
+            tid = tm.pair_to_transition_id(ts, fwd[0])
+            fwd_tid[wi, i_emit] = tid
+            fwd_w[wi, i_emit] = (-transition_scale
+                                 * (tm.get_log_prob(tid) - log_1mp)
+                                 - self_loop_scale * log_1mp)
+            if stid:
+                self_tid[wi, i_emit] = stid
+                self_w[wi, i_emit] = -self_loop_scale \
+                    * tm.get_log_prob(stid)
+            E[wi] += 1
+            i_emit += 1
+    return E, fwd_tid, fwd_w, self_tid, self_w
+
+
+def _build_big_graph_cd(entries, arpa, tm, words, phones, sil_phone,
+                        sil_prob, optional_sil, transition_scale,
+                        self_loop_scale, bos, eos) -> BigGraph:
+    """Direct construction with a CONTEXT-DEPENDENT (triphone) tree.
+
+    Same output contract as the monophone fast path — a decode-ready
+    HCLG over transition-ids, path-weight-equivalent to the generic
+    mkgraph pipeline (compose_context + make_h_transducer + det + min)
+    — with phone windows emitted under fst/context.py's delayed
+    convention (delay = N−1−P = 1: consuming phone q completes the
+    window of the phone seen one arc earlier).
+
+    The trie makes word-internal windows DETERMINISTIC: a node at
+    depth ≥ 2 knows its (parent, grandparent) phones, so only the
+    junction states need context splitting:
+
+      * word-choice (root) states split by the (l2, l1) phone pair
+        arriving from the previous word / silence,
+      * depth-1 trie nodes split by the left phone l1 alone,
+      * the pre-silence state splits by (l2, l1) (consuming SIL emits
+        the window (l2, l1, SIL); the post-silence word choice is just
+        the root with context (l1, SIL)).
+
+    A vectorized fixed point enumerates exactly the REACHABLE
+    (lm-state, context) pairs — since an LM state's last word is fixed
+    by its history, contexts per state ≈ its word's pronunciation
+    endings, so the split stays near-linear in graph size instead of
+    the naive |phones|² blowup.  Parity: src/fstext/context-fst.h
+    window semantics + mkgraph.sh output, built directly at scale.
+    """
+    tree = tm.tree
+    if (tree.context_width, tree.central_position) != (3, 1):
+        raise KaldiError(
+            "biglang: context-dependent direct construction supports "
+            "triphone trees (context_width 3, central_position 1); got "
+            f"N={tree.context_width} P={tree.central_position}")
+    timer = Timer()
+    (H, start_lm, lm_final, bo_src_a, bo_dst_a, bo_w_a,
+     x_h, x_cost, x_dst, x_w, x_entry, _x_arc,
+     node_parent, node_phone, entry_end, NN,
+     pair_keys, NP, pair_id, wmin, pr_h, pr_node, pr_phone, pr_parent
+     ) = _lm_and_trie(entries, arpa, words, phones, bos, eos, timer)
+
+    SIL = phones[sil_phone]
+    PH = max(phones.ids()) + 1
+    C = PH * PH
+    no_sil_cost = -math.log(1.0 - sil_prob) if optional_sil else 0.0
+    sil_cost = -math.log(sil_prob) if optional_sil else np.inf
+
+    has_bo = np.zeros(H, bool)
+    bo_dst = np.zeros(H, np.int64)
+    bo_w = np.zeros(H, np.float32)
+    has_bo[bo_src_a] = True
+    bo_dst[bo_src_a] = bo_dst_a
+    bo_w[bo_src_a] = bo_w_a
+
+    depth = np.zeros(NN, np.int32)
+    for i in range(1, NN):
+        depth[i] = depth[node_parent[i]] + 1
+    pr_depth = depth[pr_node]
+
+    d1_idx = np.nonzero(pr_depth == 1)[0]      # depth-1 pair ranks
+    ND1P = len(d1_idx)
+    d1_rank = np.full(NP, -1, np.int64)
+    d1_rank[d1_idx] = np.arange(ND1P)
+    dp_idx = np.nonzero(pr_depth >= 2)[0]
+    NDP = len(dp_idx)
+    dp_rank = np.full(NP, -1, np.int64)
+    dp_rank[dp_idx] = np.arange(NDP)
+
+    e_depth = depth[entry_end]
+    e_l1 = node_phone[entry_end].astype(np.int64)       # last phone
+    e_l2 = np.where(e_depth >= 2,
+                    node_phone[node_parent[entry_end]], 0).astype(np.int64)
+
+    xe_depth = e_depth[x_entry]
+    deep_x = np.nonzero(xe_depth >= 2)[0]
+    d1_x = np.nonzero(xe_depth == 1)[0]
+
+    def _group(keys):
+        """Sort row indices by LM state; return (sorted_rows, bounds)."""
+        o = np.argsort(keys, kind="stable")
+        return o, np.searchsorted(keys[o], np.arange(H + 1))
+
+    o1, d1x_bounds = _group(x_h[d1_x])
+    d1_xs = d1_x[o1]
+    o2, dpx_bounds = _group(x_h[deep_x])
+    dp_xs = deep_x[o2]
+
+    def _join(h_arr, bounds, items):
+        """All rows of ``items`` grouped under each h in h_arr.
+        Returns (rep, picked): rep indexes h_arr."""
+        lo = bounds[h_arr]
+        cnt = bounds[h_arr + 1] - lo
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(h_arr)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return rep, items[lo[rep] + within]
+
+    # ------------------------------------------------------------------
+    # fixed point: reachable (h, context) root keys + (h, hist) sil keys
+    # ------------------------------------------------------------------
+    R_set = np.asarray([start_lm * C], np.int64)        # context (0, 0)
+    SS_set = (np.asarray([start_lm * C], np.int64) if optional_sil
+              else np.zeros(0, np.int64))
+    reach = np.zeros(H, bool)
+    reach[start_lm] = True
+    R_frontier = R_set.copy()
+    SS_frontier = SS_set.copy()
+    reach_frontier = np.asarray([start_lm], np.int64)
+    for _round in range(100000):
+        parts_R, parts_SS = [], []
+        if len(SS_frontier):
+            h = SS_frontier // C
+            l1 = (SS_frontier % C) % PH
+            parts_R.append(h * C + l1 * PH + SIL)
+        if len(R_frontier):
+            h = R_frontier // C
+            cid = R_frontier % C
+            m = has_bo[h]
+            parts_R.append(bo_dst[h[m]] * C + cid[m])
+            # depth-1-word completions fire per source context
+            rep, j = _join(h, d1x_bounds, d1_xs)
+            hist = (cid % PH)[rep] * PH + e_l1[x_entry[j]]
+            parts_R.append(x_dst[j] * C + hist)
+            if optional_sil:
+                parts_SS.append(x_dst[j] * C + hist)
+        if len(reach_frontier):
+            # deep-word completions fire once per reached source state
+            rep, j = _join(reach_frontier, dpx_bounds, dp_xs)
+            hist = e_l2[x_entry[j]] * PH + e_l1[x_entry[j]]
+            parts_R.append(x_dst[j] * C + hist)
+            if optional_sil:
+                parts_SS.append(x_dst[j] * C + hist)
+        new_R = (np.unique(np.concatenate(parts_R)) if parts_R
+                 else np.zeros(0, np.int64))
+        new_SS = (np.unique(np.concatenate(parts_SS)) if parts_SS
+                  else np.zeros(0, np.int64))
+        R_frontier = new_R[~np.isin(new_R, R_set, assume_unique=True)]
+        SS_frontier = new_SS[~np.isin(new_SS, SS_set, assume_unique=True)]
+        if len(R_frontier) == 0 and len(SS_frontier) == 0:
+            break
+        R_set = np.union1d(R_set, R_frontier)
+        SS_set = np.union1d(SS_set, SS_frontier)
+        hs = np.unique(R_frontier // C)
+        reach_frontier = hs[~reach[hs]]
+        reach[reach_frontier] = True
+    else:
+        raise KaldiError("biglang cd: context fixed point did not "
+                         "converge")
+
+    NR = len(R_set)
+    NS = len(SS_set)
+    Rh = R_set // C
+    Rcid = R_set % C
+    Rl2 = Rcid // PH
+    Rl1 = Rcid % PH
+
+    # left-context sets L(h) = {c.l1 : (h, c) reachable}
+    hl_keys = np.unique(Rh * PH + Rl1)
+    hl_h = hl_keys // PH
+    hl_l = hl_keys % PH
+    hl_bounds = np.searchsorted(hl_h, np.arange(H + 1))
+
+    # D1 states: depth-1 pairs × L(h); keys sorted by construction
+    d1p_h = pr_h[d1_idx]
+    repD, d1_l = _join(d1p_h, hl_bounds, hl_l)
+    D1_keys = repD * PH + d1_l
+    ND1 = len(D1_keys)
+
+    roots0 = 1
+    ss0 = roots0 + NR
+    d10 = ss0 + NS
+    dp0 = d10 + ND1
+    F = dp0 + NDP
+    S_phone = F + 1
+    log.info("biglang cd: %d contexts over %d LM states (%d root, %d sil,"
+             " %d depth-1, %d deep states) (%.1fs)",
+             len(hl_keys), H, NR, NS, ND1, NDP, timer.elapsed())
+
+    def rstate(keys):
+        idx = np.searchsorted(R_set, keys)
+        if len(idx) and not (R_set[idx] == keys).all():
+            raise KaldiError("biglang cd: missing root context key")
+        return roots0 + idx
+
+    def sstate(keys):
+        idx = np.searchsorted(SS_set, keys)
+        if len(idx) and not (SS_set[idx] == keys).all():
+            raise KaldiError("biglang cd: missing sil context key")
+        return ss0 + idx
+
+    def d1state(rank, l):
+        idx = np.searchsorted(D1_keys, rank * PH + l)
+        if len(np.atleast_1d(idx)) and not (
+                D1_keys[idx] == rank * PH + l).all():
+            raise KaldiError("biglang cd: missing depth-1 split key")
+        return d10 + idx
+
+    a_src: List[np.ndarray] = []
+    a_dst: List[np.ndarray] = []
+    a_wl: List[np.ndarray] = []
+    a_wc: List[np.ndarray] = []    # window center; 0 = no HMM (ε)
+    a_wr: List[np.ndarray] = []
+    a_ol: List[np.ndarray] = []
+    a_wt: List[np.ndarray] = []
+
+    def addw(src, dst, wl, wc, wr, ol, wt):
+        src = np.atleast_1d(np.asarray(src, np.int64))
+        n = len(src)
+        a_src.append(src)
+        a_dst.append(np.broadcast_to(np.asarray(dst, np.int64), (n,)))
+        a_wl.append(np.broadcast_to(np.asarray(wl, np.int32), (n,)))
+        a_wc.append(np.broadcast_to(np.asarray(wc, np.int32), (n,)))
+        a_wr.append(np.broadcast_to(np.asarray(wr, np.int32), (n,)))
+        a_ol.append(np.broadcast_to(np.asarray(ol, np.int32), (n,)))
+        a_wt.append(np.broadcast_to(np.asarray(wt, np.float32), (n,)))
+
+    # 1. root fan-out: R(h, c) --q1 [window (l2, l1, q1)]--> D1(n1, l1)
+    o3, d1p_bounds = _group(d1p_h)
+    repR, rankp = _join(Rh, d1p_bounds, o3)
+    pairi = d1_idx[rankp]
+    addw(roots0 + repR, d1state(rankp, Rl1[repR]),
+         Rl2[repR], Rl1[repR], pr_phone[pairi], 0, wmin[pairi])
+
+    # 2. depth-1 → depth-2: window (l, q1, q2), per l ∈ L(h)
+    j2 = np.nonzero(pr_depth == 2)[0]
+    if len(j2):
+        pp2 = pair_id(pr_h[j2], pr_parent[j2])
+        rank2 = d1_rank[pp2]
+        rep2, l2v = _join(pr_h[j2], hl_bounds, hl_l)
+        addw(d1state(rank2[rep2], l2v), dp0 + dp_rank[j2[rep2]],
+             l2v, pr_phone[pp2][rep2], pr_phone[j2[rep2]], 0,
+             (wmin[j2] - wmin[pp2])[rep2])
+
+    # 3. deep trie arcs: window fully determined by the trie
+    j3 = np.nonzero(pr_depth >= 3)[0]
+    if len(j3):
+        pp3 = pair_id(pr_h[j3], pr_parent[j3])
+        gp = node_phone[node_parent[pr_parent[j3]]]
+        addw(dp0 + dp_rank[pp3], dp0 + dp_rank[j3],
+             gp, pr_phone[pp3], pr_phone[j3], 0, wmin[j3] - wmin[pp3])
+
+    # 4. deep-word completions (ε, word olabel, residual LM weight)
+    sel4 = deep_x[reach[x_h[deep_x]]]
+    if len(sel4):
+        ep4 = pair_id(x_h[sel4], entry_end[x_entry[sel4]])
+        res4 = x_cost[sel4] - wmin[ep4]
+        hist4 = e_l2[x_entry[sel4]] * PH + e_l1[x_entry[sel4]]
+        addw(dp0 + dp_rank[ep4], rstate(x_dst[sel4] * C + hist4),
+             0, 0, 0, x_w[sel4], res4 + no_sil_cost)
+        if optional_sil:
+            addw(dp0 + dp_rank[ep4], sstate(x_dst[sel4] * C + hist4),
+                 0, 0, 0, x_w[sel4], res4 + sil_cost)
+
+    # 5. depth-1-word completions, per left context l ∈ L(h)
+    sel5 = d1_x[reach[x_h[d1_x]]]
+    if len(sel5):
+        rep5, l5 = _join(x_h[sel5], hl_bounds, hl_l)
+        ep5 = d1_rank[pair_id(x_h[sel5], entry_end[x_entry[sel5]])]
+        res5 = x_cost[sel5] - wmin[d1_idx[ep5]]
+        hist5 = l5 * PH + e_l1[x_entry[sel5]][rep5]
+        addw(d1state(ep5[rep5], l5),
+             rstate(x_dst[sel5][rep5] * C + hist5),
+             0, 0, 0, x_w[sel5][rep5], res5[rep5] + no_sil_cost)
+        if optional_sil:
+            addw(d1state(ep5[rep5], l5),
+                 sstate(x_dst[sel5][rep5] * C + hist5),
+                 0, 0, 0, x_w[sel5][rep5], res5[rep5] + sil_cost)
+
+    # 6. silence: SS(h, c) --SIL [window (l2, l1, SIL)]--> R(h, (l1, SIL))
+    if NS:
+        sh = SS_set // C
+        scid = SS_set % C
+        addw(ss0 + np.arange(NS), rstate(sh * C + (scid % PH) * PH + SIL),
+             scid // PH, scid % PH, SIL, 0, 0.0)
+
+    # 7. backoff ε arcs preserve context
+    m7 = np.nonzero(has_bo[Rh])[0]
+    if len(m7):
+        addw(roots0 + m7, rstate(bo_dst[Rh[m7]] * C + Rcid[m7]),
+             0, 0, 0, 0, bo_w[Rh[m7]])
+
+    # 8. start: optional initial silence, context (0, 0)
+    addw([0], rstate(np.asarray([start_lm * C], np.int64)),
+         0, 0, 0, 0, no_sil_cost)
+    if optional_sil:
+        addw([0], sstate(np.asarray([start_lm * C], np.int64)),
+             0, 0, 0, 0, sil_cost)
+
+    # 9. finals: flush the pending phone with empty right context
+    final_phone = np.full(S_phone, np.float32(np.inf))
+    fcost_h = np.full(H, np.inf)
+    for sid, c in lm_final.items():
+        fcost_h[sid] = c
+    fin = np.isfinite(fcost_h[Rh])
+    fin0 = np.nonzero(fin & (Rl1 == 0))[0]
+    final_phone[roots0 + fin0] = fcost_h[Rh[fin0]]
+    finE = np.nonzero(fin & (Rl1 > 0))[0]
+    if len(finE):
+        addw(roots0 + finE, F, Rl2[finE], Rl1[finE], 0, 0,
+             fcost_h[Rh[finE]].astype(np.float32))
+        final_phone[F] = 0.0
+
+    a_src = np.concatenate(a_src)
+    a_dst = np.concatenate(a_dst)
+    a_wl = np.concatenate(a_wl)
+    a_wc = np.concatenate(a_wc)
+    a_wr = np.concatenate(a_wr)
+    a_ol = np.concatenate(a_ol)
+    a_wt = np.concatenate(a_wt)
+    log.info("biglang cd: %d phone-level states, %d arcs (%.1fs)",
+             S_phone, len(a_src), timer.elapsed())
+
+    # ------------------------------------------------------------------
+    # H expansion per WINDOW; full per-arc chains (the window is an arc
+    # property here, so shared destinations can't carry the self-loop),
+    # except deep (depth ≥ 3) trie destinations, whose single in-arc
+    # has a trie-determined window — those merge mono-style.
+    # ------------------------------------------------------------------
+    emit = a_wc > 0
+    wkey = (a_wl[emit].astype(np.int64) * PH + a_wc[emit]) * PH \
+        + a_wr[emit]
+    uw, em_w = np.unique(wkey, return_inverse=True)
+    wins = np.stack([uw // (PH * PH), (uw // PH) % PH, uw % PH],
+                    1).astype(np.int32)
+    E, fwd_tid, fwd_w, stid, sw = _window_hmm_tables(
+        tm, wins, transition_scale, self_loop_scale)
+    log.info("biglang cd: %d distinct windows (%.1fs)", len(uw),
+             timer.elapsed())
+
+    em_src = a_src[emit]
+    em_dst = a_dst[emit]
+    em_ol = a_ol[emit]
+    em_wt = a_wt[emit]
+    nE = E[em_w]
+    if (nE == 0).any():
+        raise KaldiError("biglang cd: window center missing from "
+                         "topology")
+    in_dp = (em_dst >= dp0) & (em_dst < dp0 + NDP)
+    merge = np.zeros(len(em_src), bool)
+    if NDP:
+        k = np.where(in_dp, em_dst - dp0, 0)
+        merge = in_dp & (pr_depth[dp_idx[k]] >= 3)
+
+    n_int = nE - merge.astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(n_int)]).astype(np.int64)
+    inter0 = S_phone
+    n_inter = int(offs[-1])
+    Emax = fwd_tid.shape[1]
+
+    e_src: List[np.ndarray] = []
+    e_dst: List[np.ndarray] = []
+    e_il: List[np.ndarray] = []
+    e_ol: List[np.ndarray] = []
+    e_wt: List[np.ndarray] = []
+    for i in range(Emax):
+        sel = nE > i
+        if not sel.any():
+            break
+        src_i = np.where(i == 0, em_src, inter0 + offs[:-1] + i - 1)[sel]
+        last_merge = merge & (nE == i + 1)
+        dst_i = np.where(last_merge, em_dst, inter0 + offs[:-1] + i)[sel]
+        e_src.append(src_i)
+        e_dst.append(dst_i)
+        e_il.append(fwd_tid[em_w[sel], i])
+        e_ol.append(np.where(i == 0, em_ol, 0)[sel])
+        e_wt.append(np.where(i == 0, em_wt, 0.0)[sel]
+                    + fwd_w[em_w[sel], i])
+
+    # self-loops: per-arc chain states + merged deep destinations
+    total_int = int(n_int.sum())
+    sl_state = inter0 + np.repeat(offs[:-1], n_int) \
+        + (np.arange(total_int)
+           - np.repeat(np.cumsum(n_int) - n_int, n_int))
+    sl_wid = np.repeat(em_w, n_int)
+    sl_pos = (np.arange(total_int)
+              - np.repeat(np.cumsum(n_int) - n_int, n_int))
+    if merge.any():
+        sl_state = np.concatenate([sl_state, em_dst[merge]])
+        sl_wid = np.concatenate([sl_wid, em_w[merge]])
+        sl_pos = np.concatenate([sl_pos, nE[merge] - 1])
+    keep = stid[sl_wid, sl_pos] > 0
+    e_src.append(sl_state[keep])
+    e_dst.append(sl_state[keep])
+    e_il.append(stid[sl_wid, sl_pos][keep])
+    e_ol.append(np.zeros(int(keep.sum()), np.int32))
+    e_wt.append(sw[sl_wid, sl_pos][keep])
+
+    e_src = np.concatenate(e_src).astype(np.int64)
+    e_dst = np.concatenate(e_dst).astype(np.int64)
+    e_il = np.concatenate(e_il).astype(np.int32)
+    e_ol = np.concatenate(e_ol).astype(np.int32)
+    e_wt = np.concatenate(e_wt).astype(np.float32)
+
+    # ε arcs: non-emitting phone-level arcs + unmerged chain ends
+    um = np.nonzero(~merge)[0]
+    n_src = np.concatenate([a_src[~emit],
+                            inter0 + offs[:-1][um] + nE[um] - 1])
+    n_dst = np.concatenate([a_dst[~emit], em_dst[um]])
+    n_ol = np.concatenate([a_ol[~emit],
+                           np.zeros(len(um), np.int32)])
+    n_wt = np.concatenate([a_wt[~emit],
+                           np.zeros(len(um), np.float32)])
+
+    S_tot = S_phone + n_inter
+    final = np.full(S_tot, np.float32(np.inf))
+    final[:S_phone] = final_phone
+    csr = csr_from_arrays(S_tot, 0, e_src, e_dst, e_il, e_ol, e_wt,
+                          n_src, n_dst, n_ol, n_wt, final)
+    log.info("biglang cd: HCLG %d states, %d emitting + %d ε arcs, "
              "ε-depth %d (%.1fs total)", S_tot, csr.num_emitting_arcs,
              csr.num_eps_arcs, csr.eps_depth, timer.elapsed())
     return BigGraph(csr=csr, words=words, phones=phones, num_lm_states=H)
