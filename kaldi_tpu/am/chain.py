@@ -191,6 +191,38 @@ class DenominatorGraph:
     # HMM self-loops — the dense fast path needs the distinction
     state_self_pdf: Optional[np.ndarray] = None   # (S,) i32
     state_entry_pdf: Optional[np.ndarray] = None  # (S,) i32
+    # context-dependent den graphs (left-biphone trees): den states are
+    # (lm-state, left-phone) pairs; these per-LM-STATE views back the
+    # normalization-FST weight computation, which walks LM states
+    lm_initial: Optional[np.ndarray] = None   # (S_lm,) f32
+    lm_l_self: Optional[np.ndarray] = None    # (S_lm,) f32
+    lm_l_fwd: Optional[np.ndarray] = None     # (S_lm,) f32
+    lm_final: Optional[np.ndarray] = None     # (S_lm,) f32
+    exp_index: Optional[Dict] = None          # (lm-state, l-idx) → state
+
+    def norm_view(self):
+        """(initial, l_self, l_fwd, final) indexed by LM STATE — for
+        normalization-FST weights along a numerator phone chain.  For
+        monophone-tree graphs den states ARE LM states; CD graphs
+        carry aggregated per-LM-state arrays."""
+        if self.lm_initial is not None:
+            return (self.lm_initial, self.lm_l_self, self.lm_l_fwd,
+                    self.lm_final)
+        return self.initial, self.l_self, self.l_fwd, self.final
+
+    def initial_for(self, hist_phones) -> float:
+        """log initial prob for a numerator chain whose phone history
+        (ids) ends at the current phone; resolves the exact expanded
+        (lm-state, left-phone) den state when it exists."""
+        g = self.lm.state_of(hist_phones)
+        if self.exp_index is None:
+            return float(self.initial[g])
+        if len(hist_phones) >= 2:
+            li = self.lm._pidx.get(hist_phones[-2], -1)
+            st = self.exp_index.get((g, li))
+            if st is not None:
+                return float(self.initial[st])
+        return float(self.lm_initial[g])
 
 
 def _stationary_distribution(S: int, src: np.ndarray, dst: np.ndarray,
@@ -229,6 +261,15 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
     phones = sorted(topo.phones)
     lm = estimate_phone_lm(phone_seqs, phones, order=order,
                            min_hist_count=min_hist_count)
+    if tree.context_width == 2 and tree.central_position == 1:
+        return _make_den_graph_biphone(lm, tree, topo, phones)
+    if tree.context_width != 1:
+        raise KaldiError(
+            "make_denominator_graph: context-dependent den graphs "
+            "support left-biphone trees (context_width 2, central "
+            "position 1 — the chain build_tree.sh standard); a "
+            f"({tree.context_width},{tree.central_position}) tree "
+            "needs delayed-window expansion (not implemented)")
     S = lm.num_states
     P = len(phones)
 
@@ -285,6 +326,128 @@ def make_denominator_graph(phone_seqs: Sequence[Sequence[int]],
         l_self=l_self.astype(np.float32), l_fwd=l_fwd.astype(np.float32),
         state_self_pdf=slf_pdf[cur].astype(np.int32),
         state_entry_pdf=fwd_pdf[cur].astype(np.int32))
+
+
+def _make_den_graph_biphone(lm: PhoneLm, tree, topo,
+                            phones) -> DenominatorGraph:
+    """Denominator graph for a LEFT-BIPHONE tree (context_width 2,
+    central_position 1 — the reference chain/e2e build_tree.sh
+    standard): a state must know its instance's (left, center) phone
+    window, so den states are (lm-state, left-phone) pairs.
+
+    LM states with history length ≥ 2 determine their left phone
+    (hist[-2]) — only backoff states (history ≤ 1) split per arriving
+    left context, so the expansion adds at most ~|phones|² states over
+    the phone-LM state count and the dense MXU recursion path in
+    denominator_logprob is unchanged.  Entry pdfs stay a function of
+    the DESTINATION state (the dense path's requirement): the arc
+    (g, l) --x--> (g', l'=center(g)) enters instance x with window
+    (center(g), x) = (l', center(g')).  Ref: steps/nnet3/chain/
+    build_tree.sh --context-width=2 --central-position=1,
+    src/chain/chain-den-graph.h."""
+    P = len(phones)
+    pid = list(phones)                       # index -> phone id
+
+    def topo_probs(phone):
+        entry = topo.topology_for_phone(phone)
+        trans = entry[0].transitions
+        p_self = sum(p for ns, p in trans if ns == 0)
+        p_fwd = sum(p for ns, p in trans if ns != 0)
+        return math.log(max(p_self, 1e-10)), math.log(max(p_fwd, 1e-10))
+
+    l_self_p = np.zeros(P, np.float32)
+    l_fwd_p = np.zeros(P, np.float32)
+    for i in range(P):
+        l_self_p[i], l_fwd_p[i] = topo_probs(pid[i])
+
+    # pdf tables over (left idx, center idx); left -1 = no left context
+    fwd_tab = np.zeros((P + 1, P), np.int32)
+    slf_tab = np.zeros((P + 1, P), np.int32)
+    for li in range(-1, P):
+        for ci in range(P):
+            st = topo.topology_for_phone(pid[ci])[0]
+            w = [pid[li] if li >= 0 else 0, pid[ci]]
+            fwd_tab[li + 1, ci] = tree.compute(w, st.forward_pdf_class)
+            slf_tab[li + 1, ci] = tree.compute(w, st.self_loop_pdf_class)
+
+    S_lm = lm.num_states
+    last = np.asarray([h[-1] for h in lm.hists], np.int32)
+    # expanded states: canonical pairs for len-2 histories, plus every
+    # (dst, left) pair one LM transition generates (dedup by dict)
+    exp_index: Dict[Tuple[int, int], int] = {}
+    exp_states: List[Tuple[int, int]] = []
+
+    def sid(g: int, li: int) -> int:
+        k = (g, li)
+        s = exp_index.get(k)
+        if s is None:
+            s = len(exp_states)
+            exp_index[k] = s
+            exp_states.append(k)
+        return s
+
+    for g, h in enumerate(lm.hists):
+        if len(h) >= 2:
+            sid(g, int(h[-2]))
+    # closure: transitions only depend on the source's LM state, so one
+    # pass over (g, x) enumerates every reachable (dst, left) pair
+    for g in range(S_lm):
+        for x in range(P):
+            sid(int(lm.next_state[g, x]), int(last[g]))
+
+    S = len(exp_states)
+    eg = np.asarray([g for g, _ in exp_states], np.int32)
+    el = np.asarray([li for _, li in exp_states], np.int32)
+    ec = last[eg]                               # center phone idx
+    st_self = slf_tab[el + 1, ec]
+    st_entry = fwd_tab[el + 1, ec]
+    l_self = l_self_p[ec]
+    l_fwd = l_fwd_p[ec]
+
+    # self-loops
+    src = [np.arange(S, dtype=np.int32)]
+    dst = [np.arange(S, dtype=np.int32)]
+    pdf = [st_self.astype(np.int32)]
+    logw = [l_self]
+    # cross arcs (S, P): dst = (next_state[g, x], center(g))
+    ss, xx = np.meshgrid(np.arange(S, dtype=np.int32),
+                         np.arange(P, dtype=np.int32), indexing="ij")
+    dst_g = lm.next_state[eg[ss.ravel()], xx.ravel()]
+    dst_l = ec[ss.ravel()]
+    dmap = np.asarray([exp_index[(int(g), int(l))]
+                       for g, l in zip(dst_g, dst_l)], np.int32)
+    src.append(ss.ravel())
+    dst.append(dmap)
+    pdf.append(fwd_tab[dst_l + 1, last[dst_g]])
+    logw.append(l_fwd[ss.ravel()]
+                + lm.next_logp[eg[ss.ravel()], xx.ravel()])
+
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    pdf = np.concatenate(pdf).astype(np.int32)
+    logw = np.concatenate(logw).astype(np.float32)
+    final = (l_fwd + lm.final_logp[eg]).astype(np.float32)
+    initial = _stationary_distribution(S, src, dst, logw)
+
+    # per-LM-state views for normalization weights
+    lm_l_self = l_self_p[last]
+    lm_l_fwd = l_fwd_p[last]
+    lm_final = (lm_l_fwd + lm.final_logp).astype(np.float32)
+    mass = np.full(S_lm, 0.0)
+    np.add.at(mass, eg, np.exp(initial.astype(np.float64)))
+    lm_initial = np.log(np.maximum(mass, 1e-30)).astype(np.float32)
+
+    log.info("den graph (left-biphone): %d lm states → %d (lm, left) "
+             "states, %d arcs", S_lm, S, len(src))
+    return DenominatorGraph(
+        num_states=S, src=src, dst=dst, pdf=pdf, logw=logw,
+        initial=initial, final=final, lm=lm,
+        l_self=l_self.astype(np.float32), l_fwd=l_fwd.astype(np.float32),
+        state_self_pdf=st_self.astype(np.int32),
+        state_entry_pdf=st_entry.astype(np.int32),
+        lm_initial=lm_initial, lm_l_self=lm_l_self.astype(np.float32),
+        lm_l_fwd=lm_l_fwd.astype(np.float32), lm_final=lm_final,
+        exp_index=exp_index)
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,9 @@ def add_normalization_weights(fsa: SupervisionFsa, den
     if lm is None or fsa.phone is None:
         raise KaldiError("add_normalization_weights needs a den graph "
                          "with its PhoneLm and an FSA with phones")
+    # per-LM-state weight views (CD den graphs expand states by left
+    # phone; normalization weights walk LM states — see norm_view)
+    nv_init, nv_self, nv_fwd, nv_final = den.norm_view()
     pidx = {p: i for i, p in enumerate(lm.phones)}
     out_arcs: List[Tuple[int, int, int, int, float, float, float, int]] \
         = []   # (src', dst', epdf, spdf, entry_w, self_w, final_w, phn)
@@ -276,16 +279,16 @@ def add_normalization_weights(fsa: SupervisionFsa, den
             c = pidx[int(fsa.phone[a])]
             if lmst < 0:
                 nl = lm.state_of((int(fsa.phone[a]),))
-                ew = float(den.initial[nl])
+                ew = float(nv_init[nl])
             else:
                 nl = int(lm.next_state[lmst, c])
-                ew = float(den.l_fwd[lmst] + lm.next_logp[lmst, c])
+                ew = float(nv_fwd[lmst] + lm.next_logp[lmst, c])
             d = int(fsa.dst[a])
             did = new_state(d, nl)
             out_arcs.append((
                 sid, did, int(fsa.entry_pdf[a]), int(fsa.self_pdf[a]),
-                float(fsa.weight[a]) + ew, float(den.l_self[nl]),
-                float(den.final[nl]) if fsa.final[d] else 0.0,
+                float(fsa.weight[a]) + ew, float(nv_self[nl]),
+                float(nv_final[nl]) if fsa.final[d] else 0.0,
                 int(fsa.phone[a])))
             if (d, nl) not in seen:
                 seen.add((d, nl))

@@ -149,17 +149,18 @@ def nnet3_chain_normalize_egs_tool(argv):
             segs = segs[:S_out]
             ew = np.zeros(S_out, np.float32)
             sw = np.zeros(S_out, np.float32)
+            nv_init, nv_self, nv_fwd, nv_final = den.norm_view()
             st = lm.state_of((segs[0],))
-            eg.init_w = float(den.initial[st])
-            sw[0] = den.l_self[st]
+            eg.init_w = float(den.initial_for((segs[0],)))
+            sw[0] = nv_self[st]
             for i in range(1, len(segs)):
                 c = lm.phones.index(segs[i])
-                ew[i] = den.l_fwd[st] + lm.next_logp[st, c]
+                ew[i] = nv_fwd[st] + lm.next_logp[st, c]
                 st = int(lm.next_state[st, c])
-                sw[i] = den.l_self[st]
+                sw[i] = nv_self[st]
             eg.entry_w = ew
             eg.self_w = sw
-            eg.final_w = float(den.final[st])
+            eg.final_w = float(nv_final[st])
             w[key] = eg
             n += 1
     log.info("nnet3-chain-normalize-egs: %d normalized, %d without "

@@ -98,6 +98,36 @@ log = get_logger(__name__)
 INF = jnp.float32(jnp.inf)
 
 
+class StageTimers:
+    """Thread-safe cumulative wall-clock per host-assembly stage
+    (records decode / native raw-lattice build / determinize).  The
+    quality harness (pipelines/hard.decode_eval) resets and reads
+    these to attribute decode wall time — the CuDevice::PrintProfile
+    role for the host side."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self.t: Dict[str, float] = {}
+
+    def add(self, key: str, dt: float) -> None:
+        with self._lock:
+            self.t[key] = self.t.get(key, 0.0) + dt
+
+    def reset(self) -> Dict[str, float]:
+        with self._lock:
+            out = dict(self.t)
+            self.t.clear()
+        return out
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            return dict(self.t)
+
+
+BUILD_TIMERS = StageTimers()
+
+
 @dataclasses.dataclass
 class BeamDecoderConfig:
     """Mirrors LatticeFasterDecoderConfig option names."""
@@ -262,6 +292,15 @@ class BeamDecoder:
         tc[:n0] = init_costs[:n0]
         to[:n0] = blk_off[init_states[:n0]].astype(np.int32)
         tn[:n0] = cnt_blk[init_states[:n0]].astype(np.int32)
+        # host-only: olabel-sequence table (arcs carrying several word
+        # olabels after ε elimination) + per-initial-slot olabels (a
+        # word on the start ε-closure path); expanded at backtrace /
+        # lattice-build time — the device never interprets olabels
+        self._ol_seqs = list(graph.olabel_seqs or [])
+        io = np.zeros(K, np.int64)
+        if graph.init_olabels is not None:
+            io[:n0] = np.asarray(graph.init_olabels[:n0], np.int64)
+        self._init_ols = io
 
         self._g_host = {
             "arc_tab": tab,
@@ -720,6 +759,8 @@ class BeamDecoder:
         """Whole-batch fetch in O(1) device round-trips (each transfer
         over a tunneled TPU pays full RTT; per-utterance fetches turn
         the host pass latency-bound)."""
+        import time as _time
+        t0 = _time.perf_counter()
         small = jax.device_get({k: out[k] for k in self._SMALL_KEYS})
         hosts = [{k: small[k][b] for k in self._SMALL_KEYS}
                  for b in range(batch_size)]
@@ -740,6 +781,7 @@ class BeamDecoder:
             for b in range(batch_size):
                 hosts[b]["rec_counts"] = counts[b]
                 hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
+        BUILD_TIMERS.add("fetch_s", _time.perf_counter() - t0)
         return hosts
 
     # -- demand-triggered escalation (the retry-beam contract) -------------
@@ -921,13 +963,21 @@ class BeamDecoder:
         best_cost = float(host["best_cost"])
         if not np.isfinite(best_cost):
             raise KaldiError("BeamDecoder: no tokens survived")
-        if int(host["bt_end"]) < 0:
+        start_slot = int(host["bt_end"])
+        if start_slot < 0:
             raise KaldiError("BeamDecoder: broken backpointer chain")
         aidx = np.asarray(host["bt_aidx"][:T])
         aidx = aidx[aidx >= 0]
         tids = [int(t) for t in self._flat[aidx, 2] if t]
-        ols = [int(o) for o in self._flat[aidx, 4] if o]
+        ols = list(self._expand_ol(int(self._init_ols[start_slot])))
+        for o in self._flat[aidx, 4]:
+            if o:
+                ols.extend(self._expand_ol(int(o)))
         return tids, ols, best_cost
+
+    def _expand_ol(self, ol: int):
+        from kaldi_tpu.fst.csr import expand_olabel
+        return expand_olabel(ol, self._ol_seqs)
 
     # -- lattice assembly (vectorized, no per-arc Python) ------------------
 
@@ -957,7 +1007,43 @@ class BeamDecoder:
         init_cost = self._g_host["init_cost"]
         init_slots = np.nonzero(np.isfinite(init_cost))[0].astype(np.int32)
         return (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-                init_slots, init_cost[init_slots])
+                init_slots, init_cost[init_slots],
+                self._init_ols[init_slots].astype(np.int32))
+
+    def _expand_arc_ols(self, ks, kd, kil, kol, kgw, kac, n_states):
+        """Split arcs whose olabel is sequence-encoded (>= OLSEQ_BASE)
+        into chains through fresh states, one plain word olabel per
+        arc, BEFORE determinization — so the determinized lattice is
+        canonical over true word sequences.  No-op when the graph has
+        no encoded olabels."""
+        from kaldi_tpu.fst.csr import OLSEQ_BASE
+        if not self._ol_seqs or not len(kol):
+            return ks, kd, kil, kol, kgw, kac, n_states
+        enc = np.nonzero(np.asarray(kol) >= OLSEQ_BASE)[0]
+        if not len(enc):
+            return ks, kd, kil, kol, kgw, kac, n_states
+        ks = list(np.asarray(ks)); kd = list(np.asarray(kd))
+        kil = list(np.asarray(kil)); kol = list(np.asarray(kol))
+        kgw = list(np.asarray(kgw)); kac = list(np.asarray(kac))
+        for i in enc:
+            seq = self._ol_seqs[int(kol[i]) - OLSEQ_BASE]
+            dst = kd[i]
+            # first word rides the original (emitting) arc; the rest
+            # follow on fresh ε-input arcs
+            kol[i] = seq[0]
+            prev = n_states
+            kd[i] = prev
+            n_states += len(seq) - 1
+            for j, wid in enumerate(seq[1:]):
+                last = j == len(seq) - 2
+                ks.append(prev); kd.append(dst if last else prev + 1)
+                kil.append(0); kol.append(wid)
+                kgw.append(0.0); kac.append(0.0)
+                prev += 1
+        return (np.asarray(ks, np.int32), np.asarray(kd, np.int32),
+                np.asarray(kil, np.int32), np.asarray(kol, np.int32),
+                np.asarray(kgw, np.float32), np.asarray(kac, np.float32),
+                n_states)
 
     def build_compact_lattice(self, host, T: int, loglikes: np.ndarray,
                               max_states: int = 200000):
@@ -967,21 +1053,33 @@ class BeamDecoder:
         state-level lattice never exists as Python objects.  Falls
         back to _build_lattice + determinize_lattice when the native
         library is unavailable."""
+        import time as _time
+
         from kaldi_tpu import native
         from kaldi_tpu.lattice.determinize import (compact_from_arrays,
                                                    determinize_lattice)
+        t0 = _time.perf_counter()
         (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-         init_slots, init_costs) = self._decode_records(host, T, loglikes)
+         init_slots, init_costs, init_ols) = \
+            self._decode_records(host, T, loglikes)
+        t1 = _time.perf_counter()
+        BUILD_TIMERS.add("records_s", t1 - t0)
         res = native.build_lattice_native(
             counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-            init_slots, init_costs, host["tok_final"],
+            init_slots, init_costs, init_ols, host["tok_final"],
             self.config.lattice_beam)
+        t2 = _time.perf_counter()
+        BUILD_TIMERS.add("raw_build_s", t2 - t1)
         if res is not None:
             (ks, kd, kil, kol, kgw, kac, fs, fw, n_kept) = res
+            (ks, kd, kil, kol, kgw, kac, n_kept) = self._expand_arc_ols(
+                ks, kd, kil, kol, kgw, kac, n_kept)
             det = native.determinize_lattice_native(
                 n_kept, 0, ks, kd, kil, kol, kgw, kac,
                 fs, fw, np.zeros(len(fw), np.float32),
                 max_states=max_states)
+            BUILD_TIMERS.add("determinize_s",
+                             _time.perf_counter() - t2)
             if det is not None:
                 return compact_from_arrays(det)
         return determinize_lattice(self._build_lattice(host, T, loglikes),
@@ -992,7 +1090,8 @@ class BeamDecoder:
         K = self.K
         beam = self.config.lattice_beam
         (counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-         init_slots, init_costs) = self._decode_records(host, T, loglikes)
+         init_slots, init_costs, init_ols) = \
+            self._decode_records(host, T, loglikes)
         offs = np.zeros(T + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
 
@@ -1001,9 +1100,11 @@ class BeamDecoder:
         from kaldi_tpu import native
         res = native.build_lattice_native(
             counts, r_prev, r_dst, r_il, r_ol, r_gw, r_ac,
-            init_slots, init_costs, host["tok_final"], beam)
+            init_slots, init_costs, init_ols, host["tok_final"], beam)
         if res is not None:
             (ks, kd, kil, kol, kgw, kac, fs, fw, n_kept) = res
+            (ks, kd, kil, kol, kgw, kac, n_kept) = self._expand_arc_ols(
+                ks, kd, kil, kol, kgw, kac, n_kept)
             lat = Lattice()
             for _ in range(n_kept):
                 lat.add_state()
@@ -1025,7 +1126,8 @@ class BeamDecoder:
         arcs_src: List[np.ndarray] = [np.zeros(len(init_slots), np.int64)]
         arcs_dst: List[np.ndarray] = [cur[init_slots]]
         arcs_il: List[np.ndarray] = [np.zeros(len(init_slots), np.int32)]
-        arcs_ol: List[np.ndarray] = [np.zeros(len(init_slots), np.int32)]
+        arcs_ol: List[np.ndarray] = [
+            self._init_ols[init_slots].astype(np.int32)]
         arcs_gw: List[np.ndarray] = [init_cost[init_slots]]
         arcs_ac: List[np.ndarray] = [np.zeros(len(init_slots), np.float32)]
         level_sizes: List[int] = [len(init_slots)]
@@ -1088,16 +1190,19 @@ class BeamDecoder:
         keep_state[dst[keep_arc]] = True
         remap = np.cumsum(keep_state) - 1
 
-        lat = Lattice()
-        for _ in range(int(keep_state.sum())):
-            lat.add_state()
-        lat.start = 0
         ks = remap[src[keep_arc]]
         kd = remap[dst[keep_arc]]
         kil = il[keep_arc]
         kol = ol[keep_arc]
         kgw = gw[keep_arc]
         kac = ac[keep_arc]
+        n_kept = int(keep_state.sum())
+        (ks, kd, kil, kol, kgw, kac, n_kept) = self._expand_arc_ols(
+            ks, kd, kil, kol, kgw, kac, n_kept)
+        lat = Lattice()
+        for _ in range(n_kept):
+            lat.add_state()
+        lat.start = 0
         for i in range(len(ks)):
             lat.arcs[ks[i]].append(LatticeArc(
                 int(kil[i]), int(kol[i]), float(kgw[i]), float(kac[i]),

@@ -119,9 +119,11 @@ class OnlineBeamDecoder:
                                                (t,))
             return (t, bpp[t, idx], out)
 
-        _, _, out = jax.lax.while_loop(
+        _, end_slot, out = jax.lax.while_loop(
             cond, body, (frames_done, best, out))
-        return out, use[best], jnp.where(okf, fin, INF)
+        # end_slot = the winning path's slot at frame 0 (an initial
+        # token) — maps to a start-closure olabel on the host
+        return out, use[best], jnp.where(okf, fin, INF), end_slot
 
     # -- host API -------------------------------------------------------
 
@@ -190,13 +192,10 @@ class OnlineBeamDecoder:
         self._flush()
         if self._frames == 0:
             return [], 0.0
-        path, cost, _fin = self._partial_jit(
+        path, cost, _fin, slot0 = self._partial_jit(
             self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
-        aidx = np.asarray(path)[:self._frames]
-        aidx = aidx[aidx >= 0]
-        ols = [int(o) for o in self.dec._flat[aidx, 4] if o]
-        return ols, float(cost)
+        return self._path_olabels(path, slot0), float(cost)
 
     def partial_tids(self) -> List[int]:
         """tid alignment of the current best path (silence-weighting /
@@ -204,12 +203,25 @@ class OnlineBeamDecoder:
         self._flush()
         if self._frames == 0:
             return []
-        path, _cost, _fin = self._partial_jit(
+        path, _cost, _fin, _s0 = self._partial_jit(
             self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
         aidx = np.asarray(path)[:self._frames]
         aidx = aidx[aidx >= 0]
         return [int(t) for t in self.dec._flat[aidx, 2] if t]
+
+    def _path_olabels(self, path, slot0) -> List[int]:
+        """Expand the winning arc-index path into plain word olabels
+        (sequence-encoded arcs + the initial token's start-closure
+        olabel)."""
+        aidx = np.asarray(path)[:self._frames]
+        aidx = aidx[aidx >= 0]
+        dec = self.dec
+        ols = list(dec._expand_ol(int(dec._init_ols[int(slot0)])))
+        for o in dec._flat[aidx, 4]:
+            if o:
+                ols.extend(dec._expand_ol(int(o)))
+        return ols
 
     def finalize(self, max_states: int = 200000):
         """Determinized CompactLattice over everything consumed (the
@@ -228,7 +240,7 @@ class OnlineBeamDecoder:
             ll = np.concatenate(self._ll_parts)[:self._frames]
             return dec._escalator().decode_compact(
                 ll, bucket=self.C, max_states=max_states)
-        _path, _cost, fin = self._partial_jit(
+        _path, _cost, fin, _s0 = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
         ncur = int(self._cursor)
@@ -256,14 +268,13 @@ class OnlineBeamDecoder:
         self._flush()
         if self._frames == 0:
             raise KaldiError("OnlineBeamDecoder: no frames decoded")
-        path, cost, _fin = self._partial_jit(
+        path, cost, _fin, slot0 = self._partial_jit(
             self.dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
         aidx = np.asarray(path)[:self._frames]
         aidx = aidx[aidx >= 0]
         tids = [int(t) for t in self.dec._flat[aidx, 2] if t]
-        ols = [int(o) for o in self.dec._flat[aidx, 4] if o]
-        return tids, ols, float(cost)
+        return tids, self._path_olabels(path, slot0), float(cost)
 
     def trailing_silence_frames(self, tm=None, silence_phones=()) -> int:
         tm = tm or getattr(self, "tm", None)
@@ -431,7 +442,7 @@ class MultiStreamBeamDecoder:
             ll = np.concatenate(self._ll[c])[:T]
             return dec._escalator().decode_compact(
                 ll, bucket=self.C, max_states=max_states)
-        _path, _cost, fin = self._partial_jit(
+        _path, _cost, fin, _s0 = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.asarray(self._frames, jnp.int32))
         ncur = int(self._cursor[c])

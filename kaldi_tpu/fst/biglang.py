@@ -44,12 +44,56 @@ import numpy as np
 
 from kaldi_tpu.core.logging import KaldiError, Timer, get_logger
 from kaldi_tpu.fst.arpa import ArpaModel
-from kaldi_tpu.fst.csr import CsrGraph
+from kaldi_tpu.fst.csr import OLSEQ_BASE, CsrGraph, expand_olabel
 from kaldi_tpu.fst.fst import SymbolTable
 from kaldi_tpu.am.topology import NO_PDF
 from kaldi_tpu.am.transitions import TransitionModel
 
 log = get_logger(__name__)
+
+
+class OlInterner:
+    """Interns olabel SEQUENCES so an arc can carry several word
+    olabels after ε elimination (see csr.OLSEQ_BASE): a sequence of
+    ≥2 words (or any word ≥ OLSEQ_BASE, which cannot occur for real
+    vocabularies) is stored once and encoded as OLSEQ_BASE + index."""
+
+    def __init__(self, seqs=None):
+        self.seqs: List[tuple] = [tuple(s) for s in (seqs or [])]
+        self._idx = {s: i for i, s in enumerate(self.seqs)}
+
+    def encode(self, seq) -> int:
+        seq = tuple(int(x) for x in seq)
+        if not seq:
+            return 0
+        if len(seq) == 1 and seq[0] < OLSEQ_BASE:
+            return seq[0]
+        k = self._idx.get(seq)
+        if k is None:
+            k = len(self.seqs)
+            self.seqs.append(seq)
+            self._idx[seq] = k
+        return OLSEQ_BASE + k
+
+    def decode(self, ol: int) -> tuple:
+        return expand_olabel(ol, self.seqs)
+
+    def compose(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Elementwise concatenation of two encoded-olabel arrays
+        (a's sequence first).  Vectorized over the (few) distinct
+        nonzero pairs."""
+        a = np.asarray(a, np.int64)
+        b = np.asarray(b, np.int64)
+        out = np.where(a == 0, b, a)
+        both = (a > 0) & (b > 0)
+        if both.any():
+            pairs = np.stack([a[both], b[both]], axis=1)
+            up, inv = np.unique(pairs, axis=0, return_inverse=True)
+            comp = np.asarray(
+                [self.encode(self.decode(int(x)) + self.decode(int(y)))
+                 for x, y in up], np.int64)
+            out[both] = comp[inv]
+        return out
 
 
 @dataclasses.dataclass
@@ -330,8 +374,6 @@ def build_big_graph(entries: Sequence[Tuple[str, Sequence[str]]],
      node_parent, node_phone, entry_end, NN,
      pair_keys, NP, pair_id, wmin, pr_h, pr_node, pr_phone, pr_parent
      ) = core
-    NX = len(x_arc)
-
 
     # ------------------------------------------------------------------
     # 4. phone-level states & arcs
@@ -604,11 +646,17 @@ def _build_big_graph_cd(entries, arpa, tm, words, phones, sil_phone,
     window semantics + mkgraph.sh output, built directly at scale.
     """
     tree = tm.tree
-    if (tree.context_width, tree.central_position) != (3, 1):
+    if (tree.context_width, tree.central_position) not in ((3, 1), (2, 1)):
         raise KaldiError(
             "biglang: context-dependent direct construction supports "
-            "triphone trees (context_width 3, central_position 1); got "
+            "triphone (3,1) and left-biphone (2,1) trees; got "
             f"N={tree.context_width} P={tree.central_position}")
+    # left-biphone trees ((2,1) — the chain/e2e build_tree.sh contract)
+    # run through the same (3,1) machinery: tree.compute keys window
+    # positions 0 (left) and 1 (center) and never queries position 2,
+    # so the delayed-window construction is correct as-is, merely
+    # emitting each HMM one arc later than a native delay-0 build —
+    # the weighted (tids, words) transduction is identical.
     timer = Timer()
     (H, start_lm, lm_final, bo_src_a, bo_dst_a, bo_w_a,
      x_h, x_cost, x_dst, x_w, x_entry, _x_arc,
@@ -753,24 +801,24 @@ def _build_big_graph_cd(entries, arpa, tm, words, phones, sil_phone,
              " %d depth-1, %d deep states) (%.1fs)",
              len(hl_keys), H, NR, NS, ND1, NDP, timer.elapsed())
 
+    def _lookup(table, keys, what):
+        # clip before the equality check: a key past the table end
+        # must raise the actionable KaldiError, not IndexError
+        idx = np.searchsorted(table, keys)
+        safe = np.minimum(idx, max(len(table) - 1, 0))
+        if len(np.atleast_1d(idx)) and not (
+                (idx == safe) & (table[safe] == keys)).all():
+            raise KaldiError(f"biglang cd: missing {what} key")
+        return idx
+
     def rstate(keys):
-        idx = np.searchsorted(R_set, keys)
-        if len(idx) and not (R_set[idx] == keys).all():
-            raise KaldiError("biglang cd: missing root context key")
-        return roots0 + idx
+        return roots0 + _lookup(R_set, keys, "root context")
 
     def sstate(keys):
-        idx = np.searchsorted(SS_set, keys)
-        if len(idx) and not (SS_set[idx] == keys).all():
-            raise KaldiError("biglang cd: missing sil context key")
-        return ss0 + idx
+        return ss0 + _lookup(SS_set, keys, "sil context")
 
     def d1state(rank, l):
-        idx = np.searchsorted(D1_keys, rank * PH + l)
-        if len(np.atleast_1d(idx)) and not (
-                D1_keys[idx] == rank * PH + l).all():
-            raise KaldiError("biglang cd: missing depth-1 split key")
-        return d10 + idx
+        return d10 + _lookup(D1_keys, rank * PH + l, "depth-1 split")
 
     a_src: List[np.ndarray] = []
     a_dst: List[np.ndarray] = []
@@ -1115,10 +1163,13 @@ def eps_close(g: CsrGraph) -> CsrGraph:
     return out
 
 
-def eps_closure_arcs(g: CsrGraph):
+def eps_closure_arcs(g: CsrGraph, interner: Optional[OlInterner] = None):
     """All nonempty ε paths compressed to single arcs:
-    (src, dst, weight, olabel) arrays (at most one olabel per path —
-    guaranteed for biglang graphs, checked here)."""
+    (src, dst, weight, olabel) arrays.  Paths crossing several word
+    olabels (1-phone words in triphone graphs, determinized-CLG olabel
+    placement) are encoded as olabel SEQUENCES via the interner."""
+    if interner is None:
+        interner = OlInterner(g.olabel_seqs)
     src = np.repeat(np.arange(g.num_states, dtype=np.int64),
                     np.diff(g.n_offsets))
     dst = g.n_nextstate.astype(np.int64)
@@ -1140,10 +1191,8 @@ def eps_closure_arcs(g: CsrGraph):
         rep = np.repeat(np.arange(len(c_src)), cnt)
         within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         step = order_idx[lo[rep] + within]
-        if (ol[step][c_ol[rep] > 0] > 0).any():
-            raise KaldiError("eps closure: two olabels on one ε path")
         cur = (c_src[rep], dst[step], c_w[rep] + w[step],
-               np.maximum(c_ol[rep], ol[step]))
+               interner.compose(c_ol[rep], ol[step]))
         all_parts.append(cur)
     else:
         raise KaldiError("eps closure: ε-cycle")
@@ -1151,16 +1200,20 @@ def eps_closure_arcs(g: CsrGraph):
     a_dst = np.concatenate([p[1] for p in all_parts])
     a_w = np.concatenate([p[2] for p in all_parts])
     a_ol = np.concatenate([p[3] for p in all_parts])
-    # dedupe (src, dst, olabel) keeping min weight
-    olmax = int(a_ol.max()) + 1 if len(a_ol) else 1
-    key = (a_src * g.num_states + a_dst) * olmax + a_ol
+    # dedupe (src, dst, olabel-seq) keeping min weight; densify the
+    # olabel axis first (encoded labels are >= 2^24 — a direct product
+    # key would overflow int64 at realistic state counts)
+    uol, ol_idx = (np.unique(a_ol, return_inverse=True)
+                   if len(a_ol) else (np.zeros(1, np.int64),
+                                      np.zeros(0, np.int64)))
+    key = (a_src * g.num_states + a_dst) * len(uol) + ol_idx
     uk, inv = np.unique(key, return_inverse=True)
     wmin = np.full(len(uk), np.inf)
     np.minimum.at(wmin, inv, a_w)
     rep_idx = np.full(len(uk), -1, np.int64)
     np.maximum.at(rep_idx, inv, np.arange(len(inv)))
     return (a_src[rep_idx], a_dst[rep_idx], wmin.astype(np.float32),
-            a_ol[rep_idx].astype(np.int32))
+            a_ol[rep_idx].astype(np.int64))
 
 
 def eps_precompose(g: CsrGraph) -> CsrGraph:
@@ -1172,14 +1225,17 @@ def eps_precompose(g: CsrGraph) -> CsrGraph:
 
     Start-state ε paths become extra INITIAL tokens, recorded in
     CsrGraph.init_states/init_costs (the decoder's host-computed
-    initial closure).  Requires every ε path to carry ≤ 1 olabel and
-    composed emit+ε paths to have ≤ 1 olabel total (true for biglang
-    graphs: word olabels live only on completion ε arcs, and emitting
-    arcs that precede them are olabel-free trie arcs)."""
+    initial closure); a word olabel on a start-closure path rides in
+    CsrGraph.init_olabels.  Paths carrying several word olabels
+    (1-phone words in triphone graphs, determinized-CLG placement)
+    become sequence-encoded olabels (csr.OLSEQ_BASE + index into
+    CsrGraph.olabel_seqs) which host-side lattice/best-path assembly
+    expands back into word sequences."""
     if g.num_eps_arcs == 0:
         out = g
     else:
-        c_src, c_dst, c_w, c_ol = eps_closure_arcs(g)
+        interner = OlInterner(g.olabel_seqs)
+        c_src, c_dst, c_w, c_ol = eps_closure_arcs(g, interner)
         order_idx = np.argsort(c_src, kind="stable")
         cs = c_src[order_idx]
         bounds = np.searchsorted(cs, np.arange(g.num_states + 1))
@@ -1194,13 +1250,12 @@ def eps_precompose(g: CsrGraph) -> CsrGraph:
         rep = np.repeat(np.arange(len(e_src)), cnt)
         within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         step = order_idx[lo[rep] + within]
-        if (c_ol[step][g.e_olabel[rep] > 0] > 0).any():
-            raise KaldiError("eps_precompose: olabel conflict")
         new_src = np.concatenate([e_src, e_src[rep]])
         new_dst = np.concatenate([e_dst, c_dst[step]])
         new_il = np.concatenate([g.e_ilabel, g.e_ilabel[rep]])
         new_ol = np.concatenate(
-            [g.e_olabel, np.maximum(g.e_olabel[rep], c_ol[step])])
+            [g.e_olabel.astype(np.int64),
+             interner.compose(g.e_olabel[rep], c_ol[step])])
         new_w = np.concatenate(
             [g.e_weight, g.e_weight[rep] + c_w[step]])
 
@@ -1219,18 +1274,23 @@ def eps_precompose(g: CsrGraph) -> CsrGraph:
             new_il.astype(np.int32), new_ol.astype(np.int32),
             new_w.astype(np.float32),
             z, z, np.zeros(0, np.int32), np.zeros(0, np.float32), final)
-        # initial tokens = start + its ε closure
+        # initial tokens = start + its ε closure (word olabels on a
+        # start path ride per-token; a word-carrying ε path to a FINAL
+        # state must also keep a distinct token — the olabel-free final
+        # fold above deliberately skipped it)
         sel = c_src == g.start
-        if (c_ol[sel] > 0).any():
-            raise KaldiError("eps_precompose: olabel on start closure")
         out.init_states = np.concatenate(
             [[g.start], c_dst[sel]]).astype(np.int32)
         out.init_costs = np.concatenate(
             [[0.0], c_w[sel]]).astype(np.float32)
+        out.init_olabels = np.concatenate(
+            [[0], c_ol[sel]]).astype(np.int64)
+        out.olabel_seqs = interner.seqs
+        n_enc = int((new_ol >= OLSEQ_BASE).sum())
         log.info("eps_precompose: %d ε arcs folded; emitting %d → %d "
-                 "arcs, %d initial tokens", g.num_eps_arcs,
-                 g.num_emitting_arcs, out.num_emitting_arcs,
-                 len(out.init_states))
+                 "arcs, %d initial tokens, %d seq-encoded olabels",
+                 g.num_eps_arcs, g.num_emitting_arcs,
+                 out.num_emitting_arcs, len(out.init_states), n_enc)
     return out
 
 

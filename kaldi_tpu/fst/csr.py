@@ -30,6 +30,28 @@ from kaldi_tpu.fst.fst import EPS, INF, VectorFst
 
 log = get_logger(__name__)
 
+# Encoded olabel sequences: ε-elimination (biglang.eps_precompose) can
+# fold several word olabels onto ONE arc (a composed emitting arc whose
+# destination ε-closure crosses a word completion — e.g. 1-phone words
+# in triphone graphs, or determinized CLG output with olabels on
+# emitting arcs).  Labels >= OLSEQ_BASE index into CsrGraph.olabel_seqs
+# (a tuple of plain word ids, emitted in order); labels below it are
+# plain word ids.  The device never interprets olabels — records carry
+# arc indices and olabels are recovered host-side — so the encoding
+# costs nothing on the compute path.
+OLSEQ_BASE = 1 << 24
+
+
+def expand_olabel(ol: int, seqs) -> tuple:
+    """Decode one (possibly sequence-encoded) olabel to a tuple of
+    plain word ids."""
+    ol = int(ol)
+    if ol <= 0:
+        return ()
+    if ol < OLSEQ_BASE:
+        return (ol,)
+    return tuple(seqs[ol - OLSEQ_BASE])
+
 
 @dataclasses.dataclass
 class CsrGraph:
@@ -58,6 +80,12 @@ class CsrGraph:
     # Set by biglang.eps_precompose for ε-free graphs.
     init_states: Optional[np.ndarray] = None
     init_costs: Optional[np.ndarray] = None
+    # olabel-sequence table for labels >= OLSEQ_BASE (see expand_olabel)
+    olabel_seqs: Optional[list] = None
+    # per-initial-token encoded olabel (word olabels on the start
+    # ε-closure path — e.g. a 1-phone first word in a triphone graph);
+    # aligned with init_states, 0 = none
+    init_olabels: Optional[np.ndarray] = None
 
     def initial_tokens(self):
         """(states, costs) — host-computed ε closure of the start."""

@@ -81,7 +81,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.kt_build_lattice.argtypes = [
         ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i32p, f32p, f32p,
-        i32p, f32p, ctypes.c_int64,
+        i32p, f32p, i32p, ctypes.c_int64,
         f32p, ctypes.c_float, ctypes.c_int64,
         i32p, i32p, i32p, i32p, f32p, f32p,
         i32p, f32p, i64p, i64p,
@@ -104,7 +104,7 @@ def _bind(lib: ctypes.CDLL) -> None:
 
 
 def build_lattice_native(counts, prev, dst, tid, ol, gw, ac,
-                         init_slots, init_costs, tok_final,
+                         init_slots, init_costs, init_ols, tok_final,
                          lattice_beam: float):
     """Run the native raw-lattice assembly + pruning over PACKED
     records (counts (T,), flat fields of sum(counts)).  Returns
@@ -128,7 +128,8 @@ def build_lattice_native(counts, prev, dst, tid, ol, gw, ac,
     n_states = ctypes.c_int64(0)
 
     na = _call_build(lib, T, K, counts, prev, dst, tid, ol, gw, ac,
-                     init_slots, init_costs, tok_final, lattice_beam,
+                     init_slots, init_costs, init_ols, tok_final,
+                     lattice_beam,
                      cap, o_src, o_dst, o_il, o_ol, o_gw, o_ac,
                      o_fs, o_fw, n_fin, n_states)
     if na < 0:
@@ -140,19 +141,23 @@ def build_lattice_native(counts, prev, dst, tid, ol, gw, ac,
 
 
 def _call_build(lib, T, K, counts, prev, dst, tid, ol, gw, ac,
-                init_slots, init_costs, tok_final, lattice_beam, cap,
+                init_slots, init_costs, init_ols, tok_final,
+                lattice_beam, cap,
                 o_src, o_dst, o_il, o_ol, o_gw, o_ac,
                 o_fs, o_fw, n_fin, n_states):
 
     def c(a, dt):
         return np.ascontiguousarray(a, dt)
 
+    if init_ols is None:
+        init_ols = np.zeros(len(init_slots), np.int32)
     return lib.kt_build_lattice(
         T, K,
         c(counts, np.int32),
         c(prev, np.int32), c(dst, np.int32), c(tid, np.int32),
         c(ol, np.int32), c(gw, np.float32), c(ac, np.float32),
         c(init_slots, np.int32), c(init_costs, np.float32),
+        c(init_ols, np.int32),
         len(init_slots),
         c(tok_final, np.float32), float(lattice_beam), cap,
         o_src, o_dst, o_il, o_ol, o_gw, o_ac,

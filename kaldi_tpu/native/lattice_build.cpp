@@ -40,7 +40,8 @@ int64_t kt_build_lattice(
     const int32_t* prev, const int32_t* dst,
     const int32_t* tid, const int32_t* ol,
     const float* gw, const float* ac,
-    const int32_t* init_slots, const float* init_costs, int64_t n_init,
+    const int32_t* init_slots, const float* init_costs,
+    const int32_t* init_ols, int64_t n_init,
     const float* tok_final,
     float lattice_beam,
     int64_t cap_arcs,
@@ -59,12 +60,15 @@ int64_t kt_build_lattice(
   };
   std::vector<Arc> arcs;
   arcs.reserve(T * 64);
-  // level 0: initial tokens
+  // level 0: initial tokens (init_ols: word olabels riding the start
+  // ε-closure path of a token — e.g. a 1-phone first word in a
+  // triphone graph; may be sequence-encoded, expanded by the caller)
   for (int64_t i = 0; i < n_init; ++i) {
     int32_t s = init_slots[i];
     if (s < 0 || s >= K) continue;
     cur[s] = n_states++;
-    arcs.push_back({0, cur[s], 0, 0, init_costs[i], 0.0f});
+    arcs.push_back({0, cur[s], 0, init_ols ? init_ols[i] : 0,
+                    init_costs[i], 0.0f});
   }
   int64_t off = 0;
   for (int64_t t = 0; t < T; ++t) {

@@ -24,7 +24,7 @@ import optax
 from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from kaldi_tpu.core.logging import get_logger
+from kaldi_tpu.core.logging import KaldiError, get_logger
 from kaldi_tpu.am.chain import (
     ChainTrainingOptions,
     DenominatorGraph,
@@ -90,19 +90,23 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
         return out
 
     def norm_weights(segs, context_phones):
-        """(entry_w, self_w, init_w, final_w) along the segment chain."""
+        """(entry_w, self_w, init_w, final_w) along the segment chain.
+        Indexing is by LM state (norm_view) so the same computation
+        serves monophone AND context-dependent den graphs (whose den
+        states are (lm-state, left-phone) pairs)."""
         lm = den.lm
+        nv_init, nv_self, nv_fwd, nv_final = den.norm_view()
         ew = np.zeros(out_T, np.float32)
         sw = np.zeros(out_T, np.float32)
         st = lm.state_of(context_phones)   # state of segment 0 (w/ history)
-        init_w = den.initial[st]
-        sw[0] = den.l_self[st]
+        init_w = den.initial_for(context_phones)
+        sw[0] = nv_self[st]
         for i in range(1, len(segs)):
             c = lm.phones.index(segs[i])
-            ew[i] = den.l_fwd[st] + lm.next_logp[st, c]
+            ew[i] = nv_fwd[st] + lm.next_logp[st, c]
             st = int(lm.next_state[st, c])
-            sw[i] = den.l_self[st]
-        return ew, sw, np.float32(init_w), np.float32(den.final[st])
+            sw[i] = nv_self[st]
+        return ew, sw, np.float32(init_w), np.float32(nv_final[st])
     for u, f in sorted(feats.items()):
         # full-rate phone sequence, then subsample PHONES (midpoint rule)
         # and re-derive pdfs so every phone entry emits its forward pdf —
@@ -116,18 +120,35 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
         sub_phones = [phones_full[min(subsample * t + subsample // 2, T - 1)]
                       for t in range(T_sub_total)]
 
-        def pdfs_for(phone, is_entry):
-            window = [0] * tree.context_width
-            window[tree.central_position] = phone
+        def pdfs_for(phone, is_entry, left=0, right=0):
+            """pdf of a phone instance through the tree — with the TRUE
+            phone context for context-dependent trees (left-biphone
+            (2,1) is the chain build_tree.sh standard; (3,1) also
+            supported on the numerator side)."""
+            cw, cp = tree.context_width, tree.central_position
+            if cw == 1:
+                window = [phone]
+            elif (cw, cp) == (2, 1):
+                window = [left, phone]
+            elif (cw, cp) == (3, 1):
+                window = [left, phone, right]
+            else:
+                raise KaldiError(
+                    f"make_chain_egs: unsupported tree context "
+                    f"({cw},{cp})")
             st = topo.topology_for_phone(phone)[0]
             cls = (st.forward_pdf_class if is_entry
                    else st.self_loop_pdf_class)
             return tree.compute(window, cls)
 
         sub_pdfs_full = []
+        prev_ph = 0
         for t, ph in enumerate(sub_phones):
             entry = t == 0 or sub_phones[t - 1] != ph
-            sub_pdfs_full.append(pdfs_for(ph, entry))
+            if t > 0 and entry:
+                prev_ph = sub_phones[t - 1]
+            nxt = next((p for p in sub_phones[t + 1:] if p != ph), 0)
+            sub_pdfs_full.append(pdfs_for(ph, entry, prev_ph, nxt))
 
         def segs_of(chunk_sub_phones):
             segs = []
@@ -136,14 +157,28 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
                     segs.append(ph)
             return segs
 
-        def seg_arrays(chunk_sub_phones):
+        def seg_arrays(chunk_sub_phones, left_ctx):
+            """left_ctx: the phone instance preceding this chunk's
+            first segment (0 at utterance start)."""
             segs = segs_of(chunk_sub_phones)
             e = np.zeros(out_T, np.int32)
             sl = np.zeros(out_T, np.int32)
             for i, ph in enumerate(segs):
-                e[i] = pdfs_for(ph, True)
-                sl[i] = pdfs_for(ph, False)
+                left = segs[i - 1] if i > 0 else left_ctx
+                right = segs[i + 1] if i + 1 < len(segs) else 0
+                e[i] = pdfs_for(ph, True, left, right)
+                sl[i] = pdfs_for(ph, False, left, right)
             return e, sl, np.int32(len(segs))
+
+        def left_ctx_of(start_sub):
+            """Phone of the instance preceding the chunk's first
+            segment's instance (0 at utterance start)."""
+            first = sub_phones[start_sub] if start_sub < len(sub_phones) \
+                else 0
+            for t in range(start_sub - 1, -1, -1):
+                if sub_phones[t] != first:
+                    return sub_phones[t]
+            return 0
 
         for start_sub in range(0, T_sub_total - out_T + 1, out_T):
             start = start_sub * subsample
@@ -152,7 +187,7 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
                 sub_pdfs_full[start_sub:start_sub + out_T], np.int32))
             M.append(np.ones(out_T, bool))
             chunk_phones = sub_phones[start_sub:start_sub + out_T]
-            EP.append(seg_arrays(chunk_phones))
+            EP.append(seg_arrays(chunk_phones, left_ctx_of(start_sub)))
             if den is not None and den.lm is not None:
                 NW.append(norm_weights(
                     segs_of(chunk_phones),
@@ -171,7 +206,8 @@ def make_chain_egs(feats: Dict[str, np.ndarray],
             X.append(chunk_f)
             A.append(sub_pdfs)
             M.append(m)
-            EP.append(seg_arrays(sub_phones[start_sub:]))
+            EP.append(seg_arrays(sub_phones[start_sub:],
+                                 left_ctx_of(start_sub)))
             if den is not None and den.lm is not None:
                 NW.append(norm_weights(
                     segs_of(sub_phones[start_sub:]),
@@ -395,6 +431,62 @@ class ChainTrainer:
                 {"params": params, "batch_stats": batch_stats},
                 feats, train=False)
         return partial(f, self.params, self.batch_stats)
+
+
+def build_chain_tree(feats: Dict[str, np.ndarray],
+                     alignments: Dict[str, Sequence[int]],
+                     tm: TransitionModel, topo: HmmTopology,
+                     num_leaves: int,
+                     context_width: int = 2, central_position: int = 1):
+    """Context-dependent decision tree over the CHAIN topology from GMM
+    alignments — steps/nnet3/chain/build_tree.sh.  The (2,1)
+    left-biphone default is the reference's standard chain-tree
+    configuration (e2e/aishell/multi_en chain recipes pass
+    --context-width=2 --central-position=1); it keeps the denominator
+    graph near phone-LM size (see am/chain.py
+    _make_den_graph_biphone).
+
+    Stats: per aligned frame, window = phone context of the instance,
+    pdf-class = the chain topology's forward class on the instance's
+    first frame and its self-loop class after (the 3-state GMM
+    alignment collapses onto the 2-class chain topology by frame
+    position, matching how build_tree.sh re-accumulates stats under
+    the new topology)."""
+    from kaldi_tpu.am.tree import GaussStats, build_tree
+    from kaldi_tpu.pipelines.tri import _frame_info, \
+        cluster_phone_questions
+    stats: Dict[Tuple[Tuple[int, ...], int], GaussStats] = {}
+    for u, tids in alignments.items():
+        f = np.asarray(feats[u], np.float64)
+        info = _frame_info(tm, tids)
+        phones: List[int] = []
+        for pi, ph, st in info:
+            if pi == len(phones):
+                phones.append(ph)
+        prev_pi = -1
+        for t, (pi, ph, hmm_state) in enumerate(info):
+            if t >= f.shape[0]:
+                break
+            window = []
+            for off in range(-central_position,
+                             context_width - central_position):
+                j = pi + off
+                window.append(phones[j] if 0 <= j < len(phones) else 0)
+            entry = topo.topology_for_phone(ph)[0]
+            pc = (entry.forward_pdf_class if pi != prev_pi
+                  else entry.self_loop_pdf_class)
+            prev_pi = pi
+            key = (tuple(window), pc)
+            if key not in stats:
+                stats[key] = GaussStats(f.shape[1])
+            stats[key].accumulate(f[t])
+    questions = cluster_phone_questions(stats, central_position)
+    tree = build_tree(stats, questions, context_width, central_position,
+                      max_leaves=num_leaves)
+    log.info("build_chain_tree: %d leaves over %d (window, class) "
+             "events (context %d,%d)", tree.num_pdfs, len(stats),
+             context_width, central_position)
+    return tree
 
 
 def phone_alignment_runs(tm: TransitionModel, tids: Sequence[int]

@@ -142,11 +142,13 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
     retry-with-wider-beam contract (gmm-align-compiled --retry-beam)
     applied to the arc budget.  Throughput accounting includes the
     retries."""
-    from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+    from kaldi_tpu.decoder.beam import (BUILD_TIMERS, BeamDecoder,
+                                        BeamDecoderConfig)
     from kaldi_tpu.core.jit_cache import enable as enable_jit_cache
     import jax
 
     enable_jit_cache()
+    BUILD_TIMERS.reset()
 
     # decoder invariants: token_capacity ≤ arc_budget (a token expands
     # ≥1 arc) and token_capacity ≤ lattice_arcs_per_frame ≤ arc_budget
@@ -193,10 +195,18 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
         """One sweep over batches: decode, flag, build.  Returns the
         utterances whose effective beam dipped below lattice_beam."""
         outs = []
+        td = time.perf_counter()
         for chunk, Xb, lb in batch_list:
             out = exes[Xb.shape](gd, Xb, lb)
             decoder.start_fetch(out, lattice=True)
             outs.append((chunk, Xb, out))
+        if outs:
+            # device executes batches in order: blocking on the last
+            # batch's diagnostics bounds TOTAL device compute; the
+            # fetch timer below then measures the link-bound remainder
+            outs[-1][2]["beam_deficit"].block_until_ready()
+        stats["device_s"] = stats.get("device_s", 0.0) \
+            + (time.perf_counter() - td)
         futs, flagged = [], []
         for chunk, Xb, out in outs:
             stats["arcs_peak"] = max(
@@ -238,6 +248,11 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
         decode_all(esc, esc_batches, esc_exes)
     stats["wall_s"] = time.perf_counter() - t0
     stats["audio_s"] = sum(len(x) for x in lls.values()) * 0.03
+    # host-stage attribution (fetch = device-wait + link; records /
+    # raw-build / determinize accumulate across the build pool's
+    # threads, so their SUM can exceed wall when overlapped)
+    for k, v in BUILD_TIMERS.reset().items():
+        stats[k] = round(v, 3)
     if own_pool:
         pool.shutdown()
     return lats, stats
@@ -280,7 +295,12 @@ def run_point(task, eval_set, lls, pool=None, **knobs):
         "heads_peak": stats["heads_peak"],
         "min_eff_beam": round(stats["min_eff_beam"], 2),
         "compile_s": round(stats["compile_s"], 1),
+        "wall_s": round(stats["wall_s"], 2),
     }
+    for k in ("device_s", "fetch_s", "records_s", "raw_build_s",
+              "determinize_s"):
+        if k in stats:
+            rec[k] = round(stats[k], 2)
     if knobs.get("escalate_budget"):
         rec["escalate_budget"] = knobs["escalate_budget"]
         rec["n_escalated"] = stats["n_escalated"]

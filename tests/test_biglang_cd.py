@@ -136,8 +136,12 @@ def test_cd_biglang_best_path_matches_mkgraph_trigram():
                                self_loop_scale=1.0))
     big = build_big_graph(entries, arpa, tm, lang.words, lang.phones,
                           self_loop_scale=1.0)
+    # exhaustive comparison: the arc budget must cover the FULL arc
+    # table (the default auto-budget assumes beam pruning; with
+    # beam=1e9 every state is active and budget-dropped arcs would
+    # silently lose paths)
     cfg = BeamDecoderConfig(beam=1e9, max_active=10 ** 9,
-                            acoustic_scale=1.0)
+                            acoustic_scale=1.0, arc_budget=1 << 15)
     d_ref = BeamDecoder(csr_ref, tm.tid_to_pdf_array, cfg)
     d_big = BeamDecoder(big.csr, tm.tid_to_pdf_array, cfg)
     for seed in range(4):
@@ -148,6 +152,54 @@ def test_cd_biglang_best_path_matches_mkgraph_trigram():
         t2, o2, c2 = d_big.decode(ll)
         assert abs(c1 - c2) < 1e-3, (seed, c1, c2)
         assert o1 == o2
+
+
+def test_cd_biglang_compact_lattice_olabel_seqs():
+    """Lattices over the CD graph: sequence-encoded olabels (two words
+    folded onto one composed arc by eps_precompose — 1-phone words)
+    and start-closure olabels must expand back into plain word
+    sequences through BOTH the fused native build+determinize path and
+    the raw-lattice path, agreeing with the mkgraph oracle's lattice
+    on best path and path set."""
+    rng = np.random.default_rng(31)
+    entries, arpa, lang, tm, tree = _setup(rng, 8, order=3,
+                                           topo_kind="chain", leaves=40)
+    assert any(len(p) == 1 for _, p in entries), "need a 1-phone word"
+    csr_ref = pack_fst(mkgraph(lang, tm, arpa_to_fst(arpa, lang.words),
+                               self_loop_scale=1.0))
+    big = build_big_graph(entries, arpa, tm, lang.words, lang.phones,
+                          self_loop_scale=1.0)
+    from kaldi_tpu.fst.csr import OLSEQ_BASE
+    pre = eps_precompose(big.csr)
+    kw = dict(beam=1e9, max_active=10 ** 9, acoustic_scale=1.0,
+              arc_budget=1 << 15, lattice_beam=4.0)
+    d_ref = BeamDecoder(csr_ref, tm.tid_to_pdf_array, BeamDecoderConfig(
+        lattice_arcs_per_frame=4 * csr_ref.num_states, **kw))
+    d_big = BeamDecoder(big.csr, tm.tid_to_pdf_array, BeamDecoderConfig(
+        lattice_arcs_per_frame=4 * big.csr.num_states, **kw))
+    saw_enc = (d_big.graph.e_olabel >= OLSEQ_BASE).any() or \
+        (d_ref.graph.e_olabel >= OLSEQ_BASE).any()
+    for seed in range(3):
+        r2 = np.random.default_rng(700 + seed)
+        T = int(r2.integers(4, 10))
+        ll = (r2.standard_normal((T, tree.num_pdfs)) * 2).astype(np.float32)
+        cl_ref = d_ref.decode_compact(ll, bucket=1)
+        cl_big = d_big.decode_compact(ll, bucket=1)
+        rw, rt, rc = cl_ref.best_path()
+        gw, gt, gc = cl_big.best_path()
+        assert gw == rw and abs(gc - rc) < 1e-3, (seed, rw, gw, rc, gc)
+        # no encoded label may leak into the compact lattice
+        assert all(x < OLSEQ_BASE for w, _ in cl_big.paths() for x in w)
+        got = dict(cl_big.paths())
+        want = dict(cl_ref.paths())
+        for w in set(got) & set(want):
+            assert abs(got[w] - want[w]) < 1e-3
+        # raw-lattice path agrees with decode() on the best path
+        t2, o2, c2 = d_big.decode(ll)
+        lat = d_big.decode_lattice(ll)
+        ltids, lwords, lc = lat.best_path()
+        assert lwords == o2 and abs(lc - c2) < 1e-3
+    assert saw_enc, "setup no longer exercises sequence-encoded olabels"
 
 
 def test_cd_biglang_eps_precompose_equivalent():
@@ -161,7 +213,7 @@ def test_cd_biglang_eps_precompose_equivalent():
     pre = eps_precompose(big.csr)
     assert pre.num_eps_arcs == 0
     cfg = BeamDecoderConfig(beam=1e9, max_active=10 ** 9,
-                            acoustic_scale=1.0)
+                            acoustic_scale=1.0, arc_budget=1 << 15)
     d1 = BeamDecoder(big.csr, tm.tid_to_pdf_array, cfg)
     d2 = BeamDecoder(pre, tm.tid_to_pdf_array, cfg)
     for seed in range(3):
