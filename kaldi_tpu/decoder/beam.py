@@ -180,6 +180,26 @@ class BeamDecoderConfig:
     #                                budget-imposed effective beam put
     #                                lattice arcs at risk is RE-DECODED
     #                                at this budget.  0 disables.
+    device_beta_prune: bool = True  # run a reverse (β) pass ON DEVICE
+    #                                after the forward scan and fetch
+    #                                only records on paths within
+    #                                lattice_beam of the best —
+    #                                measured on the 20k bench: ~99% of
+    #                                within-beam candidate records die
+    #                                in the host α/β prune, and the
+    #                                fetch of the doomed 99% was HALF
+    #                                the decode wall over a tunneled
+    #                                link (device compute was at 3%
+    #                                utilization).  The device keep
+    #                                test is a small-margin SUPERSET of
+    #                                the host's exact f64 prune, so
+    #                                lattices are unchanged.  Disabled
+    #                                automatically when the (T·L)
+    #                                chunk buffer would not fit HBM.
+    beta_prune_margin: float = 0.1  # f32-vs-f64 safety margin on the
+    #                                device keep bound (superset
+    #                                guarantee; ~20σ above accumulated
+    #                                f32 rounding at T≈3000)
     escalate_deficit: float = 4.0  # escalation trigger: re-decode when
     #                                the utterance's accumulated beam
     #                                DEFICIT — Σ_t max(0, lattice_beam −
@@ -369,6 +389,22 @@ class BeamDecoder:
             self._g_dev = jax.device_put(self._g_host)
         return self._g_dev
 
+    # device-β-prune HBM budget: the stacked chunk/α buffers must fit
+    # alongside the graph and scan state
+    _BETA_HBM_BUDGET = 6 << 30
+
+    def _use_beta(self, shape) -> bool:
+        """β-prune on device for this decode shape?  Needs lattices
+        on, the config switch, and the (B, T, L) chunk buffers to fit
+        the HBM budget."""
+        if not (self.L and self.config.device_beta_prune):
+            return False
+        B = shape[0] if len(shape) == 3 else 1
+        T_pad = shape[-2]
+        bytes_needed = B * T_pad * 4 * (
+            self.L * (2 * self._recw + 1) + self.K)
+        return bytes_needed <= self._BETA_HBM_BUDGET
+
     def _get_compiled(self, shape):
         """AOT-compile for a (B?, T_pad, P) shape from abstract avals
         (concrete device-resident args make lowering consult the device
@@ -377,11 +413,12 @@ class BeamDecoder:
             return self._compiled[shape]
         sds = jax.ShapeDtypeStruct
         g_abs = {k: sds(v.shape, v.dtype) for k, v in self._g_host.items()}
+        scan = partial(self._decode_scan, use_beta=self._use_beta(shape))
         if len(shape) == 2:
-            fn = jax.jit(self._decode_scan)
+            fn = jax.jit(scan)
             args = (g_abs, sds(shape, jnp.float32), sds((), jnp.int32))
         else:
-            fn = jax.jit(jax.vmap(self._decode_scan, in_axes=(None, 0, 0)))
+            fn = jax.jit(jax.vmap(scan, in_axes=(None, 0, 0)))
             args = (g_abs, sds(shape, jnp.float32),
                     sds((shape[0],), jnp.int32))
         compiled = fn.lower(*args).compile()
@@ -411,7 +448,7 @@ class BeamDecoder:
             ll = loglike[pdf]
         return -self.config.acoustic_scale * ll
 
-    def _sweep(self, tok, loglike):
+    def _sweep(self, tok, loglike, with_cost=False):
         """One frame: load-balance → expand → recombine → top-K.
 
         tok = (state, cost, off, cnt) each (K,).  Returns (new_tok,
@@ -588,25 +625,40 @@ class BeamDecoder:
             return jnp.concatenate(
                 [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
+        # with_cost (the device β-prune path): the record's forward
+        # path cost α(prev)+w rides the sort as one more operand and
+        # becomes a DEVICE-ONLY chunk column — the β pass needs it,
+        # it never crosses the link
+        cb = jax.lax.bitcast_convert_type(cost_s, jnp.int32)
         if self._pack_pd:
             # record = ([prev|dst] s32, arc index s32): 2 sort payload
             # operands and 8 B/record across the wire
             pd = jnp.where(keep,
                            (prev_s << self._tok_bits) | dst_slot, -1)
-            key3s, rpd, raidx = jax.lax.sort((key3, pd, aidx_s),
-                                             num_keys=1)
+            if with_cost:
+                key3s, rpd, raidx, rcb = jax.lax.sort(
+                    (key3, pd, aidx_s, cb), num_keys=1)
+            else:
+                key3s, rpd, raidx = jax.lax.sort((key3, pd, aidx_s),
+                                                 num_keys=1)
             rvalid = jnp.isfinite(fit(key3s, jnp.inf))
-            chunk = jnp.stack(
-                [jnp.where(rvalid, fit(rpd, -1), -1),
-                 jnp.where(rvalid, fit(raidx, 0), 0)], axis=-1)
+            cols = [jnp.where(rvalid, fit(rpd, -1), -1),
+                    jnp.where(rvalid, fit(raidx, 0), 0)]
         else:
-            key3s, rprev, rd, raidx = jax.lax.sort(
-                (key3, prev_s, dst_slot, aidx_s), num_keys=1)
+            if with_cost:
+                key3s, rprev, rd, raidx, rcb = jax.lax.sort(
+                    (key3, prev_s, dst_slot, aidx_s, cb), num_keys=1)
+            else:
+                key3s, rprev, rd, raidx = jax.lax.sort(
+                    (key3, prev_s, dst_slot, aidx_s), num_keys=1)
             rvalid = jnp.isfinite(fit(key3s, jnp.inf))
-            chunk = jnp.stack(
-                [jnp.where(rvalid, fit(rprev, 0), -1),
-                 jnp.where(rvalid, fit(rd, -1), 0),
-                 jnp.where(rvalid, fit(raidx, 0), 0)], axis=-1)
+            cols = [jnp.where(rvalid, fit(rprev, 0), -1),
+                    jnp.where(rvalid, fit(rd, -1), 0),
+                    jnp.where(rvalid, fit(raidx, 0), 0)]
+        if with_cost:
+            inf_b = jax.lax.bitcast_convert_type(INF, jnp.int32)
+            cols.append(jnp.where(rvalid, fit(rcb, inf_b), inf_b))
+        chunk = jnp.stack(cols, axis=-1)
         return new_tok, vit, chunk, dropped
 
     def _frame_step(self, carry, xs):
@@ -639,7 +691,91 @@ class BeamDecoder:
             out = out + (cnt,)
         return (new_tok, buf, cursor), out
 
-    def _decode_scan(self, g, loglikes, num_frames):
+    def _frame_step_beta(self, carry, xs):
+        """Forward step for the device-β-prune path: per-frame record
+        chunks (with the cost column) and source-token costs come out
+        as stacked scan OUTPUTS instead of a cursor-append — the β
+        pass consumes them frame-segmented."""
+        loglike, active = xs
+        K = self.K
+        (tok,) = carry
+        new_tok, vit, chunk, dropped = self._sweep(tok, loglike,
+                                                   with_cost=True)
+        alpha_t = tok[1]                 # source-token costs at t
+        new_tok = tuple(jnp.where(active, n, c)
+                        for n, c in zip(new_tok, tok))
+        idn = jnp.arange(K, dtype=jnp.int32)
+        vit = (jnp.where(active, vit[0], idn),
+               jnp.where(active, vit[1], -1))
+        arcs_demand, n_heads, eff_beam = self._diag
+        # inactive frames emit an all-invalid chunk so the β pass
+        # keeps nothing from them
+        chunk = jnp.where(active, chunk,
+                          chunk.at[:, 0].set(-1))
+        out = vit + (jnp.where(active, dropped, 0),
+                     jnp.where(active, arcs_demand, 0),
+                     jnp.where(active, n_heads, 0),
+                     jnp.where(active, eff_beam,
+                               jnp.float32(self.config.beam)),
+                     chunk, alpha_t)
+        return (new_tok,), out
+
+    def _beta_step(self, bound, carry, xs):
+        """One reverse (β) frame: keep records on complete paths
+        within `bound`, pack them to a prefix (original order), append
+        at the running cursor; propagate β to the earlier frame.
+        β[t][prev] = min over prev's kept candidates of (w + β[t+1]
+        [dst]) = min(fc + β[dst]) − α[t][prev]."""
+        K = self.K
+        beta, buf, cursor = carry
+        chunk, alpha_t, active = xs
+        C = chunk.shape[1]
+        pd0 = chunk[:, 0]
+        valid = pd0 >= 0
+        if self._pack_pd:
+            prev = jnp.clip(pd0 >> self._tok_bits, 0, K - 1)
+            dst = jnp.clip(pd0 & ((1 << self._tok_bits) - 1), 0, K - 1)
+        else:
+            prev = jnp.clip(pd0, 0, K - 1)
+            dst = jnp.clip(chunk[:, 1], 0, K - 1)
+        fc = jax.lax.bitcast_convert_type(chunk[:, C - 1], jnp.float32)
+        v = jnp.where(valid, fc + beta[dst], INF)
+        keep = valid & (v <= bound) & active
+        # pack kept rows first, original (extra-cost) order preserved
+        L = chunk.shape[0]
+        order = jnp.where(keep, 0, L) + jnp.arange(L, dtype=jnp.int32)
+        ops = (order,) + tuple(chunk[:, i] for i in range(self._recw))
+        s = jax.lax.sort(ops, num_keys=1)
+        rows = jnp.stack(
+            [jnp.where(s[0] < L, s[1 + i], -1 if i == 0 else 0)
+             for i in range(self._recw)], axis=-1)
+        cnt = jnp.sum(keep.astype(jnp.int32))
+        buf = jax.lax.dynamic_update_slice(buf, rows,
+                                           (cursor, jnp.int32(0)))
+        cursor = cursor + cnt
+        # β for the earlier frame (over ALL valid candidates, not just
+        # kept — the β recursion itself is exact, the bound only
+        # filters what crosses the link).  Dense (K,) construction is
+        # SORT-based, like every other dense array in this decoder
+        # (TPU scatters serialize: the .at[prev].min formulation
+        # measured ~6× the whole forward sweep): append one +inf
+        # filler per slot so every prev is present, sort by (prev, v)
+        # — each run's head is its min — then sort heads by prev; the
+        # first K rows ARE dense β in slot order.
+        kidx = jnp.arange(K, dtype=jnp.int32)
+        prev_all = jnp.concatenate([prev, kidx])
+        v_all = jnp.concatenate([v, jnp.full((K,), INF)])
+        p_s, v_s = jax.lax.sort((prev_all, v_all), num_keys=2)
+        headp = jnp.concatenate(
+            [jnp.ones((1,), bool), p_s[1:] != p_s[:-1]])
+        key2 = jnp.where(headp, p_s, jnp.int32(K))
+        bsum = jax.lax.sort((key2, v_s), num_keys=1)[1][:K]
+        nb = jnp.where(jnp.isfinite(bsum) & jnp.isfinite(alpha_t),
+                       bsum - alpha_t, INF)
+        beta = jnp.where(active, nb, beta)
+        return (beta, buf, cursor), cnt
+
+    def _decode_scan(self, g, loglikes, num_frames, use_beta=False):
         """g: graph pytree; loglikes: (T_pad, P); num_frames: int."""
         self.g = g
         K = self.K
@@ -651,13 +787,17 @@ class BeamDecoder:
                g["init_off"], g["init_cnt"])
         T_pad = loglikes.shape[0]
         active = jnp.arange(T_pad) < num_frames
-        if self.L:
-            buf = jnp.zeros((T_pad * self.L, self._recw), jnp.int32)
+        if use_beta:
+            ((fs, fc, _, _),), scanned = jax.lax.scan(
+                self._frame_step_beta, (tok,), (loglikes, active))
         else:
-            buf = jnp.zeros((0,), jnp.int32)
-        ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
-            self._frame_step, (tok, buf, jnp.int32(0)),
-            (loglikes, active))
+            if self.L:
+                buf = jnp.zeros((T_pad * self.L, self._recw), jnp.int32)
+            else:
+                buf = jnp.zeros((0,), jnp.int32)
+            ((fs, fc, _, _), buf, _), scanned = jax.lax.scan(
+                self._frame_step, (tok, buf, jnp.int32(0)),
+                (loglikes, active))
         prev, aidxs, dropped, arcs_demand, n_heads, eff_beam = \
             scanned[:6]
         okf = fs >= 0
@@ -699,8 +839,33 @@ class BeamDecoder:
             "best_idx": best_idx, "best_cost": use[best_idx],
             "final_cost": jnp.where(any_final, fin[best_idx], 0.0),
             "tok_state": fs, "tok_cost": fc, "tok_final": fin,
+            "rec_reversed": jnp.int32(1 if use_beta else 0),
         }
-        if self.L:
+        if use_beta:
+            # device β pass (reverse scan over the stacked chunks):
+            # only records on complete paths within lattice_beam (+ a
+            # small f32 margin) of the best are appended and fetched —
+            # the host α/β prune stays the exact f64 authority, this
+            # is a superset prefilter that cuts the link bytes ~100×.
+            # Segments land in REVERSE frame order (rec_reversed);
+            # the host reorders (cheap — the kept set is small).
+            chunks, alphas = scanned[6], scanned[7]
+            bound = use[best_idx] \
+                + jnp.float32(self.config.lattice_beam
+                              + self.config.beta_prune_margin)
+            beta0 = jnp.where(
+                okf, jnp.where(any_final, fin, 0.0), INF)
+            # full-size append buffer (appends write L rows at the
+            # cursor and must never clamp); the output slices to rcap
+            rcap = self.config.record_capacity or (T_pad * self.L)
+            buf = jnp.zeros((T_pad * self.L, self._recw), jnp.int32)
+            (_, buf, _), cnts = jax.lax.scan(
+                partial(self._beta_step, bound),
+                (beta0, buf, jnp.int32(0)),
+                (chunks, alphas, active), reverse=True)
+            out["rec_packed"] = buf[:min(rcap, T_pad * self.L)]
+            out["rec_counts"] = cnts
+        elif self.L:
             # the cursor-append buffer IS the packed record layout:
             # concatenated per-frame valid prefixes.  A configured
             # record_capacity bounds the device buffer; the host fetch
@@ -718,7 +883,7 @@ class BeamDecoder:
 
     _SMALL_KEYS = ("bt_aidx", "bt_end", "best_cost",
                    "final_cost", "dropped_arcs", "tok_final",
-                   "min_eff_beam", "beam_deficit")
+                   "min_eff_beam", "beam_deficit", "rec_reversed")
 
     def start_fetch(self, out, lattice=False):
         """Begin async device→host copies of everything a later
@@ -755,6 +920,42 @@ class BeamDecoder:
             host["rec_packed"] = np.asarray(sel(out["rec_packed"])[:n])
         return host
 
+    # compaction-bucket granularity: capN rounds up to this many rows
+    # so the number of distinct compiled gather programs stays small
+    # while the padding waste is ≤ 16384 rows (128 KB) per batch
+    _COMPACT_BUCKET = 16384
+
+    def _compact_gather(self, B: int, rcap: int, capN: int):
+        """Compiled device-side record compaction: (B, rcap, w) buffer
+        + per-utterance counts → ONE (capN, w) array holding each
+        utterance's true records back to back.  The D2H copy then
+        moves EXACTLY the real records instead of B × batch-max rows —
+        on the 20k hard bench the batch-max padding was most of the
+        fetched bytes, and the fetch was half the decode wall on a
+        tunneled link."""
+        key = ("compact", B, rcap, capN)
+        fn = self._compiled.get(key)
+        if fn is None:
+            w = self._recw
+
+            def gather(buf, ns):
+                cum = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32),
+                     jnp.cumsum(ns).astype(jnp.int32)])
+                r = jnp.arange(capN, dtype=jnp.int32)
+                b = jnp.clip(
+                    jnp.searchsorted(cum, r, side="right") - 1,
+                    0, B - 1)
+                off = jnp.clip(r - cum[b], 0, rcap - 1)
+                return buf[b, off]
+
+            sds = jax.ShapeDtypeStruct
+            fn = jax.jit(gather).lower(
+                sds((B, rcap, w), jnp.int32),
+                sds((B,), jnp.int32)).compile()
+            self._compiled[key] = fn
+        return fn
+
     def _fetch_batch(self, out, batch_size: int, lattice=False):
         """Whole-batch fetch in O(1) device round-trips (each transfer
         over a tunneled TPU pays full RTT; per-utterance fetches turn
@@ -766,21 +967,33 @@ class BeamDecoder:
                  for b in range(batch_size)]
         if lattice:
             counts = np.asarray(out["rec_counts"])       # (B, T)
-            ns = counts.sum(axis=1)
+            ns = counts.sum(axis=1)          # full B incl. padded rows
             n_max = int(ns.max())
+            total = int(ns.sum())
             cap = out["rec_packed"].shape[1]
             self._check_overflow(n_max, cap)
-            # device-slice to the true record count before the D2H
-            # copy: strictly less link traffic for the same overlap
-            # window (see start_fetch).  n_max is rounded UP to a
-            # 256-row block so the slice shape (and hence the number
-            # of distinct lowered slice programs) stays bounded
-            # instead of recompiling per data-dependent count
-            n_fetch = min(-(-max(n_max, 1) // 256) * 256, cap)
-            packed = np.asarray(out["rec_packed"][:, :n_fetch])
-            for b in range(batch_size):
-                hosts[b]["rec_counts"] = counts[b]
-                hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
+            B = out["rec_packed"].shape[0]
+            cum = np.zeros(B + 1, np.int64)
+            np.cumsum(ns, out=cum[1:])
+            capN = -(-max(total, 1)
+                     // self._COMPACT_BUCKET) * self._COMPACT_BUCKET
+            try:
+                # device-side compaction: fetch exactly the real
+                # records, not B × batch-max padded rows
+                fn = self._compact_gather(B, cap, capN)
+                flat = np.asarray(fn(out["rec_packed"],
+                                     jnp.asarray(ns, jnp.int32)))
+                for b in range(batch_size):
+                    hosts[b]["rec_counts"] = counts[b]
+                    hosts[b]["rec_packed"] = flat[cum[b]:cum[b + 1]]
+            except Exception:    # pragma: no cover - fallback path
+                n_fetch = min(-(-max(n_max, 1) // 256) * 256, cap)
+                packed = np.asarray(out["rec_packed"][:, :n_fetch])
+                for b in range(batch_size):
+                    hosts[b]["rec_counts"] = counts[b]
+                    hosts[b]["rec_packed"] = packed[b, :int(ns[b])]
+            BUILD_TIMERS.add("fetch_bytes",
+                             float(capN * self._recw * 4))
         BUILD_TIMERS.add("fetch_s", _time.perf_counter() - t0)
         return hosts
 
@@ -825,6 +1038,31 @@ class BeamDecoder:
             self._esc = esc
         return esc
 
+    def prewarm_escalator(self, shapes):
+        """AOT-compile the escalated sibling's executables for
+        ``shapes`` in a background thread, overlapped with base
+        decoding.  In the reference, retrying an utterance at a wider
+        beam costs nothing (same program, new float); here the wider
+        arc budget is a DIFFERENT program whose cold compile runs
+        minutes on a big graph — so it is hoisted off the critical
+        path at first use.  Returns {shape: Future} (also stored on
+        the decoder; _maybe_escalate and harnesses block on the future
+        only if an utterance actually escalates before the compile
+        lands).  No-op (returns None) when escalation is not armed."""
+        c = self.config
+        if not c.escalate_budget or c.escalate_budget <= self.M:
+            return None
+        import concurrent.futures as cf
+        esc = self._escalator()
+        pw = getattr(self, "_esc_prewarm", None) or {}
+        ex = cf.ThreadPoolExecutor(1)
+        for s in shapes:
+            if s not in pw:
+                pw[s] = ex.submit(esc._get_compiled, s)
+        ex.shutdown(wait=False)
+        self._esc_prewarm = pw
+        return pw
+
     def _maybe_escalate(self, host, ll_padded: np.ndarray, T: int,
                         lattice: bool = True):
         """Re-decode one utterance at the escalated budget when the
@@ -832,6 +1070,11 @@ class BeamDecoder:
         if not self.needs_escalation(host):
             return host, self
         esc = self._escalator()
+        pw = getattr(self, "_esc_prewarm", None)
+        if pw is not None:
+            f = pw.get(tuple(np.asarray(ll_padded).shape))
+            if f is not None:
+                f.result()     # compiled in background; don't race it
         out = esc._decode_jit(esc._graph_arrays(),
                               jnp.asarray(ll_padded, jnp.float32),
                               jnp.int32(T))
@@ -851,6 +1094,9 @@ class BeamDecoder:
             raise KaldiError("decode_compact_batch needs "
                              "lattice_arcs_per_frame")
         B = loglikes_padded.shape[0]
+        # escalation retries run per-utterance at (T_pad, P): compile
+        # that program in the background while the batch decodes
+        self.prewarm_escalator({tuple(loglikes_padded.shape[1:])})
         out = self._decode_batch_jit(
             self._graph_arrays(),
             jnp.asarray(loglikes_padded, jnp.float32),
@@ -933,6 +1179,7 @@ class BeamDecoder:
             pad = bucket - T % bucket
             ll = np.concatenate(
                 [ll, np.zeros((pad, ll.shape[1]), np.float32)])
+        self.prewarm_escalator({tuple(ll.shape)})
         out = self._decode_jit(self._graph_arrays(),
                                jnp.asarray(ll), jnp.int32(T))
         host, dec = self._maybe_escalate(self._fetch(out, lattice=True),
@@ -989,6 +1236,18 @@ class BeamDecoder:
         multiply — bit-identical to the device value)."""
         counts = host["rec_counts"][:T]
         packed = host["rec_packed"]
+        if int(host.get("rec_reversed", 0)):
+            # the device β pass appends frame segments in REVERSE
+            # order; restore forward order (vectorized index build —
+            # the β-pruned set is small)
+            counts = np.asarray(counts, np.int64)
+            n = int(counts.sum())
+            packed = packed[:n]
+            fwd_offs = np.zeros(T + 1, np.int64)
+            np.cumsum(counts, out=fwd_offs[1:])
+            starts_rev = n - fwd_offs[1:]
+            delta = np.repeat(starts_rev - fwd_offs[:-1], counts)
+            packed = packed[np.arange(n) + delta]
         if self._pack_pd:
             r_prev = packed[:, 0] >> self._tok_bits
             r_dst = packed[:, 0] & ((1 << self._tok_bits) - 1)

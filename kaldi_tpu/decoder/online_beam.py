@@ -232,17 +232,27 @@ class OnlineBeamDecoder:
         streaming semantics for partials, offline quality for the
         final lattice (online2's GetLattice(final=true) is likewise
         allowed to be more expensive than AdvanceDecoding)."""
+        import time as _time
         self._flush()
         if self._frames == 0:
             raise KaldiError("OnlineBeamDecoder: no frames decoded")
         dec = self.dec
+        bd = self.last_finalize_breakdown = {}
         if dec.deficit_fires(self._deficit):
+            t0 = _time.perf_counter()
             ll = np.concatenate(self._ll_parts)[:self._frames]
-            return dec._escalator().decode_compact(
+            out = dec._escalator().decode_compact(
                 ll, bucket=self.C, max_states=max_states)
+            bd["escalated_redecode_ms"] = \
+                (_time.perf_counter() - t0) * 1e3
+            return out
+        t0 = _time.perf_counter()
         _path, _cost, fin, _s0 = self._partial_jit(
             dec._graph_arrays(), self._tok, self._bpp, self._bpa,
             jnp.int32(self._frames))
+        fin_np = np.asarray(fin)
+        t1 = _time.perf_counter()
+        bd["device_ms"] = (t1 - t0) * 1e3
         ncur = int(self._cursor)
         dec._check_overflow(ncur, self._buf.shape[0])
         # bucket the prefix slice so repeated finalizes reuse a handful
@@ -251,11 +261,16 @@ class OnlineBeamDecoder:
         host = {
             "rec_counts": np.asarray(self._cnts)[:self._frames],
             "rec_packed": np.asarray(self._buf[:nb])[:ncur],
-            "tok_final": np.asarray(fin),
+            "tok_final": fin_np,
         }
+        t2 = _time.perf_counter()
+        bd["record_fetch_ms"] = (t2 - t1) * 1e3
+        bd["n_records"] = ncur
         ll = np.concatenate(self._ll_parts)
-        return dec.build_compact_lattice(host, self._frames, ll,
-                                         max_states=max_states)
+        out = dec.build_compact_lattice(host, self._frames, ll,
+                                        max_states=max_states)
+        bd["build_determinize_ms"] = (_time.perf_counter() - t2) * 1e3
+        return out
 
     # -- SingleUtteranceNnet3Decoder-compatible surface -------------------
 

@@ -191,7 +191,13 @@ class RnnLmScorer:
     (the KaldiRnnlmDeterministicFst role)."""
 
     def __init__(self, params, model: RnnLm, words: SymbolTable,
-                 bos: str = "<s>", eos: str = "</s>"):
+                 bos: str = "<s>", eos: str = "</s>",
+                 backend: Optional[str] = "cpu"):
+        """``backend``: where the single-token GRU step runs.  Lattice
+        rescoring issues ONE step per unique history — over a remote/
+        tunneled accelerator each step pays a full RPC round trip and
+        the rescore becomes latency-bound, so the tiny recurrent step
+        defaults to the host CPU (None = JAX default device)."""
         self.params = params
         self.model = model
         self.words = words
@@ -199,13 +205,20 @@ class RnnLmScorer:
         self.eos = eos
         self._cache: Dict[Tuple[str, ...], Tuple[np.ndarray, np.ndarray]] = {}
 
-        @jax.jit
         def step(params, carry, token):
             logits, new_carry = model.apply({"params": params},
                                             token[None, None], carry)
             return jax.nn.log_softmax(logits[0, 0]), new_carry
 
-        self._step = step
+        if backend is not None:
+            try:
+                dev = jax.devices(backend)[0]
+                self._step = jax.jit(step, device=dev)
+                self.params = jax.device_put(params, dev)
+            except Exception:       # pragma: no cover - no such backend
+                self._step = jax.jit(step)
+        else:
+            self._step = jax.jit(step)
 
     def _state_for(self, hist: Tuple[str, ...]):
         """(logprobs over next word, carry) after consuming hist."""

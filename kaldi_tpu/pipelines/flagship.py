@@ -247,16 +247,20 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
         mono_train_utts: Optional[int] = None,
         chain_dtype: Optional[str] = None,
         arc_budget: int = 4096, escalate_budget: int = 16384,
+        with_sat: bool = True, with_rnnlm: bool = True,
+        with_mbr: bool = True,
         results_path: Optional[str] = None) -> List[Dict]:
-    """The full system build.  Returns the RESULTS records (one per
-    rung: mono-GMM, chain, chain+4-gram-rescore)."""
+    """The full system build.  Returns the RESULTS records, one per
+    rung: mono-GMM, tri3b-SAT (full-triphone tree, fMLLR two-pass,
+    5k-word CD graph), chain (left-biphone CD tree from tri3b
+    alignments, 5k-word CD graph), chain+4-gram-rescore, chain+RNNLM,
+    and an MBR consensus row."""
     import jax
 
     from kaldi_tpu.am.chain import make_denominator_graph
     from kaldi_tpu.am.tdnn import TdnnConfig
     from kaldi_tpu.am.topology import HmmTopology
     from kaldi_tpu.am.transitions import TransitionModel
-    from kaldi_tpu.am.tree import MonophoneContextDependency
     from kaldi_tpu.features import add_deltas
     from kaldi_tpu.fst import Lang, Lexicon
     from kaldi_tpu.fst.arpa import estimate_arpa
@@ -264,6 +268,7 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     from kaldi_tpu.lattice.functions import oracle_errors
     from kaldi_tpu.lattice.rescore import lmrescore_diff_pruned
     from kaldi_tpu.pipelines.chain import (ChainTrainConfig, ChainTrainer,
+                                           build_chain_tree,
                                            make_chain_egs,
                                            phone_alignment_runs)
     from kaldi_tpu.pipelines.mini import base_feats
@@ -331,11 +336,11 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     log.info("flagship: mono alignments (%.0fs)", timer.elapsed())
 
     leaves = tri_leaves or max(100, min(500, train_utts // 4))
+    tcfg = TriTrainConfig(num_iters=12, num_leaves=leaves,
+                          totgauss=20 * leaves,
+                          realign_iters=(1, 2, 4, 6, 8, 10))
     tri, tri_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
-                             TriTrainConfig(
-                                 num_iters=12, num_leaves=leaves,
-                                 totgauss=20 * leaves,
-                                 realign_iters=(1, 2, 4, 6, 8, 10)))
+                             tcfg)
     log.info("flagship: tri (%d leaves) trained (%.0fs)", leaves,
              timer.elapsed())
 
@@ -358,15 +363,116 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     log.info("flagship RESULTS mono-gmm: %s (%.0fs)", rec,
              timer.elapsed())
 
-    # -- 6. chain TDNN (LF-MMI on tri alignments) ---------------------------
+    # -- 5b. tri2b (LDA+MLLT) → tri3b (SAT), decoded at FULL vocab on
+    # the triphone CD graph with two-pass fMLLR (steps/train_lda_mllt
+    # + train_sat + decode_fmllr at the product scale — the CD
+    # acoustic model × large vocabulary regime the reference decodes
+    # everywhere)
+    sat_model, sat_ali = tri, tri_ali
+    if with_sat:
+        from kaldi_tpu.features import splice_frames
+        from kaldi_tpu.lattice.functions import frame_posteriors
+        from kaldi_tpu.pipelines.tri import (apply_mllt_to_model,
+                                             apply_transform,
+                                             estimate_alignment_model,
+                                             estimate_fmllr_per_speaker,
+                                             estimate_fmllr_per_speaker_post,
+                                             estimate_lda, estimate_mllt)
+        sl = sr = 3
+        spl_tr = {u: np.asarray(splice_frames(f, sl, sr))
+                  for u, f in base_tr.items()}
+        spl_te = {u: np.asarray(splice_frames(f, sl, sr))
+                  for u, f in base_te.items()}
+        lda = estimate_lda(spl_tr, tri_ali, tri.tm, 30)
+        lda_tr = {u: apply_transform(f, lda).astype(np.float32)
+                  for u, f in spl_tr.items()}
+        tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri,
+                                     tri_ali, tcfg)
+        M, _ = estimate_mllt(tri2b.am, lda_tr, tri2b_ali, tri2b.tm)
+        mllt_lda = np.concatenate([M @ lda[:, :-1], M @ lda[:, -1:]],
+                                  axis=1)
+        lda_tr = {u: apply_transform(f, mllt_lda).astype(np.float32)
+                  for u, f in spl_tr.items()}
+        lda_te = {u: apply_transform(f, mllt_lda).astype(np.float32)
+                  for u, f in spl_te.items()}
+        apply_mllt_to_model(tri2b.am, M)
+        tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri2b,
+                                     tri2b_ali, tcfg)
+        log.info("flagship: tri2b LDA+MLLT trained (%.0fs)",
+                 timer.elapsed())
+        tr_spk = {u: train.utt2spk[u] for u in lda_tr}
+        fmllr_tr = estimate_fmllr_per_speaker(
+            tri2b.am, lda_tr, tri2b_ali, tri2b.tm, tr_spk,
+            min_count=50.0)
+
+        def _adapt(feats, trans, spk_of):
+            return {u: apply_transform(
+                f, trans.get(spk_of[u],
+                             np.eye(f.shape[1], f.shape[1] + 1))
+            ).astype(np.float32) for u, f in feats.items()}
+
+        sat_tr = _adapt(lda_tr, fmllr_tr, tr_spk)
+        tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang, tri2b,
+                                     tri2b_ali, tcfg)
+        sat_model, sat_ali = tri3b, tri3b_ali
+        log.info("flagship: tri3b SAT trained (%.0fs)", timer.elapsed())
+
+        graph_tri = build_big_graph(entries, arpa3, tri3b.tm,
+                                    lang.words, lang.phones,
+                                    self_loop_scale=0.1)
+        sys_tri = _DecodeSys(graph_tri, tri3b.tm, tri3b.am.num_pdfs,
+                             lang.words)
+        log.info("flagship: triphone CD graph %d states (%.0fs)",
+                 graph_tri.csr.num_states, timer.elapsed())
+        # two-pass fMLLR decode (steps/decode_fmllr.sh): pass 1 with
+        # the alignment model on unadapted features → lattice
+        # posteriors (silence down-weighted) → per-speaker fMLLR →
+        # adapted decode with the SAT model
+        from kaldi_tpu.pipelines.hard import decode_eval
+        alimdl = estimate_alignment_model(tri3b.am, tri3b.tm, sat_tr,
+                                          lda_tr, tri3b_ali)
+        te_spk = {u: test.utt2spk[u] for u in lda_te}
+        lls_p1 = {u: 0.1 * np.asarray(alimdl.loglikes(lda_te[u]),
+                                      np.float32)
+                  for u in sorted(lda_te)}
+        lats_p1, _ = decode_eval(sys_tri, lls_p1, beam=11.0,
+                                 max_active=5000, arc_budget=arc_budget,
+                                 escalate_budget=escalate_budget)
+        posts = {u: frame_posteriors(lats_p1[u], acoustic_scale=1.0)
+                 for u in lats_p1}
+        fmllr_te = estimate_fmllr_per_speaker_post(
+            tri3b.am, lda_te, posts, tri3b.tm, te_spk,
+            silence_phones=lang.silence_phones, silence_weight=0.01,
+            min_count=50.0)
+        sat_te = _adapt(lda_te, fmllr_te, te_spk)
+        lls_tri = {u: 0.1 * np.asarray(tri3b.am.loglikes(sat_te[u]),
+                                       np.float32)
+                   for u in sorted(sat_te)}
+        rec, _, _ = _decode_and_score(
+            sys_tri, test.text, lls_tri, frame_s=0.01, beam=14.0,
+            max_active=7000, arc_budget=arc_budget,
+            escalate_budget=escalate_budget)
+        rec.update(metric="flagship_results", system="tri3b-sat",
+                   graph_states=graph_tri.csr.num_states,
+                   tree_context="triphone")
+        results.append(rec)
+        log.info("flagship RESULTS tri3b-sat: %s (%.0fs)", rec,
+                 timer.elapsed())
+
+    # -- 6. chain TDNN (LF-MMI): LEFT-BIPHONE CD tree built from the
+    # best GMM's alignments (the build_tree.sh contract; (2,1) context
+    # is the reference's standard chain-tree configuration)
     phones = lang.phone_list()
     chain_topo = HmmTopology.chain(phones)
-    chain_tree = MonophoneContextDependency(phones, chain_topo)
-    phone_seqs = [tri.tm.alignment_to_phones(tri_ali[u])
-                  for u in sorted(tri_ali)]
+    chain_leaves = max(2 * len(phones) + 10, min(350, leaves))
+    chain_tree = build_chain_tree(delta_tr, sat_ali, sat_model.tm,
+                                  chain_topo, num_leaves=chain_leaves)
+    phone_seqs = [sat_model.tm.alignment_to_phones(sat_ali[u])
+                  for u in sorted(sat_ali)]
     den = make_denominator_graph(phone_seqs, chain_tree, chain_topo,
                                  order=3)
-    runs = {u: phone_alignment_runs(tri.tm, tri_ali[u]) for u in tri_ali}
+    runs = {u: phone_alignment_runs(sat_model.tm, sat_ali[u])
+            for u in sat_ali}
     feat_dim = next(iter(base_tr.values())).shape[1]
     egs = make_chain_egs(base_tr, runs, chain_tree, chain_topo,
                          chunk_size=51, subsample=3, den=den)
@@ -387,6 +493,7 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
              timer.elapsed())
 
     tm_chain = TransitionModel(chain_topo, chain_tree)
+    # left-biphone tree → the context-dependent biglang construction
     graph_ch = build_big_graph(entries, arpa3, tm_chain, lang.words,
                                lang.phones, self_loop_scale=1.0)
     sys_ch = _DecodeSys(graph_ch, tm_chain, chain_tree.num_pdfs,
@@ -400,6 +507,8 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
         escalate_budget=escalate_budget)
     rec.update(metric="flagship_results", system="chain-tdnn",
                graph_states=graph_ch.csr.num_states,
+               tree_context="left-biphone",
+               chain_leaves=chain_tree.num_pdfs,
                objf=round(float(final["objf"]), 3))
     results.append(rec)
     log.info("flagship RESULTS chain: %s (%.0fs)", rec, timer.elapsed())
@@ -431,17 +540,98 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     log.info("flagship RESULTS rescore: %s (%.0fs total)", rec,
              timer.elapsed())
 
+    # -- 8. RNNLM lattice rescoring (rnnlm-lattice-rescoring.h role):
+    # GRU LM trained on the LM text, composed over the chain lattices
+    # with the same one-pass pruned difference-LM machinery (subtract
+    # the decode trigram, add the RNNLM) — the one rescoring stage
+    # with no measured quality number through r4 (VERDICT missing #3)
+    if with_rnnlm:
+        from kaldi_tpu.lm.rnnlm import (RnnLmConfig, RnnLmScorer,
+                                        train_rnnlm)
+        V = max(lang.words.ids()) + 1
+        rnn_sents = [[lang.words[w] for w in s]
+                     for s in lm_texts[:min(len(lm_texts), 8000)]]
+        bos = lang.words.get("<s>", V)
+        eos = lang.words.get("</s>", V + 1)
+        rcfg = RnnLmConfig(vocab_size=max(V, bos + 1, eos + 1) + 1,
+                           embed_dim=96, hidden_dim=192)
+        t0 = time.perf_counter()
+        rnn_params, rnn_model = train_rnnlm(
+            rnn_sents, rcfg, num_epochs=3, batch_size=64,
+            learning_rate=4e-3, bos=bos, eos=eos, seed=seed,
+            sample_k=min(512, V))
+        rnn_train_s = time.perf_counter() - t0
+        scorer_lm = RnnLmScorer(rnn_params, rnn_model, lang.words)
+        t0 = time.perf_counter()
+        latsR, orcR, orcW = {}, 0, 0
+        for u, lat in lats_ch.items():
+            r = lmrescore_diff_pruned(lat, arpa3, scorer_lm,
+                                      lang.words, lm_scale=1.0,
+                                      beam=6.0)
+            latsR[u] = r
+            ref_ids = [lang.words[w] for w in test.text[u]]
+            orcR += oracle_errors(r, ref_ids)
+            orcW += len(ref_ids)
+        rnn_rescore_s = time.perf_counter() - t0
+        werR, scaleR = _sweep_wer(lang.words, test.text, latsR)
+        rec = {
+            "metric": "flagship_results", "system": "chain+rnnlm-rescore",
+            "wer": round(werR.wer, 2), "lm_scale": scaleR,
+            "oracle_wer": round(100.0 * orcR / max(orcW, 1), 2),
+            "rescore_audio_s_per_s": round(audio_s_te / rnn_rescore_s,
+                                           1),
+            "wer_delta_vs_trigram": round(werR.wer - wer_ch.wer, 2),
+            "rnnlm_train_s": round(rnn_train_s, 1),
+        }
+        results.append(rec)
+        log.info("flagship RESULTS rnnlm: %s (%.0fs total)", rec,
+                 timer.elapsed())
+
+    # -- 9. MBR / consensus decoding of the rescored lattices
+    # (lattice-mbr-decode / sausages.h role — VERDICT missing #4:
+    # MBR in a measured pipeline, reported against best-path WER)
+    if with_mbr:
+        from kaldi_tpu.lattice.functions import mbr_decode
+        from kaldi_tpu.lattice.functions import best_path_scaled
+        t0 = time.perf_counter()
+        hyps_mbr, hyps_map = {}, {}
+        conf_sum, conf_n = 0.0, 0
+        for u, lat in lats4.items():
+            m = mbr_decode(lat, lm_scale=scale4)
+            hyps_mbr[u] = [lang.words.find(w) for w in m.words]
+            hyps_map[u] = [lang.words.find(w) for w in
+                           best_path_scaled(lat, lm_scale=scale4)[0]]
+            if m.confidences:
+                conf_sum += float(np.mean(m.confidences))
+                conf_n += 1
+        mbr_s = time.perf_counter() - t0
+        wer_mbr = compute_wer(test.text, hyps_mbr)
+        wer_map = compute_wer(test.text, hyps_map)
+        rec = {
+            "metric": "flagship_results", "system": "chain+4gram+mbr",
+            "wer": round(wer_mbr.wer, 2),
+            "map_wer": round(wer_map.wer, 2),
+            "mbr_delta_vs_map": round(wer_mbr.wer - wer_map.wer, 2),
+            "mean_confidence": round(conf_sum / max(conf_n, 1), 3),
+            "mbr_audio_s_per_s": round(audio_s_te / mbr_s, 1),
+        }
+        results.append(rec)
+        log.info("flagship RESULTS mbr: %s (%.0fs total)", rec,
+                 timer.elapsed())
+
     print("\n== flagship RESULTS (vocab %d, %d train utts / %.0f audio-s,"
           " %d test utts, noise %.2f warp %.2f) ==" %
           (vocab, train_utts, audio_s_tr, test_utts, noise,
            speaker_warp))
     for r in results:
-        print("  %-22s WER %5.2f  oracle %5.2f  %s" % (
-            r["system"], r["wer"], r["oracle_wer"],
+        print("  %-22s WER %5.2f  oracle %5s  %s" % (
+            r["system"], r["wer"],
+            ("%5.2f" % r["oracle_wer"]) if "oracle_wer" in r else "—",
             " ".join(f"{k}={v}" for k, v in r.items()
                      if k in ("density", "audio_s_per_s", "n_escalated",
                               "rescore_audio_s_per_s",
-                              "wer_delta_vs_trigram"))))
+                              "wer_delta_vs_trigram",
+                              "mbr_delta_vs_map", "tree_context"))))
     for r in results:
         print(json.dumps(r))
     if results_path:

@@ -178,6 +178,12 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
     compiled = {Xb.shape: dec._get_compiled(Xb.shape)
                 for _, Xb, _ in batches}
     compile_s = time.time() - t0
+    # escalated-sibling programs compile in the BACKGROUND, overlapped
+    # with the base decode (VERDICT r4 weak #3: the retry program's
+    # cold AOT ran 4 minutes ON the critical path); only time actually
+    # spent blocking on an unfinished compile is charged below
+    esc_prewarm = dec.prewarm_escalator({Xb.shape for _, Xb, _
+                                         in batches})
     own_pool = pool is None
     if own_pool:
         pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count()
@@ -195,18 +201,13 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
         """One sweep over batches: decode, flag, build.  Returns the
         utterances whose effective beam dipped below lattice_beam."""
         outs = []
-        td = time.perf_counter()
         for chunk, Xb, lb in batch_list:
             out = exes[Xb.shape](gd, Xb, lb)
             decoder.start_fetch(out, lattice=True)
             outs.append((chunk, Xb, out))
-        if outs:
-            # device executes batches in order: blocking on the last
-            # batch's diagnostics bounds TOTAL device compute; the
-            # fetch timer below then measures the link-bound remainder
-            outs[-1][2]["beam_deficit"].block_until_ready()
-        stats["device_s"] = stats.get("device_s", 0.0) \
-            + (time.perf_counter() - td)
+        # NOTE: no barrier here — batch i's D2H fetch overlaps batch
+        # i+1's device compute (the r4 pipeline; an earlier profiling
+        # barrier at this spot serialized them and cost ~20% wall)
         futs, flagged = [], []
         for chunk, Xb, out in outs:
             stats["arcs_peak"] = max(
@@ -240,9 +241,15 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
         esc_batches = _batches({u: lls[u] for u in flagged},
                                task.num_pdfs, batch, bucket)
         tc = time.perf_counter()
-        esc_exes = {Xb.shape: esc._get_compiled(Xb.shape)
-                    for _, Xb, _ in esc_batches}
+        esc_exes = {}
+        for _, Xb, _ in esc_batches:
+            f = (esc_prewarm or {}).get(Xb.shape)
+            esc_exes[Xb.shape] = (f.result() if f is not None
+                                  else esc._get_compiled(Xb.shape))
+        # blocking time only: the prewarm ran concurrently with the
+        # base decode, so a finished compile costs ~0 here
         esc_compile = time.perf_counter() - tc
+        stats["esc_compile_wait_s"] = round(esc_compile, 2)
         stats["compile_s"] += esc_compile
         t0 += esc_compile        # throughput excludes compiles (cached)
         decode_all(esc, esc_batches, esc_exes)
@@ -253,6 +260,21 @@ def decode_eval(task: LargeVocabTask, lls: Dict[str, np.ndarray],
     # threads, so their SUM can exceed wall when overlapped)
     for k, v in BUILD_TIMERS.reset().items():
         stats[k] = round(v, 3)
+    # link-independent device time: re-run the first batch compute-
+    # only (program cached, graph resident) and block — decode wall
+    # minus link weather (VERDICT r4 weak #5); scaled to all batches
+    if batches:
+        _, Xb0, lb0 = batches[0]
+        o = compiled[Xb0.shape](gd, Xb0, lb0)
+        o["beam_deficit"].block_until_ready()           # warm
+        td = time.perf_counter()
+        o = compiled[Xb0.shape](gd, Xb0, lb0)
+        o["beam_deficit"].block_until_ready()
+        stats["device_s_per_batch"] = time.perf_counter() - td
+        stats["device_s"] = round(
+            stats["device_s_per_batch"] * len(batches), 3)
+        stats["device_audio_s_per_s"] = round(
+            stats["audio_s"] / max(stats["device_s"], 1e-9), 1)
     if own_pool:
         pool.shutdown()
     return lats, stats
@@ -298,7 +320,8 @@ def run_point(task, eval_set, lls, pool=None, **knobs):
         "wall_s": round(stats["wall_s"], 2),
     }
     for k in ("device_s", "fetch_s", "records_s", "raw_build_s",
-              "determinize_s"):
+              "determinize_s", "device_audio_s_per_s", "fetch_bytes",
+              "esc_compile_wait_s"):
         if k in stats:
             rec[k] = round(stats[k], 2)
     if knobs.get("escalate_budget"):
