@@ -175,6 +175,83 @@ class IvectorExtractor:
                      tot_gamma.sum())
 
 
+def train_diag_ubm(feats_list, num_gauss: int = 64, num_iters: int = 4,
+                   max_frames: int = 50000, seed: int = 0,
+                   var_floor: float = 1e-3):
+    """Flat diagonal UBM from pooled frames — the gmm-global-init-
+    from-feats + gmm-global-est role (steps/online/nnet2/
+    train_diag_ubm.sh) that seeds the i-vector extractor.  Returns
+    (means (G, D), vars (G, D), weights (G,))."""
+    X = np.concatenate([np.asarray(f, np.float64) for f in feats_list])
+    rng = np.random.default_rng(seed)
+    if len(X) > max_frames:
+        X = X[rng.choice(len(X), max_frames, replace=False)]
+    m = X[rng.choice(len(X), num_gauss, replace=False)]
+    gv = X.var(axis=0) + var_floor
+    v = np.tile(gv, (num_gauss, 1))
+    w = np.full(num_gauss, 1.0 / num_gauss)
+    for _ in range(num_iters):
+        quad = (X ** 2) @ (-0.5 / v).T + X @ (m / v).T
+        gconst = np.log(w) - 0.5 * (np.log(2 * np.pi * v).sum(1)
+                                    + (m * m / v).sum(1))
+        lp = quad + gconst
+        lp -= lp.max(axis=1, keepdims=True)
+        p = np.exp(lp)
+        p /= p.sum(axis=1, keepdims=True)
+        g = p.sum(axis=0) + 1e-8
+        m = (p.T @ X) / g[:, None]
+        v = np.maximum((p.T @ (X * X)) / g[:, None] - m * m, var_floor)
+        w = g / g.sum()
+    return m, v, w
+
+
+def online_ivectors(extractor: IvectorExtractor, feats: np.ndarray,
+                    period: int = 10, max_count: float = 100.0
+                    ) -> np.ndarray:
+    """(T, D) features → (T, K) piecewise-constant ONLINE i-vectors:
+    the value at frame t is the MAP estimate from frames [0, t₀) where
+    t₀ is the last period boundary ≤ t (ivector-extract-online2's
+    most-recent-estimate semantics; src/online2/
+    online-ivector-feature.h).  Vectorized for the egs/offline-decode
+    path: UBM posteriors for all frames in one pass, stats as running
+    block sums, one K×K solve per period checkpoint — the streaming
+    OnlineIvectorEstimator feeds frames one at a time instead.
+    ``max_count`` caps the stats mass (--max-count: bounds how far the
+    estimate can move from the prior on long utterances)."""
+    x = np.asarray(feats, np.float64)
+    T = x.shape[0]
+    K = extractor.ivector_dim
+    out = np.zeros((T, K))
+    if T == 0:
+        return out
+    # all-frames UBM posteriors (the acc_stats math, one pass)
+    quad = (x ** 2) @ (-0.5 * extractor.inv_vars).T \
+        + x @ (extractor.means * extractor.inv_vars).T
+    gconst = (np.log(extractor.weights)
+              - 0.5 * (np.log(2 * np.pi / extractor.inv_vars).sum(1)
+                       + (extractor.means ** 2
+                          * extractor.inv_vars).sum(1)))
+    logp = quad + gconst
+    logp -= logp.max(axis=1, keepdims=True)
+    post = np.exp(logp)
+    post /= post.sum(axis=1, keepdims=True)
+    G, D = extractor.means.shape
+    gamma = np.zeros(G)
+    X = np.zeros((G, D))
+    iv = np.zeros(K)
+    for t0 in range(0, T, period):
+        t1 = min(t0 + period, T)
+        out[t0:t1] = iv            # estimate from frames before t0
+        gamma += post[t0:t1].sum(axis=0)
+        X += post[t0:t1].T @ x[t0:t1]
+        g, xx = gamma, X
+        if max_count > 0 and g.sum() > max_count:
+            s = max_count / g.sum()
+            g, xx = g * s, X * s
+        iv = extractor.extract(g, xx)
+    return out
+
+
 class OnlineIvectorEstimator:
     """Streaming i-vector estimation: stats accumulate per chunk, the
     current estimate is available at any time

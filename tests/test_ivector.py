@@ -151,3 +151,44 @@ def test_diarization_recovers_speakers(rng):
     agree = max(float((labels == truth).mean()),
                 float((labels == 1 - truth).mean()))
     assert agree > 0.9, (labels, truth)
+
+
+def test_online_ivectors_batched_matches_streaming(rng):
+    """The vectorized online_ivectors (egs/offline path) must agree
+    with the frame-at-a-time OnlineIvectorEstimator at every period
+    checkpoint, and converge toward the utterance-level estimate."""
+    from kaldi_tpu.am.ivector import online_ivectors
+    G, D, K, T = 8, 6, 3, 64
+    ubm_m = rng.standard_normal((G, D)) * 3
+    ubm_v = 0.5 + 0.2 * rng.random((G, D))
+    w = np.ones(G) / G
+    ex = IvectorExtractor(ubm_m, ubm_v, w, ivector_dim=K)
+    x = (ubm_m[rng.integers(0, G, T)]
+         + rng.standard_normal((T, D))).astype(np.float64)
+    period = 10
+    out = online_ivectors(ex, x, period=period, max_count=0.0)
+    assert out.shape == (T, K)
+    assert np.allclose(out[:period], 0.0)      # prior before any stats
+    est = OnlineIvectorEstimator(ex)
+    for t0 in range(0, T, period):
+        # batched value for block [t0, t0+period) = estimate from
+        # frames [0, t0) — the streaming estimator's state at t0
+        np.testing.assert_allclose(
+            out[t0], est.ivector() if t0 else np.zeros(K), atol=1e-6)
+        est.accept_frames(x[t0:t0 + period])
+    # full-utterance agreement at the end
+    full = ex.extract_from_feats(x)
+    np.testing.assert_allclose(est.ivector(), full, atol=1e-8)
+
+
+def test_train_diag_ubm_recovers_clusters(rng):
+    from kaldi_tpu.am.ivector import train_diag_ubm
+    centers = np.array([[5.0, 0.0], [-5.0, 0.0], [0.0, 6.0]])
+    X = np.concatenate([c + 0.3 * rng.standard_normal((400, 2))
+                        for c in centers])
+    rng.shuffle(X)
+    m, v, w = train_diag_ubm([X], num_gauss=3, num_iters=10, seed=1)
+    # every true center has a learned mean nearby
+    for c in centers:
+        assert np.min(np.linalg.norm(m - c, axis=1)) < 0.5
+    assert np.all(w > 0.2)
