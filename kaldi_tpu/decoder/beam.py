@@ -1038,6 +1038,46 @@ class BeamDecoder:
             self._esc = esc
         return esc
 
+    def _get_finalize_beta(self, Tb: int):
+        """Compiled device β-prune for STREAMING finalize: reverse
+        scan over the online decoder's stored (Tb, L, recw+1) chunk
+        and (Tb, K) α buffers → packed kept records (reverse frame
+        order) + per-frame counts + total.  Cached per Tb bucket.
+        The fetch then ships ~the final lattice instead of every
+        within-beam candidate of the whole stream — the finalize
+        latency tail was the record fetch."""
+        key = ("finbeta", Tb)
+        fn = self._compiled.get(key)
+        if fn is None:
+            K = self.K
+
+            def fb(g, chunks, alphas, n_frames, tok):
+                self.g = g
+                fs, fc = tok[0], tok[1]
+                okf = fs >= 0
+                fin = g["final"][jnp.where(okf, fs, 0)]
+                total = jnp.where(okf, fc + fin, INF)
+                any_final = jnp.isfinite(total).any()
+                use = jnp.where(any_final, total,
+                                jnp.where(okf, fc, INF))
+                bound = jnp.min(use) + jnp.float32(
+                    self.config.lattice_beam
+                    + self.config.beta_prune_margin)
+                beta0 = jnp.where(
+                    any_final, jnp.where(okf, fin, INF),
+                    jnp.where(okf, jnp.float32(0.0), INF))
+                active = jnp.arange(Tb) < n_frames
+                buf = jnp.zeros((Tb * self.L, self._recw), jnp.int32)
+                (_, buf, cursor), cnts = jax.lax.scan(
+                    partial(self._beta_step, bound),
+                    (beta0, buf, jnp.int32(0)),
+                    (chunks, alphas, active), reverse=True)
+                return buf, cnts, cursor
+
+            fn = jax.jit(fb)
+            self._compiled[key] = fn
+        return fn
+
     def prewarm_escalator(self, shapes):
         """AOT-compile the escalated sibling's executables for
         ``shapes`` in a background thread, overlapped with base
