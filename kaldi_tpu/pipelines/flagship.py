@@ -466,7 +466,15 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     # is the reference's standard chain-tree configuration)
     phones = lang.phone_list()
     chain_topo = HmmTopology.chain(phones)
-    chain_leaves = max(2 * len(phones) + 10, min(350, leaves))
+    # tree size scales with DATA (the build_tree.sh cluster-thresh
+    # role as a frames-per-leaf floor).  Measured on the 12-word
+    # held-out-speaker ladder: an UNDER-split biphone tree (18 leaves)
+    # scored 16–20% WER where 40 leaves scored 0.9% and monophone
+    # 0.0% — context splits need enough frames each, but starving
+    # them hurts more
+    n_frames_tr = sum(f.shape[0] for f in base_tr.values())
+    chain_leaves = int(np.clip(n_frames_tr // 1500,
+                               2 * len(phones) + 10, 350))
     chain_tree = build_chain_tree(delta_tr, sat_ali, sat_model.tm,
                                   chain_topo, num_leaves=chain_leaves)
     phone_seqs = [sat_model.tm.alignment_to_phones(sat_ali[u])
