@@ -314,10 +314,36 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
              audio_s_tr, audio_s_te, timer.elapsed())
 
     # -- 3. features ---------------------------------------------------------
-    base_tr = base_feats(train)
-    base_te = base_feats(test)
-    delta_tr = {u: np.asarray(add_deltas(f)) for u, f in base_tr.items()}
-    delta_te = {u: np.asarray(add_deltas(f)) for u, f in base_te.items()}
+    # per-utterance MFCC/CMVN is tiny elementwise work issued one
+    # utterance at a time: over a REMOTE/tunneled accelerator every
+    # utterance pays RPC round trips and the frontend becomes
+    # latency-bound (measured: ~30 min for 1250 utts against ~1 min
+    # of compute).  Pin the frontend to the host CPU backend; the
+    # MXU stages (GMM loglikes, aligners, chain training, decode)
+    # stay on the accelerator.
+    import contextlib
+    try:
+        _cpu0 = jax.devices("cpu")[0]
+    except Exception:               # pragma: no cover
+        _cpu0 = None
+
+    def cpu_ctx():
+        """The GMM/feature stages issue small per-utterance device
+        calls; over a remote accelerator each pays an RPC round trip
+        (measured: the frontend alone ran ~30 min for 1250 utts
+        against ~1 min of compute).  Those stages run on the host CPU
+        backend; the MXU stages (chain training, large-vocab decode)
+        run outside these contexts on the accelerator."""
+        return (jax.default_device(_cpu0) if _cpu0 is not None
+                else contextlib.nullcontext())
+
+    with cpu_ctx():
+        base_tr = base_feats(train)
+        base_te = base_feats(test)
+        delta_tr = {u: np.asarray(add_deltas(f))
+                    for u, f in base_tr.items()}
+        delta_te = {u: np.asarray(add_deltas(f))
+                    for u, f in base_te.items()}
     log.info("flagship: MFCC+CMVN(+deltas) done (%.0fs)", timer.elapsed())
 
     # -- 4. GMM ladder: mono → tri (the alignment machine) ------------------
@@ -327,22 +353,24 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     mono_n = mono_train_utts or min(train_utts, 400)
     mono_utts = sorted(delta_tr)[:mono_n]
     n_mono = 14
-    mono = train_mono({u: delta_tr[u] for u in mono_utts},
-                      {u: train.text[u] for u in mono_utts}, lang,
-                      MonoTrainConfig(num_iters=n_mono, totgauss=500,
-                                      realign_iters=tuple(
-                                          range(1, n_mono, 2))))
-    log.info("flagship: mono trained (%.0fs)", timer.elapsed())
-    mono_ali = _align(mono, {u: delta_tr[u] for u in sorted(delta_tr)},
-                      train.text, lang)
-    log.info("flagship: mono alignments (%.0fs)", timer.elapsed())
+    with cpu_ctx():
+        mono = train_mono({u: delta_tr[u] for u in mono_utts},
+                          {u: train.text[u] for u in mono_utts}, lang,
+                          MonoTrainConfig(num_iters=n_mono, totgauss=500,
+                                          realign_iters=tuple(
+                                              range(1, n_mono, 2))))
+        log.info("flagship: mono trained (%.0fs)", timer.elapsed())
+        mono_ali = _align(mono,
+                          {u: delta_tr[u] for u in sorted(delta_tr)},
+                          train.text, lang)
+        log.info("flagship: mono alignments (%.0fs)", timer.elapsed())
 
-    leaves = tri_leaves or max(100, min(500, train_utts // 4))
-    tcfg = TriTrainConfig(num_iters=12, num_leaves=leaves,
-                          totgauss=20 * leaves,
-                          realign_iters=(1, 2, 4, 6, 8, 10))
-    tri, tri_ali = train_tri(delta_tr, train.text, lang, mono, mono_ali,
-                             tcfg)
+        leaves = tri_leaves or max(100, min(500, train_utts // 4))
+        tcfg = TriTrainConfig(num_iters=12, num_leaves=leaves,
+                              totgauss=20 * leaves,
+                              realign_iters=(1, 2, 4, 6, 8, 10))
+        tri, tri_ali = train_tri(delta_tr, train.text, lang, mono,
+                                 mono_ali, tcfg)
     log.info("flagship: tri (%d leaves) trained (%.0fs)", leaves,
              timer.elapsed())
 
@@ -352,9 +380,10 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
     sys_gmm = _DecodeSys(graph_gmm, mono.tm, mono.am.num_pdfs,
                          lang.words)
     # GMM acoustic scale 0.1 — prescale (decode_eval runs scale 1.0)
-    lls_gmm = {u: 0.1 * np.asarray(mono.am.loglikes(delta_te[u]),
-                                   np.float32)
-               for u in sorted(delta_te)}
+    with cpu_ctx():
+        lls_gmm = {u: 0.1 * np.asarray(mono.am.loglikes(delta_te[u]),
+                                       np.float32)
+                   for u in sorted(delta_te)}
     rec, _, _ = _decode_and_score(
         sys_gmm, test.text, lls_gmm, frame_s=0.01, beam=14.0,
         max_active=7000, arc_budget=arc_budget,
@@ -381,42 +410,43 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
                                              estimate_fmllr_per_speaker_post,
                                              estimate_lda, estimate_mllt)
         sl = sr = 3
-        spl_tr = {u: np.asarray(splice_frames(f, sl, sr))
-                  for u, f in base_tr.items()}
-        spl_te = {u: np.asarray(splice_frames(f, sl, sr))
-                  for u, f in base_te.items()}
-        lda = estimate_lda(spl_tr, tri_ali, tri.tm, 30)
-        lda_tr = {u: apply_transform(f, lda).astype(np.float32)
-                  for u, f in spl_tr.items()}
-        tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri,
-                                     tri_ali, tcfg)
-        M, _ = estimate_mllt(tri2b.am, lda_tr, tri2b_ali, tri2b.tm)
-        mllt_lda = np.concatenate([M @ lda[:, :-1], M @ lda[:, -1:]],
-                                  axis=1)
-        lda_tr = {u: apply_transform(f, mllt_lda).astype(np.float32)
-                  for u, f in spl_tr.items()}
-        lda_te = {u: apply_transform(f, mllt_lda).astype(np.float32)
-                  for u, f in spl_te.items()}
-        apply_mllt_to_model(tri2b.am, M)
-        tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri2b,
-                                     tri2b_ali, tcfg)
-        log.info("flagship: tri2b LDA+MLLT trained (%.0fs)",
-                 timer.elapsed())
-        tr_spk = {u: train.utt2spk[u] for u in lda_tr}
-        fmllr_tr = estimate_fmllr_per_speaker(
-            tri2b.am, lda_tr, tri2b_ali, tri2b.tm, tr_spk,
-            min_count=50.0)
+        with cpu_ctx():
+            spl_tr = {u: np.asarray(splice_frames(f, sl, sr))
+                      for u, f in base_tr.items()}
+            spl_te = {u: np.asarray(splice_frames(f, sl, sr))
+                      for u, f in base_te.items()}
+            lda = estimate_lda(spl_tr, tri_ali, tri.tm, 30)
+            lda_tr = {u: apply_transform(f, lda).astype(np.float32)
+                      for u, f in spl_tr.items()}
+            tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang, tri,
+                                         tri_ali, tcfg)
+            M, _ = estimate_mllt(tri2b.am, lda_tr, tri2b_ali, tri2b.tm)
+            mllt_lda = np.concatenate(
+                [M @ lda[:, :-1], M @ lda[:, -1:]], axis=1)
+            lda_tr = {u: apply_transform(f, mllt_lda).astype(np.float32)
+                      for u, f in spl_tr.items()}
+            lda_te = {u: apply_transform(f, mllt_lda).astype(np.float32)
+                      for u, f in spl_te.items()}
+            apply_mllt_to_model(tri2b.am, M)
+            tri2b, tri2b_ali = train_tri(lda_tr, train.text, lang,
+                                         tri2b, tri2b_ali, tcfg)
+            log.info("flagship: tri2b LDA+MLLT trained (%.0fs)",
+                     timer.elapsed())
+            tr_spk = {u: train.utt2spk[u] for u in lda_tr}
+            fmllr_tr = estimate_fmllr_per_speaker(
+                tri2b.am, lda_tr, tri2b_ali, tri2b.tm, tr_spk,
+                min_count=50.0)
 
-        def _adapt(feats, trans, spk_of):
-            return {u: apply_transform(
-                f, trans.get(spk_of[u],
-                             np.eye(f.shape[1], f.shape[1] + 1))
-            ).astype(np.float32) for u, f in feats.items()}
+            def _adapt(feats, trans, spk_of):
+                return {u: apply_transform(
+                    f, trans.get(spk_of[u],
+                                 np.eye(f.shape[1], f.shape[1] + 1))
+                ).astype(np.float32) for u, f in feats.items()}
 
-        sat_tr = _adapt(lda_tr, fmllr_tr, tr_spk)
-        tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang, tri2b,
-                                     tri2b_ali, tcfg)
-        sat_model, sat_ali = tri3b, tri3b_ali
+            sat_tr = _adapt(lda_tr, fmllr_tr, tr_spk)
+            tri3b, tri3b_ali = train_tri(sat_tr, train.text, lang,
+                                         tri2b, tri2b_ali, tcfg)
+            sat_model, sat_ali = tri3b, tri3b_ali
         log.info("flagship: tri3b SAT trained (%.0fs)", timer.elapsed())
 
         graph_tri = build_big_graph(entries, arpa3, tri3b.tm,
@@ -431,25 +461,27 @@ def run(vocab: int = 5000, train_utts: int = 1000, test_utts: int = 250,
         # posteriors (silence down-weighted) → per-speaker fMLLR →
         # adapted decode with the SAT model
         from kaldi_tpu.pipelines.hard import decode_eval
-        alimdl = estimate_alignment_model(tri3b.am, tri3b.tm, sat_tr,
-                                          lda_tr, tri3b_ali)
-        te_spk = {u: test.utt2spk[u] for u in lda_te}
-        lls_p1 = {u: 0.1 * np.asarray(alimdl.loglikes(lda_te[u]),
-                                      np.float32)
-                  for u in sorted(lda_te)}
+        with cpu_ctx():
+            alimdl = estimate_alignment_model(tri3b.am, tri3b.tm,
+                                              sat_tr, lda_tr, tri3b_ali)
+            te_spk = {u: test.utt2spk[u] for u in lda_te}
+            lls_p1 = {u: 0.1 * np.asarray(alimdl.loglikes(lda_te[u]),
+                                          np.float32)
+                      for u in sorted(lda_te)}
         lats_p1, _ = decode_eval(sys_tri, lls_p1, beam=11.0,
                                  max_active=5000, arc_budget=arc_budget,
                                  escalate_budget=escalate_budget)
-        posts = {u: frame_posteriors(lats_p1[u], acoustic_scale=1.0)
-                 for u in lats_p1}
-        fmllr_te = estimate_fmllr_per_speaker_post(
-            tri3b.am, lda_te, posts, tri3b.tm, te_spk,
-            silence_phones=lang.silence_phones, silence_weight=0.01,
-            min_count=50.0)
-        sat_te = _adapt(lda_te, fmllr_te, te_spk)
-        lls_tri = {u: 0.1 * np.asarray(tri3b.am.loglikes(sat_te[u]),
-                                       np.float32)
-                   for u in sorted(sat_te)}
+        with cpu_ctx():
+            posts = {u: frame_posteriors(lats_p1[u], acoustic_scale=1.0)
+                     for u in lats_p1}
+            fmllr_te = estimate_fmllr_per_speaker_post(
+                tri3b.am, lda_te, posts, tri3b.tm, te_spk,
+                silence_phones=lang.silence_phones, silence_weight=0.01,
+                min_count=50.0)
+            sat_te = _adapt(lda_te, fmllr_te, te_spk)
+            lls_tri = {u: 0.1 * np.asarray(
+                tri3b.am.loglikes(sat_te[u]), np.float32)
+                for u in sorted(sat_te)}
         rec, _, _ = _decode_and_score(
             sys_tri, test.text, lls_tri, frame_s=0.01, beam=14.0,
             max_active=7000, arc_budget=arc_budget,
