@@ -339,7 +339,8 @@ class BeamDecoder:
     _SHARED_SAFE = ("beam", "max_active", "acoustic_scale",
                     "lattice_beam", "arc_budget",
                     "lattice_arcs_per_frame", "record_capacity",
-                    "escalate_budget", "escalate_deficit")
+                    "escalate_budget", "escalate_deficit",
+                    "device_beta_prune", "beta_prune_margin")
 
     def with_overrides(self, **overrides) -> "BeamDecoder":
         """A sibling decoder sharing this one's packed graph (host AND
@@ -1039,44 +1040,81 @@ class BeamDecoder:
         return esc
 
     def _get_finalize_beta(self, Tb: int):
-        """Compiled device β-prune for STREAMING finalize: reverse
+        """AOT-compiled device β-prune for STREAMING finalize: reverse
         scan over the online decoder's stored (Tb, L, recw+1) chunk
         and (Tb, K) α buffers → packed kept records (reverse frame
         order) + per-frame counts + total.  Cached per Tb bucket.
         The fetch then ships ~the final lattice instead of every
         within-beam candidate of the whole stream — the finalize
-        latency tail was the record fetch."""
+        latency tail was the record fetch.  Compile is AOT from
+        abstract shapes so prewarm_finalize_beta can run it in a
+        background thread (the first finalize of a new length bucket
+        otherwise eats a full cold compile — measured 14 s on the
+        p99)."""
         key = ("finbeta", Tb)
         fn = self._compiled.get(key)
-        if fn is None:
-            K = self.K
-
-            def fb(g, chunks, alphas, n_frames, tok):
-                self.g = g
-                fs, fc = tok[0], tok[1]
-                okf = fs >= 0
-                fin = g["final"][jnp.where(okf, fs, 0)]
-                total = jnp.where(okf, fc + fin, INF)
-                any_final = jnp.isfinite(total).any()
-                use = jnp.where(any_final, total,
-                                jnp.where(okf, fc, INF))
-                bound = jnp.min(use) + jnp.float32(
-                    self.config.lattice_beam
-                    + self.config.beta_prune_margin)
-                beta0 = jnp.where(
-                    any_final, jnp.where(okf, fin, INF),
-                    jnp.where(okf, jnp.float32(0.0), INF))
-                active = jnp.arange(Tb) < n_frames
-                buf = jnp.zeros((Tb * self.L, self._recw), jnp.int32)
-                (_, buf, cursor), cnts = jax.lax.scan(
-                    partial(self._beta_step, bound),
-                    (beta0, buf, jnp.int32(0)),
-                    (chunks, alphas, active), reverse=True)
-                return buf, cnts, cursor
-
-            fn = jax.jit(fb)
-            self._compiled[key] = fn
+        if fn is not None:
+            return fn
+        fut = getattr(self, "_finbeta_warm", {}).get(Tb)
+        if fut is not None:
+            return fut.result()
+        fn = self._compile_finalize_beta(Tb)
+        self._compiled[key] = fn
         return fn
+
+    def _compile_finalize_beta(self, Tb: int):
+        K = self.K
+
+        def fb(g, chunks, alphas, n_frames, tok):
+            self.g = g
+            fs, fc = tok[0], tok[1]
+            okf = fs >= 0
+            fin = g["final"][jnp.where(okf, fs, 0)]
+            total = jnp.where(okf, fc + fin, INF)
+            any_final = jnp.isfinite(total).any()
+            use = jnp.where(any_final, total,
+                            jnp.where(okf, fc, INF))
+            bound = jnp.min(use) + jnp.float32(
+                self.config.lattice_beam
+                + self.config.beta_prune_margin)
+            beta0 = jnp.where(
+                any_final, jnp.where(okf, fin, INF),
+                jnp.where(okf, jnp.float32(0.0), INF))
+            active = jnp.arange(Tb) < n_frames
+            buf = jnp.zeros((Tb * self.L, self._recw), jnp.int32)
+            (_, buf, cursor), cnts = jax.lax.scan(
+                partial(self._beta_step, bound),
+                (beta0, buf, jnp.int32(0)),
+                (chunks, alphas, active), reverse=True)
+            return buf, cnts, cursor
+
+        sds = jax.ShapeDtypeStruct
+        g_abs = {k: sds(v.shape, v.dtype)
+                 for k, v in self._g_host.items()}
+        tok_abs = (sds((K,), jnp.int32), sds((K,), jnp.float32),
+                   sds((K,), jnp.int32), sds((K,), jnp.int32))
+        return jax.jit(fb).lower(
+            g_abs, sds((Tb, self.L, self._recw + 1), jnp.int32),
+            sds((Tb, K), jnp.float32), sds((), jnp.int32),
+            tok_abs).compile()
+
+    def prewarm_finalize_beta(self, Tb: int) -> None:
+        """Compile the Tb-bucket finalize β program in a background
+        thread (called by the online decoders when a stream crosses
+        into a new length bucket, so finalize never pays the cold
+        compile)."""
+        key = ("finbeta", Tb)
+        if key in self._compiled:
+            return
+        pw = getattr(self, "_finbeta_warm", None)
+        if pw is None:
+            pw = self._finbeta_warm = {}
+        if Tb in pw:
+            return
+        import concurrent.futures as cf
+        ex = cf.ThreadPoolExecutor(1)
+        pw[Tb] = ex.submit(self._compile_finalize_beta, Tb)
+        ex.shutdown(wait=False)
 
     def prewarm_escalator(self, shapes):
         """AOT-compile the escalated sibling's executables for

@@ -166,6 +166,10 @@ class OnlineBeamDecoder:
         self._frames += n_valid
         if self._frames + self.C > self.maxT:
             raise KaldiError("OnlineBeamDecoder: max_frames exceeded")
+        # background-compile the finalize β program for the bucket the
+        # stream is now in, so finalize never pays a cold compile
+        Tb = min(-(-max(self._frames, 1) // 256) * 256, self.maxT)
+        self.dec.prewarm_finalize_beta(Tb)
 
     def advance(self, loglikes: np.ndarray) -> None:
         """Consume a (t, num_pdfs) score chunk (any t ≥ 0)."""
@@ -441,6 +445,9 @@ class MultiStreamBeamDecoder:
         if (self._frames.max() + self.C) > self.maxT:
             raise KaldiError("MultiStreamBeamDecoder: max_frames "
                              "exceeded")
+        Tb = min(-(-max(int(self._frames.max()), 1) // 256) * 256,
+                 self.maxT)
+        self.dec.prewarm_finalize_beta(Tb)
 
     def finalize_channel(self, c: int, max_states: int = 200000):
         """Determinized CompactLattice for channel c (then
