@@ -405,6 +405,13 @@ def main():
         n_stream = int(os.environ.get("KALDI_TPU_BENCH_STREAM_UTTS",
                                       "12"))
         ob = OnlineBeamDecoder(dec, chunk_frames=chunk, max_frames=1024)
+        # pre-compile the finalize-β programs for every bucket these
+        # streams reach — finalize latency should measure the device
+        # pass + fetch, not a background compile it had to join
+        maxlen = max(int(l.shape[0]) for l in lls[:n_stream])
+        for tb in range(256, min(-(-maxlen // 256) * 256,
+                                 ob.maxT) + 1, 256):
+            dec._get_finalize_beta(min(tb, ob.maxT))
         adv_ms, first_ms, fin_ms = [], [], []
         fin_parts = []
         n_esc = 0
@@ -442,6 +449,12 @@ def main():
                for i in range(N_lanes)]
         for a in range(0, 2 * chunk, chunk):          # warm
             ms_dec.advance([x[a:a + chunk] for x in llm])
+        # block on the finalize-β programs for every length bucket the
+        # timed loop will cross: their BACKGROUND compiles otherwise
+        # run inside the timed region and steal the host (measured:
+        # lane throughput 97.5 with in-loop compiles vs ~370 clean)
+        for tb in range(256, min(Tms + 256, ms_dec.maxT) + 1, 256):
+            dec._get_finalize_beta(min(tb, ms_dec.maxT))
         # sync BEFORE starting the clock too: warm advances are async
         jax.block_until_ready(ms_dec._tok)
         t0 = time.perf_counter()
