@@ -167,9 +167,12 @@ class OnlineBeamDecoder:
         if self._frames + self.C > self.maxT:
             raise KaldiError("OnlineBeamDecoder: max_frames exceeded")
         # background-compile the finalize β program for the bucket the
-        # stream is now in, so finalize never pays a cold compile
+        # stream is in AND the next one (a compile takes longer than a
+        # few chunks — starting a bucket early means finalize never
+        # joins an in-flight compile)
         Tb = min(-(-max(self._frames, 1) // 256) * 256, self.maxT)
         self.dec.prewarm_finalize_beta(Tb)
+        self.dec.prewarm_finalize_beta(min(Tb + 256, self.maxT))
 
     def advance(self, loglikes: np.ndarray) -> None:
         """Consume a (t, num_pdfs) score chunk (any t ≥ 0)."""
@@ -448,6 +451,7 @@ class MultiStreamBeamDecoder:
         Tb = min(-(-max(int(self._frames.max()), 1) // 256) * 256,
                  self.maxT)
         self.dec.prewarm_finalize_beta(Tb)
+        self.dec.prewarm_finalize_beta(min(Tb + 256, self.maxT))
 
     def finalize_channel(self, c: int, max_states: int = 200000):
         """Determinized CompactLattice for channel c (then
