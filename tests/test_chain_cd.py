@@ -222,3 +222,40 @@ def test_chain_cd_train_smoke():
     out = trainer.train(egs)
     assert np.isfinite(out["objf"])
     assert out["objf"] <= 0.05    # normalized MMI ratio stays ≤ ~0
+
+
+def test_largevocab_biphone_context_option():
+    """make_largevocab_task(context='biphone') builds a decodable CD
+    graph: synthetic loglikes peaked on context-aware pdfs decode at
+    ~0 WER through the BeamDecoder."""
+    import numpy as np
+    from kaldi_tpu.decoder.beam import BeamDecoder, BeamDecoderConfig
+    from kaldi_tpu.pipelines.largevocab import (make_largevocab_task,
+                                                sample_eval_set,
+                                                synth_loglikes)
+    from kaldi_tpu.pipelines.score import compute_wer
+    task = make_largevocab_task(vocab_size=300, num_phones=12,
+                                corpus_sentences=800, seed=3,
+                                context="biphone")
+    assert task.tree.context_width == 2
+    # context-dependence is real: some phone has split left contexts
+    pl = sorted(task.topo.phones)
+    split = any(len({task.pdf_pair(l, p)[0] for l in [0] + pl}) > 1
+                for p in pl)
+    assert split
+    eval_set = sample_eval_set(task, 12, max_words=5, seed=5)
+    rng = np.random.default_rng(9)
+    lls = {u: synth_loglikes(task, s, rng, noise=0.3, peak=6.0)
+           for u, s in eval_set.items()}
+    dec = BeamDecoder(task.graph.csr, task.tm.tid_to_pdf_array,
+                      BeamDecoderConfig(beam=13.0, max_active=2000,
+                                        acoustic_scale=1.0,
+                                        lattice_beam=6.0,
+                                        arc_budget=8192,
+                                        lattice_arcs_per_frame=2048))
+    hyps = {}
+    for u in sorted(lls):
+        clat = dec.decode_compact(lls[u], bucket=16)
+        hyps[u] = [task.words.find(w) for w in clat.best_path()[0]]
+    wer = compute_wer(eval_set, hyps)
+    assert wer.wer < 5.0, str(wer)
